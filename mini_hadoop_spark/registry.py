@@ -1,0 +1,28 @@
+"""Central registry: every queries()/oracle_sql() pair exposed to the
+driver harness.  Modules register (QUERIES, ORACLES) dicts; names must be
+unique across modules."""
+
+from __future__ import annotations
+
+from mini_hadoop_spark.operators import relational
+from mini_hadoop_spark.workloads import parity
+
+_MODULES = [relational, parity]
+
+
+def _merge() -> tuple[dict, dict]:
+    queries: dict = {}
+    oracles: dict = {}
+    for mod in _MODULES:
+        for name, fn in mod.QUERIES.items():
+            if name in queries:
+                raise ValueError(f"duplicate query name {name!r} from {mod.__name__}")
+            queries[name] = fn
+        for name, sql in getattr(mod, "ORACLES", {}).items():
+            if name not in mod.QUERIES:
+                raise ValueError(f"oracle {name!r} in {mod.__name__} has no query")
+            oracles[name] = sql
+    return queries, oracles
+
+
+ALL_QUERIES, ALL_ORACLES = _merge()

@@ -1,0 +1,45 @@
+"""Table catalog over the driver-provided parquet test data.
+
+The reference's DFS (file → blocks → replicas, SURVEY.md §2.1 S1-S5) is
+delegated entirely to the storage layer: Spark reads parquet splits with
+locality, pushdown and column pruning via the DataSource V2 path.  Nothing
+to reimplement — `table_path` + `spark.read.parquet` IS the scan operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (mirrors the driver's DuckDB
+    side, where the same names are pre-registered)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
