@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness — times every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is executed via a count-style action that forces the full plan
+(collect to the driver is avoided for large outputs — we want engine time,
+not driver-materialization time).  A warmup query amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_from_dir(sf_dir)
+
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("mini_hadoop_spark-bench")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # warmup: touch the big tables once so OS page cache + codegen caches
+    # are warm for every timed query equally
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        try:
+            load_table(spark, sf_dir, t).count()
+        except Exception as exc:  # noqa: BLE001 — warmup is best-effort
+            print(f"bench: warmup {t} failed: {exc}", file=sys.stderr)
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            # force full execution of every operator in the plan; cheap on
+            # the driver (single long per partition comes back)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

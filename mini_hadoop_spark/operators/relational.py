@@ -119,8 +119,14 @@ LIMIT 10
 
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join with 3 broadcast dims; the only big
-    shuffle is lineitem⋈orders on l_orderkey."""
+    """TPC-H Q5 shape: 5-way join; the only big shuffle is
+    lineitem⋈orders on l_orderkey.
+
+    Broadcast hints ONLY on the fixed-cardinality dims (region=5,
+    nation=25).  supplier/customer scale with SF, so their join strategy
+    is left to the autoBroadcastJoinThreshold + AQE: they broadcast at
+    small SF and fall back to shuffle joins at 100 TB instead of OOMing
+    the executors on a forced hint."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -131,8 +137,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -162,19 +168,19 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 of 11 columns and apply both filters at the source (PushedFilters in
     .explain)."""
     l = _t(spark, sf_dir, "lineitem")
+    # round-half-up via floor(x*100 + 0.5)/100.0: identical IEEE double ops
+    # on both engines (Spark's F.round uses BigDecimal HALF_UP; DuckDB's
+    # round resolves halfway doubles differently — a one-cent divergence).
+    net = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5) / F.lit(100.0)
     return (
         l.filter((F.col("l_shipdate") < F.lit("1996-01-01")) & (F.col("l_discount") > 0.05))
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
-        )
+        .select("l_orderkey", "l_linenumber", net.alias("net_price"))
     )
 
 
 FILTER_PROJECT_SQL = """
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+       CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) / 100.0 AS net_price
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
 """

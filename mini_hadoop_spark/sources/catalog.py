@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -35,6 +35,15 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS,false), which
+        # Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL).  Read
+        # the raw nanos as long (runtime conf — works even on a session we
+        # did not build) and truncate to microseconds exactly like DuckDB
+        # does when it reads the same file (integer DIV, no double math).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -14,15 +14,22 @@ Reference semantics (lib/mini_hadoop/examples/page_rank.ex):
     broadcasts it when small, shuffles on ``src`` otherwise.
 
 Scale posture: each iteration is one join + one hash aggregate, both keyed
-shuffles that AQE can re-plan; ranks are cached between iterations and the
-lineage is truncated via localCheckpoint every few iterations so the plan
-does not grow linearly with iteration count (the classic iterative-Spark
-pitfall).
+shuffles that AQE can re-plan.  The edge list and out-degree table are
+persisted ONCE before the loop (at 100 TB an unpersisted loop re-scans the
+fact table N+2 times); the rank frontier is persisted per iteration (the
+previous one unpersisted) and lineage is truncated every
+``checkpoint_every`` iterations so the plan does not grow linearly with
+iteration count (the classic iterative-Spark pitfall).  Pass
+``reliable_checkpoint=True`` on a real cluster: ``localCheckpoint`` stores
+blocks on executors only and is lost on executor death — routine at 1000
+executors — while ``checkpoint()`` writes to the fault-tolerant checkpoint
+dir at the cost of an extra write.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def pagerank(
@@ -31,6 +38,7 @@ def pagerank(
     damping: float = 0.85,
     total_pages: int | None = None,
     checkpoint_every: int = 5,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Run PageRank over an edge list ``(src, dst)``.
 
@@ -39,11 +47,14 @@ def pagerank(
     only in-edge contributions; initial rank is 1.0 for every source
     (page_rank.ex:56 default).
     """
-    edges = edges.select("src", "dst")
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sources = out_deg.select("src")
 
     if total_pages is None:
+        # one distinct over the persisted edges — NOT a re-scan of parquet
         total_pages = (
             edges.select(F.col("src").alias("page"))
             .union(edges.select(F.col("dst").alias("page")))
@@ -56,6 +67,7 @@ def pagerank(
     ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
 
     result = None
+    prev_cached: DataFrame | None = None
     for i in range(iterations):
         contribs = (
             edges.join(out_deg, "src")
@@ -71,7 +83,16 @@ def pagerank(
             # feed ranks of pages that are sources back into the next iter
             ranks = result.select(F.col("page").alias("src"), "rank")
             if (i + 1) % checkpoint_every == 0:
-                ranks = ranks.localCheckpoint(eager=True)
+                # truncate lineage so the plan stays O(1) per iteration
+                if reliable_checkpoint:
+                    ranks = ranks.checkpoint(eager=True)
+                else:
+                    ranks = ranks.localCheckpoint(eager=True)
+            else:
+                ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            if prev_cached is not None:
+                prev_cached.unpersist()
+            prev_cached = ranks
     return result
 
 

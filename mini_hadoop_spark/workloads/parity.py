@@ -41,7 +41,7 @@ SELECT word, count(*) AS cnt
 FROM (SELECT unnest(regexp_extract_all(lower(text), '[\p{L}\p{Nd}''_\-]+')) AS word
       FROM documents)
 WHERE word <> ''
-  AND (word IN ('a', 'i') OR (length(word) >= 2 AND regexp_matches(word, '\p{L}')))
+  AND (word IN ('a', 'i') OR (strlen(word) >= 2 AND regexp_matches(word, '\p{L}')))
 GROUP BY word
 """
 

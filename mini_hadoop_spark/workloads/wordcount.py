@@ -49,10 +49,12 @@ def word_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_count_strict(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Strict-variant WordCount mirroring word_count.ex:103-128 filters:
-    keep 'a'/'i'; otherwise require length >= 2 and at least one letter."""
+    keep 'a'/'i'; otherwise require BYTE length >= 2 (the reference's
+    valid_word? uses byte_size/1, word_count.ex:118-128 — so a single
+    multi-byte letter like 'é' is kept) and at least one letter."""
     words = tokenize(docs, text_col, _STRICT_TOKEN_PATTERN)
     kept = words.filter(
         F.col("word").isin("a", "i")
-        | ((F.length("word") >= 2) & F.col("word").rlike(r"\p{L}"))
+        | ((F.octet_length("word") >= 2) & F.col("word").rlike(r"\p{L}"))
     )
     return kept.groupBy("word").agg(F.count("*").alias("cnt"))
