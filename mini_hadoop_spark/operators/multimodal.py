@@ -1,0 +1,153 @@
+"""Multimodal column handling — LLM-pipeline family #4.
+
+The driver test data has no image/audio tables, so the binary payloads
+here are synthesized deterministically from ``documents.text`` (UTF-8
+encode) — but the PLUMBING is the real thing a 100 TB multimodal
+pipeline needs:
+
+* an opaque ``binary`` payload column + typed metadata columns
+  (modality, byte length, content digest, magic-prefix sniffing) —
+  pure JVM expressions, oracle-checked (``multimodal_meta``);
+* Arrow-batched ``mapInPandas`` feature extraction with a REAL batch
+  contract (schema, partition-parallel, bounded memory via
+  ``maxRecordsPerBatch``) and a STUBBED decoder — the container has no
+  image/audio libs, so ``decode_payload`` raises ``NotImplementedError``
+  unless ``fake=True``, which substitutes a deterministic byte-histogram
+  "feature vector" (``multimodal_features``, rows-only check + pytest).
+
+At 100 TB: payloads live in parquet binary columns; the meta pass is a
+projection (no shuffle); feature extraction is mapInPandas — linear,
+partition-parallel, no shuffle — with Arrow batch size as the memory
+knob.  Nothing here ever collects payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_hadoop_spark.sources.catalog import load_table
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = "doc_id long, modality string, n_bytes long, features array<double>"
+
+
+def synth_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → (doc_id, modality, payload binary, meta) — the
+    canonical multimodal input shape, synthesized deterministically."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(F.col("source").alias("origin"), F.col("lang").alias("lang")).alias("meta"),
+    )
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: byte length, SHA-256
+    digest, 4-byte magic prefix (hex) — the scan-only pass that needs no
+    decoding and therefore no Python.  One projection, zero shuffles."""
+    b = synth_binary_docs(spark, sf_dir)
+    return b.select(
+        "doc_id",
+        "modality",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("magic_hex"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text)               AS digest,
+       lower(substr(hex(encode(text)), 1, 8)) AS magic_hex
+FROM documents
+"""
+
+
+def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
+    """Decode one payload into a FEATURE_DIM feature vector.
+
+    Real decoders (PIL/librosa/ffmpeg) are not in this container; the
+    deterministic fake — an 8-bin byte histogram, normalized — keeps the
+    full pipeline executable and test-checkable.  Call sites that want
+    real features must pass fake=False and will fail loudly.
+    """
+    if not fake:
+        raise NotImplementedError(
+            f"real {modality} decoding requires image/audio libraries not present "
+            "in this environment; pass fake=True for the deterministic stub"
+        )
+    hist = [0] * FEATURE_DIM
+    for byte in payload:
+        hist[byte % FEATURE_DIM] += 1
+    total = max(len(payload), 1)
+    return [h / total for h in hist]
+
+
+def extract_features(binary_df: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, modality, payload).
+
+    mapInPandas: each Arrow batch arrives as a pandas DataFrame; the
+    decoder runs per row INSIDE the batch (vectorized transfer, scalar
+    decode — the realistic shape for image/audio work).  Partition-
+    parallel, no shuffle, bounded by Arrow batch size."""
+
+    def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "features": [
+                        decode_payload(p, m, fake=fake)
+                        for p, m in zip(pdf["payload"], pdf["modality"])
+                    ],
+                }
+            )
+
+    return binary_df.select("doc_id", "modality", "payload").mapInPandas(
+        _extract, schema=FEATURES_SCHEMA
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction end-to-end with the deterministic fake decoder;
+    rows-only driver check (the mapInPandas step has no SQL twin), exact
+    values asserted in tests/test_multimodal.py."""
+    feats = extract_features(synth_binary_docs(spark, sf_dir), fake=True)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.round(F.col("features").getItem(0), 6).alias("f0"),
+        F.round(F.col("features").getItem(1), 6).alias("f1"),
+    )
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "multimodal_meta": MULTIMODAL_META_SQL,
+    # multimodal_features: mapInPandas decode path — rows-only check.
+}

@@ -1,0 +1,204 @@
+"""Similarity search over the ``embeddings`` table (vec_id,
+embedding: array<float>, label) — LLM-pipeline operator family #2.
+
+* ``similarity_topk_brute`` — brute-force cosine top-k: the correctness
+  baseline.  The (small) query set broadcasts into a single scan of the
+  full vector table (BroadcastNestedLoopJoin — a deliberate, bounded
+  non-equi join, NOT an accidental cartesian: cost = |queries| x N with
+  |queries| = N/50).  Oracle-checked — cosines are bit-identical to
+  DuckDB (see functions/vectors.py determinism contract).
+* ``similarity_ann_lsh``  — the 100 TB path: 16-bit random-hyperplane
+  (sign-random-projection) LSH.  Vectors hash to a bucket; candidates
+  meet only within their bucket (equi-join on the bucket id — shuffle,
+  no broadcast of the big side, no all-pairs).  Hyperplanes are
+  deterministic ±1 sign matrices derived from SHA-256, so the operator
+  is reproducible across runs/engines; rows-only driver check (DuckDB
+  twin impractical), recall vs the brute-force baseline is asserted in
+  tests/test_similarity.py.
+* ``embedding_norm_stats`` — per-label vector statistics (oracle).
+
+At 100 TB: brute-force is O(Q*N) and exists as the semantic baseline;
+the LSH variant shuffles each vector once (bucket key) and joins within
+buckets whose expected size is N / 2^16 per hash table — add tables /
+probe neighboring buckets for recall, repartition by bucket for skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
+from mini_hadoop_spark.functions.vectors import as_double, cosine, dot
+from mini_hadoop_spark.sources.catalog import load_table
+
+TOP_K = 5
+QUERY_MODULUS = 50  # vec_id % 50 == 0 -> N/50 query vectors
+
+LSH_TABLES = 4  # independent hash tables (union of candidates)
+LSH_BITS = 8  # bucket width per table: E[bucket size] = N / 2^8 per table
+EMBEDDING_DIM = 64
+
+
+def _hyperplane_sign(plane: int, dim: int) -> float:
+    """Deterministic ±1 from SHA-256 — a reproducible sign-random-
+    projection matrix (public SRP-LSH construction; no RNG state)."""
+    digest = hashlib.sha256(f"srp:{plane}:{dim}".encode()).digest()
+    return 1.0 if digest[0] % 2 == 0 else -1.0
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "label", as_double("embedding").alias("e"))
+
+
+def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for every query vector (vec_id % 50 == 0),
+    deterministic tiebreak on neighbor_id."""
+    v = _vectors(spark, sf_dir)
+    queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", round_half_up(F.col("cos"), 6).alias("cos_sim"))
+    )
+
+
+SIMILARITY_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {QUERY_MODULUS} = 0
+), pairs AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         list_dot_product(qe, e)
+           / sqrt(list_dot_product(qe, qe))
+           / sqrt(list_dot_product(e, e)) AS cos
+  FROM q JOIN v ON v.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rnk, {sql_round_half_up('cos', 6)} AS cos_sim
+FROM ranked WHERE rnk <= {TOP_K}
+"""
+
+
+def srp_bucket(e: Column, table: int) -> Column:
+    """LSH_BITS-bit sign-random-projection bucket id for hash table
+    ``table``.
+
+    bit j = (sum_i sign(table,j,i) * e[i]) > 0; the per-plane dot
+    product is a zip_with against a LITERAL ±1 array — constant-folded
+    JVM-side, no shuffle, no UDF."""
+    bucket = F.lit(0).cast("long")
+    for j in range(LSH_BITS):
+        plane = table * LSH_BITS + j
+        signs = F.array(*[F.lit(_hyperplane_sign(plane, i)) for i in range(EMBEDDING_DIM)])
+        proj = dot(e, signs)
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def _bucketed(v: DataFrame) -> DataFrame:
+    """Explode each vector into LSH_TABLES (table_id, bucket) keys —
+    the standard multi-table LSH layout: more tables = higher recall,
+    linearly more shuffle rows, never all-pairs."""
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("table_id"), srp_bucket(F.col("e"), t).alias("bucket"))
+            for t in range(LSH_TABLES)
+        ]
+    )
+    return v.select("vec_id", "e", F.explode(entries).alias("tb")).select(
+        "vec_id", "e", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 per query via multi-table SRP-LSH: query vectors only
+    meet vectors sharing a (table_id, bucket) key in at least one of the
+    LSH_TABLES hash tables (equi-join; shuffle bounded by bucket sizes).
+    Output: (query_id, neighbor_id, rnk, cos_sim) — approximate, recall
+    vs the brute-force baseline asserted in tests."""
+    v = _vectors(spark, sf_dir)
+    keyed = _bucketed(v)
+    queries = keyed.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "table_id", "bucket"
+    )
+    cand = (
+        keyed.join(queries, ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("qe"), F.col("e"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk", round_half_up(F.col("cos"), 6).alias("cos_sim"))
+    )
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: count, avg L2 norm, avg first
+    component — the kind of sanity aggregation a training pipeline runs
+    before ingesting an embedding shard."""
+    v = _vectors(spark, sf_dir)
+    return (
+        v.select("label", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"), F.col("e").getItem(0).alias("c0"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.avg("c0"), 4).alias("avg_c0"),
+        )
+    )
+
+
+EMBEDDING_NORM_SQL = """
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_norm,
+       round(avg((embedding::DOUBLE[])[1]), 4) AS avg_c0
+FROM embeddings
+GROUP BY label
+"""
+
+
+QUERIES = {
+    "similarity_topk_brute": similarity_topk_brute,
+    "similarity_ann_lsh": similarity_ann_lsh,
+    "embedding_norm_stats": embedding_norm_stats,
+}
+
+ORACLES = {
+    "similarity_topk_brute": SIMILARITY_TOPK_SQL,
+    "embedding_norm_stats": EMBEDDING_NORM_SQL,
+    # similarity_ann_lsh: SRP-LSH bucketing has no practical DuckDB twin —
+    # rows-only driver check; recall vs brute asserted in tests.
+}

@@ -1,0 +1,341 @@
+"""Text-analysis operators over ``documents`` — LLM-pipeline family #3.
+
+* ``text_token_stats``   — token counting: whitespace tokens, BPE-ish
+                           regex tokens, avg token length (oracle).
+* ``text_quality_score`` — quality heuristics: stopword ratio, punct
+                           ratio, digit ratio + a composite score —
+                           the classic pre-training quality filter
+                           (oracle).
+* ``lang_id_ngram``      — language ID by marker-token profiles + CJK
+                           codepoint detection (oracle).  NOTE: the
+                           synthetic corpus draws every language's text
+                           from one shared English-ish vocabulary, so
+                           predictions mostly disagree with the ``lang``
+                           label; the operator is graded on determinism
+                           and plan shape, not on synthetic-label
+                           accuracy.
+* ``tfidf_top_terms``    — top-3 terms per document by TF-IDF with a
+                           RATIONAL idf ((N - df + .5)/(df + .5),
+                           BM25-style) so both engines compute identical
+                           doubles without transcendental functions
+                           (oracle).
+* ``ngram_bigram_freq``  — corpus bigram frequencies (oracle).
+* ``doc_fingerprint``    — md5 fingerprint of whitespace-normalized
+                           text + a 16-bit shard key: the canonical
+                           "normalize then fingerprint" dedup key
+                           (oracle).
+
+All pure Catalyst expressions (regexp/explode/groupBy/window) — the
+whole family is whole-stage-codegen'd and scales like any relational
+query: one hash shuffle per groupBy, no Python, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up, tokens
+from mini_hadoop_spark.sources.catalog import load_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+# symbols — the shape GPT-2-style byte-BPE splits on before merges.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Marker-token profiles for language ID (public frequency lists).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "you", "that", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ich", "ein"),
+    "es": ("el", "la", "que", "los", "una", "es", "por", "como"),
+    "fr": ("le", "les", "des", "une", "est", "dans", "pour", "avec"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, BPE-ish regex
+    tokens, and average ASCII-token length."""
+    d = _docs(spark, sf_dir)
+    ws_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\s]+"), F.lit(0)))
+    bpe_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    toks = tokens("text")
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    avg_len = F.when(F.size(toks) > 0, total_len / F.size(toks)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        ws_tokens.alias("n_ws_tokens"),
+        bpe_tokens.alias("n_bpe_tokens"),
+        round_half_up(avg_len, 6).alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[^\\s]+'))                      AS n_ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         regexp_extract_all(lower(text), '[a-z0-9]+')                  AS toks
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       {sql_round_half_up("CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) ELSE 0.0 END", 6)} AS avg_token_len
+FROM t
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality heuristics per document.
+
+    ratios are integer-count divisions (bit-identical across engines);
+    the composite score is a fixed linear blend."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
+    score = stop_ratio * 2.0 + (1.0 - punct_ratio) + (1.0 - digit_ratio)
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        round_half_up(stop_ratio, 6).alias("stopword_ratio"),
+        round_half_up(punct_ratio, 6).alias("punct_ratio"),
+        round_half_up(digit_ratio, 6).alias("digit_ratio"),
+        round_half_up(score, 6).alias("quality_score"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+), r AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) * 1.0 / len(toks)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END AS digit_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       {sql_round_half_up('stop_ratio', 6)}  AS stopword_ratio,
+       {sql_round_half_up('punct_ratio', 6)} AS punct_ratio,
+       {sql_round_half_up('digit_ratio', 6)} AS digit_ratio,
+       {sql_round_half_up('stop_ratio * 2.0 + (1.0 - punct_ratio) + (1.0 - digit_ratio)', 6)} AS quality_score
+FROM r
+"""
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID with deterministic argmax.
+
+    CJK codepoints short-circuit to 'zh'; otherwise the language whose
+    marker set matches the most tokens wins, ties broken in fixed order
+    en > de > es > fr; all-zero scores -> 'und'."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+
+    def _marker_score(markers: tuple[str, ...]):
+        # closure factory: a default-arg lambda would have arity 2 and be
+        # misread by F.filter as an (element, index) lambda
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: _marker_score(markers) for lang, markers in LANG_MARKERS.items()}
+    zh_chars = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", ""))
+    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when(zh_chars > 0, "zh")
+        .when(F.greatest(en, de, es, fr) == 0, "und")
+        .when(en >= F.greatest(de, es, fr), "en")
+        .when(de >= F.greatest(es, fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        en.alias("score_en"),
+        de.alias("score_de"),
+        es.alias("score_es"),
+        fr.alias("score_fr"),
+    )
+
+
+def _marker_in(lang: str) -> str:
+    return ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS zh_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, zh_chars,
+         len(list_filter(toks, x -> x IN ({_marker_in('en')}))) AS score_en,
+         len(list_filter(toks, x -> x IN ({_marker_in('de')}))) AS score_de,
+         len(list_filter(toks, x -> x IN ({_marker_in('es')}))) AS score_es,
+         len(list_filter(toks, x -> x IN ({_marker_in('fr')}))) AS score_fr
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN zh_chars > 0 THEN 'zh'
+            WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+            WHEN score_en >= greatest(score_de, score_es, score_fr) THEN 'en'
+            WHEN score_de >= greatest(score_es, score_fr) THEN 'de'
+            WHEN score_es >= score_fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       score_en, score_de, score_es, score_fr
+FROM s
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by TF-IDF.
+
+    idf = (N - df + 0.5) / (df + 0.5) — a BM25-style rational idf chosen
+    over log() so both engines run the identical IEEE op sequence (libm
+    log differs in the last ulp across implementations).  Deterministic
+    rank tiebreak on the term string."""
+    d = _docs(spark, sf_dir)
+    term_counts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = term_counts.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        term_counts.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", round_half_up(F.col("score"), 6).alias("tfidf"))
+    )
+
+
+TFIDF_SQL = f"""
+WITH tc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tc GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tc.doc_id, tc.term,
+         tc.tf * (n.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) AS score
+  FROM tc JOIN dfc ON tc.term = dfc.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, rnk, {sql_round_half_up('score', 6)} AS tfidf
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def ngram_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies (count >= 10): one explode + one
+    hash aggregate; at 100 TB the map-side partial agg keeps the shuffle
+    proportional to the vocabulary, not the corpus."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
+NGRAM_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), bg AS (
+  SELECT t[i] || ' ' || t[i+1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) g
+)
+SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram HAVING count(*) >= 10
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical fingerprint: md5 of whitespace-normalized lowercase
+    text, plus a 16-bit shard key from the digest prefix — the standard
+    normalize→fingerprint→shard dedup key for exact-dup removal at
+    scale (the shard key is what you'd bucket/partition by)."""
+    d = _docs(spark, sf_dir)
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    digest = F.md5(F.encode(normalized, "UTF-8"))
+    return d.select(
+        "doc_id",
+        digest.alias("fingerprint"),
+        F.conv(F.substring(digest, 1, 4), 16, 10).cast("long").alias("shard"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       (('0x' || substr(fingerprint, 1, 4))::INTEGER)::BIGINT AS shard
+FROM t
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality_score": text_quality_score,
+    "lang_id_ngram": lang_id_ngram,
+    "tfidf_top_terms": tfidf_top_terms,
+    "ngram_bigram_freq": ngram_bigram_freq,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": TEXT_TOKEN_STATS_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "lang_id_ngram": LANG_ID_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "ngram_bigram_freq": NGRAM_BIGRAM_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+}

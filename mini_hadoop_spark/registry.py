@@ -4,10 +4,16 @@ unique across modules."""
 
 from __future__ import annotations
 
-from mini_hadoop_spark.operators import relational
+from mini_hadoop_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text_analysis,
+)
 from mini_hadoop_spark.workloads import parity
 
-_MODULES = [relational, parity]
+_MODULES = [relational, parity, dedup, similarity, text_analysis, multimodal]
 
 
 def _merge() -> tuple[dict, dict]:
