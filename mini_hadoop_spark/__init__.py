@@ -11,11 +11,21 @@ multimodal columns) required by the driver contract (BASELINE.json
 
 Layout:
   session     — tuned SparkSession bootstrap
-  sources     — table catalog + DFS-equivalent store/retrieve/delete + sinks
-  engine      — generic MapReduce surface (JobSpec / run_job) on RDDs
-  workloads   — WordCount + PageRank as DataFrame queries (reference parity)
-  operators   — relational battery + dedup/similarity/text/multimodal
-  streaming   — Structured Streaming windowed aggregation / sessionization
+  sources     — table catalog (catalog), DFS-equivalent store/retrieve/
+                delete (dfs.FileStore), JSON-object + headered-TSV sinks
+                (sinks)
+  engine      — generic MapReduce surface (mapreduce.JobSpec / run_job),
+                canned reference jobs (examples), StatusTracker-backed
+                job/cluster info (info)
+  functions   — reusable Catalyst expression builders (text, vectors)
+  workloads   — WordCount + PageRank as DataFrame queries (reference
+                parity) + the queries()/oracle pairs (parity)
+  operators   — relational battery (relational), dedup (exact/Jaccard/
+                MinHash-LSH/SimHash), similarity search (brute + SRP-
+                LSH), text analysis, multimodal binary handling, event
+                windowing/sessionization (events)
+  streaming   — Structured Streaming watermarked windowed aggregation
+                (windowed)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,251 @@
+"""Generic MapReduce shim: ``JobSpec`` + ``run_job``.
+
+Reference parity (citations into /root/reference):
+
+* Spec shape + validation matrix — lib/mini_hadoop/models/job_spec.ex:
+  allowed keys (:72-96), required keys (:98-110), per-key type checks
+  (:112-151), arity-1 function normalization (:161-188), input-file
+  existence (:61-69).  Error messages mirror the reference's wording so
+  the ported job_spec_test.exs assertions carry over.
+* Reduce calling convention — the ENGINE calls the reducer once per
+  key-range partition with a ``%{key => [values]}`` map
+  (task_executor.ex:93-132), but the README-documented public contract
+  (README.md:584-585) and the example unit tests
+  (word_count_test.exs:41-64) are per-key: ``reduce_fn(key, values,
+  context)``.  We expose the per-key contract — it is the documented
+  one, and maps 1:1 onto ``groupByKey().map`` (SURVEY.md §7.3).
+* Whole-block mappers — the reference maps 8 MB blocks, not lines
+  (task_executor.ex:141), so mappers amortize per-block setup.  Here a
+  map task receives ONE newline-joined string per Spark partition
+  (``mapPartitions``), i.e. the ``split_on_newline: true`` block
+  semantics (file_operation.ex:159-183) with Spark-sized splits.
+* Contexts — ``map_context``/``reduce_context`` dicts ride to executors
+  as broadcast variables (the reference passes them as closure args,
+  job_spec.ex:10-20; PageRank's prior-ranks side-file becomes exactly
+  this broadcast).
+* ``sort_result_opt`` — {:key|:value, :asc|:desc} (job_runner.ex:
+  314-329) as a DISTRIBUTED sort with a deterministic secondary key
+  (the reference's value-sort leaves ties nondeterministic; ours does
+  not — SURVEY.md §7.3).
+* Failure semantics — deliberately NOT ported: the reference silently
+  drops failed tasks from results (job_runner.ex:221-231); Spark
+  retries 4x then fails the job, which is strictly better (SURVEY §4).
+
+Scale posture: map = narrow ``mapPartitions`` (no shuffle); the only
+shuffle is the ``groupByKey`` on the user's keys; output lands as a
+typed DataFrame.  ``groupByKey`` (not ``reduceByKey``) is semantically
+required because the user reducer sees the full value list; callers
+with associative reducers should set ``combiner=`` to get map-side
+combining — the upgrade path the reference lacks entirely (its
+"map-side grouping", task_result_storage.ex:291-304, groups but never
+combines).
+"""
+
+from __future__ import annotations
+
+import inspect
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+VALID_SORT_OPTS = {
+    ("key", "asc"),
+    ("key", "desc"),
+    ("value", "asc"),
+    ("value", "desc"),
+}
+
+_ALLOWED_KEYS = (
+    "job_name",
+    "input_files",
+    "output_dir",
+    "map_function",
+    "reduce_function",
+    "map_context",
+    "reduce_context",
+    "sort_result_opt",
+)
+_REQUIRED_KEYS = ("job_name", "input_files", "map_function", "reduce_function")
+
+
+class JobSpecError(ValueError):
+    """Invalid job specification (mirrors job_spec.ex {:error, reason})."""
+
+
+def _normalize_fn(fn: Callable, kind: str) -> Callable:
+    """Arity normalization per job_spec.ex:161-188: a 1-arg function is
+    wrapped to accept-and-ignore the context; 2-arg (map: (block, ctx);
+    reduce is handled separately with 3 args) passes through."""
+    try:
+        arity = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):  # builtins without signatures
+        raise JobSpecError(f"{kind} function has invalid signature")
+    if kind == "map":
+        if arity == 1:
+            return lambda block, _ctx: fn(block)
+        if arity == 2:
+            return fn
+        raise JobSpecError(f"map function has invalid arity: {arity}. Must be 1 or 2.")
+    # reduce: per-key README contract (key, values[, context])
+    if arity == 2:
+        return lambda key, values, _ctx: fn(key, values)
+    if arity == 3:
+        return fn
+    raise JobSpecError(f"reduce function has invalid arity: {arity}. Must be 2 or 3.")
+
+
+@dataclass
+class JobSpec:
+    """Static job plan — the logical-plan analogue (SURVEY.md §3.1 IR)."""
+
+    job_name: str
+    input_files: list[str]
+    map_function: Callable
+    reduce_function: Callable
+    output_dir: str | None = None
+    map_context: dict = field(default_factory=dict)
+    reduce_context: dict = field(default_factory=dict)
+    sort_result_opt: tuple[str, str] | None = None
+    id: str = field(default_factory=lambda: f"job_{uuid.uuid4().hex[:4]}")
+
+    @classmethod
+    def create(cls, check_files: bool = True, **attrs: Any) -> "JobSpec":
+        """Validated construction mirroring job_spec.ex:35-51.
+
+        Raises :class:`JobSpecError` with reference-parity messages."""
+        invalid = [k for k in attrs if k not in _ALLOWED_KEYS]
+        if invalid:
+            raise JobSpecError(
+                f"Invalid keys: {', '.join(invalid)}. Allowed keys: {', '.join(_ALLOWED_KEYS)}"
+            )
+        missing = [k for k in _REQUIRED_KEYS if k not in attrs]
+        if missing:
+            raise JobSpecError(f"Missing required keys: {', '.join(missing)}")
+
+        if not isinstance(attrs["job_name"], str):
+            raise JobSpecError(f"job_name must be a string, got: {attrs['job_name']!r}")
+        if not isinstance(attrs["input_files"], list):
+            raise JobSpecError(f"input_files must be a list, got: {attrs['input_files']!r}")
+        if "output_dir" in attrs and not isinstance(attrs["output_dir"], str):
+            raise JobSpecError(f"output_dir must be a string, got: {attrs['output_dir']!r}")
+        for key in ("map_function", "reduce_function"):
+            if not callable(attrs[key]):
+                raise JobSpecError(f"{key} must be a function, got: {attrs[key]!r}")
+        for key in ("map_context", "reduce_context"):
+            if key in attrs and not isinstance(attrs[key], dict):
+                raise JobSpecError(f"{key} must be a map, got: {attrs[key]!r}")
+        sort_opt = attrs.get("sort_result_opt")
+        if sort_opt is not None:
+            if not isinstance(sort_opt, tuple):
+                raise JobSpecError(f"sort_result_opt must be a tuple, got: {sort_opt!r}")
+            if tuple(sort_opt) not in VALID_SORT_OPTS:
+                raise JobSpecError(
+                    f"sort_result_opt must be one of {sorted(VALID_SORT_OPTS)}, got: {sort_opt!r}"
+                )
+
+        if check_files:
+            import os
+
+            missing_files = [p for p in attrs["input_files"] if not os.path.exists(p)]
+            if missing_files:
+                raise JobSpecError(f"Input files do not exist: {', '.join(missing_files)}")
+
+        attrs["map_function"] = _normalize_fn(attrs["map_function"], "map")
+        attrs["reduce_function"] = _normalize_fn(attrs["reduce_function"], "reduce")
+        return cls(**attrs)
+
+
+@dataclass
+class JobResult:
+    """Completed-job handle: the typed pair DataFrame plus metadata —
+    the JobExecution analogue (job_execution.ex:10-49), with Spark's
+    StatusTracker standing in for the reference's progress counters."""
+
+    job_id: str
+    job_name: str
+    pairs: DataFrame  # columns: key, value
+    sort_result_opt: tuple[str, str] | None = None
+
+    def collect_pairs(self) -> list[tuple]:
+        return [(r.key, r.value) for r in self.pairs.collect()]
+
+
+def _validate_pairs(result: Any, kind: str) -> list[tuple]:
+    """Output-shape validation per task_executor.ex:176-211: a list of
+    2-tuples with non-None keys."""
+    if not isinstance(result, (list, tuple)):
+        raise ValueError(f"{kind} function must return a list of (key, value) pairs")
+    for item in result:
+        if not (isinstance(item, tuple) and len(item) == 2):
+            raise ValueError(f"{kind} function returned a non-pair item: {item!r}")
+        if item[0] is None:
+            raise ValueError(f"{kind} function returned a None key")
+    return list(result)
+
+
+def run_job(
+    spark: SparkSession,
+    spec: JobSpec,
+    combiner: Callable[[Any, Any], Any] | None = None,
+) -> JobResult:
+    """Execute a MapReduce job (submit_job analogue, mini_hadoop.ex:18-20).
+
+    map phase   : one call per partition with the newline-joined block
+                  (whole-block contract) -> validated [(k, v)].
+    shuffle     : Spark hash shuffle on the key (replaces SH1-SH3
+                  sampling/ranging/pulling, all delegated — SURVEY §4).
+    reduce phase: per-key ``reduce_fn(key, values, context)`` after
+                  groupByKey, or ``combiner`` + reduceByKey when the
+                  caller declares associativity (map-side combine).
+    """
+    sc = spark.sparkContext
+    map_fn = spec.map_function
+    reduce_fn = spec.reduce_function
+    bc_map_ctx = sc.broadcast(dict(spec.map_context))
+    bc_reduce_ctx = sc.broadcast(dict(spec.reduce_context))
+
+    rdd = sc.textFile(",".join(spec.input_files))
+
+    def map_partition(lines):
+        block = "\n".join(lines)
+        if not block:
+            return iter(())
+        return iter(_validate_pairs(map_fn(block, bc_map_ctx.value), "map"))
+
+    mapped = rdd.mapPartitions(map_partition)
+
+    if combiner is not None:
+        reduced = mapped.reduceByKey(combiner).map(
+            lambda kv: (kv[0], reduce_fn(kv[0], [kv[1]], bc_reduce_ctx.value))
+        )
+    else:
+        reduced = mapped.groupByKey().map(
+            lambda kv: (kv[0], reduce_fn(kv[0], list(kv[1]), bc_reduce_ctx.value))
+        )
+
+    if spec.sort_result_opt is not None:
+        by, direction = spec.sort_result_opt
+        asc = direction == "asc"
+        if by == "key":
+            reduced = reduced.sortBy(lambda kv: kv[0], ascending=asc)
+        else:
+            # deterministic secondary key on ties (the reference's plain
+            # Enum.sort_by leaves value-ties nondeterministic)
+            reduced = reduced.sortBy(lambda kv: (kv[1], kv[0]), ascending=asc)
+
+    if reduced.isEmpty():
+        # empty input -> empty result (schema can't be inferred from an
+        # empty RDD; the reference likewise emits an empty output file)
+        pairs_df = spark.createDataFrame([], "key string, value string")
+    else:
+        pairs_df = spark.createDataFrame(reduced, ["key", "value"])
+
+    return JobResult(
+        job_id=spec.id,
+        job_name=spec.job_name,
+        pairs=pairs_df,
+        sort_result_opt=spec.sort_result_opt,
+    )

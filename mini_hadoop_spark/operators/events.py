@@ -1,0 +1,129 @@
+"""Event-stream batch queries over the ``events`` table — time-window
+aggregation and sessionization, the batch twins of the streaming
+operators (streaming/windowed.py runs the SAME hourly-window plan
+incrementally).
+
+The reference has no time/window concepts at all (SURVEY.md §2.3); the
+``ts`` column is the TIMESTAMP(NANOS) parquet that round 1 could not
+even read (catalog.load_table converts it to microseconds exactly like
+DuckDB, so both engines see identical timestamps).
+
+Scale notes: the hourly rollup is one hash shuffle on (hour, type) —
+low cardinality, partial-agg map-side.  Sessionization is the classic
+gaps-and-islands: one shuffle on user_id, two window passes over each
+user's events; per-user partitions are bounded by per-user event counts
+(skewed power users -> AQE skew handling / salting if needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mini_hadoop_spark.sources.catalog import load_table
+
+SESSION_GAP_SEC = 1800  # 30 min inactivity closes a session
+
+
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value sum —
+    the batch twin of streaming.windowed.windowed_event_counts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a 30-minute silence starts a new
+    session; emits per-session stats.  Integer microsecond arithmetic
+    end-to-end (unix_micros / epoch_us) so both engines agree exactly."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    by_time = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_flag = (
+        F.col("ts_us") - F.lag("ts_us").over(by_time) > SESSION_GAP_SEC * 1_000_000
+    ).cast("int")
+    with_session = e.withColumn(
+        "session_seq",
+        F.sum(F.coalesce(gap_flag, F.lit(0))).over(
+            by_time.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max("ts_us") - F.min("ts_us")) / F.lit(1_000_000)).alias("duration_sec"),
+        )
+        .select("user_id", "session_seq", "n_events", F.round("duration_sec", 6).alias("duration_sec"))
+    )
+
+
+EVENTS_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                   > {SESSION_GAP_SEC} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sessions AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       round((max(ts_us) - min(ts_us)) / 1000000.0, 6) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value distribution stats (the monitoring rollup)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+    )
+
+
+EVENTS_TYPE_STATS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS avg_v
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "events_hourly_window": events_hourly_window,
+    "events_sessionization": events_sessionization,
+    "events_type_value_stats": events_type_value_stats,
+}
+
+ORACLES = {
+    "events_hourly_window": EVENTS_HOURLY_SQL,
+    "events_sessionization": EVENTS_SESSION_SQL,
+    "events_type_value_stats": EVENTS_TYPE_STATS_SQL,
+}

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from mini_hadoop_spark.operators import (
     dedup,
+    events,
     multimodal,
     relational,
     similarity,
@@ -13,7 +14,7 @@ from mini_hadoop_spark.operators import (
 )
 from mini_hadoop_spark.workloads import parity
 
-_MODULES = [relational, parity, dedup, similarity, text_analysis, multimodal]
+_MODULES = [relational, parity, dedup, similarity, text_analysis, multimodal, events]
 
 
 def _merge() -> tuple[dict, dict]:

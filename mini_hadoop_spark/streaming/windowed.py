@@ -1,0 +1,87 @@
+"""Structured Streaming: watermarked tumbling-window aggregation over
+the events stream, plus the incremental file-source plumbing.
+
+The reference has NO streaming (SURVEY.md §2.3); this is extension
+surface.  Design notes:
+
+* Source: parquet file stream (``readStream``) — each newly-arriving
+  file becomes a micro-batch; ``availableNow`` drains the backlog and
+  stops, which is also how the tests drive it deterministically.
+* Event time + watermark: ``ts`` with a 1-hour watermark bounds state:
+  windows older than (max event time - 1h) are finalized and evicted,
+  so state size is O(active windows), not O(stream length) — the thing
+  that makes this viable on an unbounded 100 TB/day stream.
+* The aggregation (tumbling 1h window x event_type, count + sum) is
+  EXACTLY the batch query ``events_hourly_window`` in
+  operators/events.py — the streaming plan is the incremental-
+  maintenance version of that oracle-checked batch plan (same schema,
+  same semantics on a closed input).
+* Sink: append-mode memory sink in tests; parquet/Kafka in production
+  (the sink choice is orthogonal to the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    (The driver's events.parquet stores ts as TIMESTAMP(NANOS); a
+    streaming source needs the nanosAsLong conf just like the batch
+    catalog, then the same exact micros conversion.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_schema = StructType(
+        [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_STREAM_SCHEMA]
+    )
+    raw = spark.readStream.schema(nanos_schema).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregation: (window_start,
+    event_type, n_events, total_value).  Works on a stream (incremental
+    state with eviction) or a batch frame (plain window agg) — same
+    plan shape as the oracle-checked events_hourly_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, table_name: str, timeout_sec: int = 120
+) -> None:
+    """Drain the stream with availableNow into an in-memory table —
+    deterministic end-to-end execution for tests/demos (complete mode:
+    watermarked aggregation state is emitted in full)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

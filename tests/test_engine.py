@@ -1,0 +1,304 @@
+"""Generic MapReduce shim tests — ports the reference's test corpus:
+
+* job_spec_test.exs (1-176): validation matrix — required keys, invalid
+  keys, type checks, arity normalization, sort_result_opt validation.
+* word_count_test.exs (41-89): per-key reducer semantics + full
+  map→shuffle→reduce integration.
+* page_rank_test.exs (92-129): contribution emission, damping default,
+  sum-reducer, small-graph integration.
+
+Plus shim-vs-DataFrame equivalence (the shim must compute exactly what
+the Catalyst twin computes), sink round-trips, FileStore round-trip,
+and the StatusTracker info wrappers.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mini_hadoop_spark.engine.mapreduce import JobSpec, JobSpecError, run_job
+
+
+def _noop_map(block):
+    return [(block[:1] or "x", 1)]
+
+
+def _noop_reduce(key, values):
+    return len(values)
+
+
+# ---------------------------------------------------------------------------
+# JobSpec validation matrix (job_spec_test.exs)
+# ---------------------------------------------------------------------------
+
+def test_jobspec_missing_required_keys():
+    with pytest.raises(JobSpecError, match="Missing required keys"):
+        JobSpec.create(job_name="x", input_files=[], check_files=False)
+
+
+def test_jobspec_invalid_keys_rejected():
+    with pytest.raises(JobSpecError, match="Invalid keys: bogus"):
+        JobSpec.create(
+            job_name="x", input_files=[], map_function=_noop_map,
+            reduce_function=_noop_reduce, bogus=1, check_files=False,
+        )
+
+
+@pytest.mark.parametrize(
+    "field,value,msg",
+    [
+        ("job_name", 42, "job_name must be a string"),
+        ("input_files", "not-a-list", "input_files must be a list"),
+        ("map_function", "not-fn", "map_function must be a function"),
+        ("reduce_function", 3, "reduce_function must be a function"),
+        ("map_context", [1], "map_context must be a map"),
+        ("sort_result_opt", "key", "sort_result_opt must be a tuple"),
+        ("sort_result_opt", ("key", "sideways"), "sort_result_opt must be one of"),
+    ],
+)
+def test_jobspec_type_validation(field, value, msg):
+    attrs = dict(
+        job_name="x", input_files=[], map_function=_noop_map,
+        reduce_function=_noop_reduce,
+    )
+    attrs[field] = value
+    with pytest.raises(JobSpecError, match=msg):
+        JobSpec.create(check_files=False, **attrs)
+
+
+def test_jobspec_missing_input_file():
+    with pytest.raises(JobSpecError, match="Input files do not exist"):
+        JobSpec.create(
+            job_name="x", input_files=["/nonexistent/nope.txt"],
+            map_function=_noop_map, reduce_function=_noop_reduce,
+        )
+
+
+def test_jobspec_arity_normalization():
+    """1-arg map fn and 2-arg reduce fn are wrapped to take context
+    (job_spec.ex:161-188)."""
+    spec = JobSpec.create(
+        job_name="x", input_files=[], map_function=_noop_map,
+        reduce_function=_noop_reduce, check_files=False,
+    )
+    assert spec.map_function("hello", {"ignored": True}) == [("h", 1)]
+    assert spec.reduce_function("k", [1, 2, 3], {"ignored": True}) == 3
+
+
+def test_jobspec_bad_arity_rejected():
+    with pytest.raises(JobSpecError, match="map function has invalid arity"):
+        JobSpec.create(
+            job_name="x", input_files=[],
+            map_function=lambda a, b, c: [], reduce_function=_noop_reduce,
+            check_files=False,
+        )
+
+
+# ---------------------------------------------------------------------------
+# WordCount through the shim (word_count_test.exs semantics)
+# ---------------------------------------------------------------------------
+
+def test_wordcount_reducer_per_key():
+    """word_count_test.exs:41-46: {'word', [1,1,1,1]} -> 4; non-integer
+    values are filtered (word_count.ex:133-147)."""
+    from mini_hadoop_spark.engine.examples import word_count_reducer
+
+    assert word_count_reducer("word", [1, 1, 1, 1], {}) == 4
+    assert word_count_reducer("word", [1, "junk", 2], {}) == 3
+
+
+def test_wordcount_mapper_case_fold_and_punct():
+    """word_count_test.exs case folding + punctuation stripping."""
+    from mini_hadoop_spark.engine.examples import word_count_mapper
+
+    out = dict(word_count_mapper("The THE the, cat! cat?", {}))
+    assert out == {"the": 3, "cat": 2}
+
+
+def test_wordcount_mapper_empty_block():
+    from mini_hadoop_spark.engine.examples import word_count_mapper
+
+    assert word_count_mapper("", {}) == []
+
+
+def test_wordcount_shim_matches_dataframe(spark, tmp_path):
+    """The shim's WordCount must equal the Catalyst WordCount on the
+    same text (integration, word_count_test.exs:66-89 style)."""
+    from mini_hadoop_spark.engine.examples import word_count_submit_job
+    from mini_hadoop_spark.workloads.wordcount import word_count
+
+    text = "spark shuffles the hash join\nthe join the shuffle\n\nhash HASH"
+    p = tmp_path / "input.txt"
+    p.write_text(text)
+
+    result = word_count_submit_job(spark, [str(p)], sort_desc_by_count=False)
+    shim = dict(result.collect_pairs())
+
+    docs = spark.createDataFrame([(text,)], ["text"])
+    df = {r.word: r.cnt for r in word_count(docs).collect()}
+    assert shim == df
+
+
+def test_wordcount_shim_sorted_output(spark, tmp_path):
+    from mini_hadoop_spark.engine.examples import word_count_submit_job
+
+    p = tmp_path / "input.txt"
+    p.write_text("b b b a a c")
+    result = word_count_submit_job(spark, [str(p)], sort_desc_by_count=True)
+    pairs = result.collect_pairs()
+    counts = [v for _, v in pairs]
+    assert counts == sorted(counts, reverse=True)
+    assert pairs[0] == ("b", 3)
+
+
+# ---------------------------------------------------------------------------
+# PageRank through the shim (page_rank_test.exs semantics)
+# ---------------------------------------------------------------------------
+
+GRAPH = "a\tb c\nb\tc\nc\t\n"  # a->b, a->c, b->c; c dangling
+
+
+def test_pagerank_mapper_contributions():
+    """page_rank_test.exs:92-129: baseline per source line + damped
+    contribution per target; dangling only the baseline; rank default
+    1.0 (page_rank.ex:56)."""
+    from mini_hadoop_spark.engine.examples import pagerank_mapper
+
+    out = pagerank_mapper(GRAPH, {"damping": 0.85, "total_pages": 3, "ranks": {}})
+    baseline = pytest.approx((1.0 - 0.85) / 3)
+    assert ("a", baseline) in out
+    assert ("b", pytest.approx(0.85 / 2)) in out  # from a, deg 2
+    assert ("c", pytest.approx(0.85 / 2)) in out  # from a
+    assert ("c", pytest.approx(0.85 / 1)) in out  # from b, deg 1
+    # dangling c contributes nothing beyond its baseline
+    assert sum(1 for k, _ in out if k == "c") == 3  # baseline + 2 contribs
+
+
+def test_pagerank_shim_matches_dataframe(spark, tmp_path):
+    """Two shim iterations == two DataFrame iterations on the same
+    graph (threading ranks via the context, mini_hadoop.ex:53-73)."""
+    from mini_hadoop_spark.engine.examples import page_rank_iter_submit_job
+    from mini_hadoop_spark.workloads.pagerank import pagerank
+
+    # no dangling SOURCE LINES here: the reference gives an adjacency
+    # line like "c\t" a baseline (page_rank.ex:70-73) but an edge-list
+    # DataFrame cannot represent "source with zero targets" — c stays a
+    # destination-only page in both versions
+    p = tmp_path / "graph.tsv"
+    p.write_text("a\tb c\nb\tc\n")
+
+    it1 = page_rank_iter_submit_job(spark, [str(p)], total_pages=3)
+    ranks1 = dict(it1.collect_pairs())
+    it2 = page_rank_iter_submit_job(spark, [str(p)], ranks=ranks1, total_pages=3)
+    shim = dict(it2.collect_pairs())
+
+    edges = spark.createDataFrame([("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"])
+    df = {r.page: r.rank for r in pagerank(edges, iterations=2, total_pages=3).collect()}
+    assert set(shim) == set(df)
+    for k in df:
+        assert shim[k] == pytest.approx(df[k], rel=1e-12)
+
+
+def test_run_job_empty_input(spark, tmp_path):
+    """Empty input must yield an empty result, not a schema-inference
+    crash (found by an empty-file probe)."""
+    from mini_hadoop_spark.engine.examples import word_count_submit_job
+
+    p = tmp_path / "empty.txt"
+    p.write_text("")
+    result = word_count_submit_job(spark, [str(p)], sort_desc_by_count=False)
+    assert result.collect_pairs() == []
+
+
+# ---------------------------------------------------------------------------
+# Sinks (job_runner.ex:242-323 round trips)
+# ---------------------------------------------------------------------------
+
+def test_write_json_object_roundtrip(spark, tmp_path):
+    from mini_hadoop_spark.sources.sinks import write_json_object
+
+    pairs = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], ["key", "value"])
+    path = str(tmp_path / "out.json")
+    n = write_json_object(pairs, path)
+    assert n == 3
+    with open(path) as f:
+        assert json.load(f) == {"a": 1, "b": 2, "c": 3}
+
+
+def test_write_tsv_headered_unsorted(spark, tmp_path):
+    from mini_hadoop_spark.sources.sinks import write_tsv_headered
+
+    pairs = spark.createDataFrame([("a", 1), ("b", 2)], ["key", "value"])
+    path = str(tmp_path / "out.txt")
+    n = write_tsv_headered(pairs, path)
+    assert n == 2
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("# unsorted - Total: 2 entries")
+    assert len(lines[0]) == 50  # reference's padded header width
+    assert sorted(lines[1:]) == ["a\t1", "b\t2"]
+
+
+def test_write_tsv_headered_sorted_by_value_desc(spark, tmp_path):
+    from mini_hadoop_spark.sources.sinks import write_tsv_headered
+
+    pairs = spark.createDataFrame([("a", 1), ("b", 3), ("c", 2)], ["key", "value"])
+    path = str(tmp_path / "out.txt")
+    write_tsv_headered(pairs, path, sort_result_opt=("value", "desc"))
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("# sorted by value desc - Total: 3 entries")
+    assert lines[1:] == ["b\t3", "c\t2", "a\t1"]
+
+
+# ---------------------------------------------------------------------------
+# FileStore (mini_hadoop.ex:6-16 round trip)
+# ---------------------------------------------------------------------------
+
+def test_filestore_roundtrip(spark, tmp_path):
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "src.txt"
+    content = "line one\nline two\nline three"
+    src.write_text(content)
+
+    assert store.store_file("f1", str(src)) == 3
+    assert store.exists("f1")
+    assert store.list_files() == ["f1"]
+    with pytest.raises(FileExistsError):
+        store.store_file("f1", str(src))
+
+    dest = tmp_path / "dest.txt"
+    assert store.retrieve_file("f1", str(dest)) == 3
+    assert dest.read_text() == content + "\n"
+
+    assert store.delete_file("f1")
+    assert not store.exists("f1")
+    assert store.delete_file("f1") is False
+
+
+# ---------------------------------------------------------------------------
+# Info API (mini_hadoop.ex:75-109)
+# ---------------------------------------------------------------------------
+
+def test_cluster_info_shape(spark):
+    from mini_hadoop_spark.engine.info import cluster_info
+
+    info = cluster_info(spark)
+    assert info["master"].startswith("local[")
+    assert info["default_parallelism"] >= 1
+    assert info["uptime_sec"] >= 0
+
+
+def test_job_info_after_job(spark):
+    from mini_hadoop_spark.engine.info import job_info
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    tracker = spark.sparkContext.statusTracker()
+    ids = tracker.getJobIdsForGroup(None) or []
+    assert ids, "expected at least one tracked job"
+    info = job_info(spark, max(ids))
+    assert info["status"] in ("SUCCEEDED", "RUNNING", "unknown")
+    if info["stages"]:
+        assert info["progress_pct"] >= 0
