@@ -43,6 +43,7 @@ from mini_hadoop_spark.functions.text import (
     sql_round_half_up,
     tokens,
 )
+from mini_hadoop_spark.functions.vectors import cosine
 from mini_hadoop_spark.sources.catalog import load_table
 
 # Near-dup output threshold: sf0.01 has 25 planted near-dup pairs with
@@ -147,13 +148,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     """(doc_id, sig: array<long>) — MinHash signature per document.
 
     One explode is already done (input is (doc_id, shingle)); the
-    signature is a single groupBy with ``num_hashes`` min-aggregates over
-    seeded xxhash64 — map-side partial min makes the shuffle tiny."""
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    signature is a single groupBy with ``num_hashes`` min-aggregates —
+    map-side partial min makes the shuffle tiny.  The variable-length
+    shingle STRING is hashed exactly once (``h0``); the per-function
+    hashes re-mix the resulting fixed-width long, so per-row hash cost is
+    1 string hash + num_hashes long mixes instead of num_hashes string
+    hashes."""
+    based = sh.withColumn("h0", F.xxhash64(F.col("shingle")))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}") for i in range(num_hashes)]
+    wide = based.groupBy("doc_id").agg(*aggs)
     return wide.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -192,7 +195,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # estimate + threshold INSIDE the join stage (deterministic, so equal
+    # across a pair's duplicate bucket collisions); the dedupe then
+    # shuffles only surviving scalar rows, never the signature arrays.
+    est = F.size(
+        F.expr("filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)")
+    ) / F.lit(float(NUM_HASHES))
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -202,23 +211,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            round_half_up(est, 6).alias("est_jaccard"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = F.size(F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)")) / F.lit(
-        float(NUM_HASHES)
-    )
-    return (
-        cand.select("doc_a", "doc_b", round_half_up(est, 6).alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
 def _simhash_column(num_bits: int = SIMHASH_BITS) -> list[Column]:
-    """Per-bit weight aggregates for SimHash over (token, cnt) rows."""
-    h = F.xxhash64(F.col("token"))
+    """Per-bit weight aggregates for SimHash over (token, cnt, h) rows —
+    ``h`` is the precomputed token hash, so the string is hashed once per
+    row, not once per bit."""
+    h = F.col("h")
     return [
         F.sum(
             F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
@@ -235,7 +239,9 @@ def simhash(docs_tokens: DataFrame) -> DataFrame:
     Classic Charikar SimHash: weight per bit = sum(cnt * ±1) by the
     token hash's bit; simhash bit b set iff weight > 0.  One groupBy
     (map-side combine), then a pure-expression bit pack."""
-    wide = docs_tokens.groupBy("doc_id").agg(*_simhash_column())
+    wide = docs_tokens.withColumn("h", F.xxhash64(F.col("token"))).groupBy("doc_id").agg(
+        *_simhash_column()
+    )
     packed = reduce(
         lambda acc, bit: acc.bitwiseOR(
             F.when(F.col(f"w{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
@@ -298,16 +304,156 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DUP_THRESHOLD = 0.95
+GRID_DIMS = 2  # blocking dims; 3^GRID_DIMS probe cells per vector
+PRUNE_DIMS = 8  # scalar-prefilter dims (lossless; safe if dim < PRUNE_DIMS)
+
+
+def embedding_dup_pairs(
+    v: DataFrame, threshold: float = COSINE_DUP_THRESHOLD, grid_dims: int = GRID_DIMS
+) -> DataFrame:
+    """EXACT embedding near-dup pairs (cosine >= threshold) via lossless
+    grid blocking — all-pairs-free with zero false negatives.
+
+    For unit-normalized vectors u, cos(a,b) >= t  ⟺  ||ua-ub|| <= d
+    where d = sqrt(2-2t); then |ua_i - ub_i| <= d for EVERY component i,
+    so a qualifying pair's cells (floor(u_i/d)) differ by at most 1 per
+    blocked dim.  Side A explodes into its 3^grid_dims neighbor cells and
+    equi-joins side B's home cell: a superset of all qualifying pairs by
+    construction, verified with the exact cosine.
+
+    Input: (vec_id, e: array<double>).  Scale: one explode (x3^dims), one
+    equi-join shuffle on the cell key, no cartesian.  Pruning power rises
+    with component spread / more dims; raise ``grid_dims`` (3^k probes)
+    for tighter buckets on clustered corpora.
+    """
+    import itertools
+
+    from mini_hadoop_spark.functions.vectors import dot, norm
+
+    d = float((2.0 - 2.0 * threshold) ** 0.5)
+    # per-vector norm computed ONCE (the per-pair cosine is then a single
+    # fold: dot / na / nb — same IEEE op order as the oracle's
+    # dot/sqrt/sqrt, with the sqrt hoisted per vector)
+    u = F.transform(F.col("e"), lambda x: x / F.col("nrm"))
+    keyed = (
+        v.select("vec_id", "e", norm(F.col("e")).alias("nrm"))
+        .select("vec_id", "e", "nrm", u.alias("u"))
+        .select(
+            "vec_id", "e", "nrm",
+            *[
+                F.floor(F.col("u").getItem(i) / F.lit(d)).cast("long").alias(f"c{i}")
+                for i in range(grid_dims)
+            ],
+            *[
+                # coalesce: a short vector's missing component contributes 0
+                # to the projected distance — still a valid lower bound
+                F.coalesce(F.col("u").getItem(i), F.lit(0.0)).alias(f"p{i}")
+                for i in range(PRUNE_DIMS)
+            ],
+        )
+    )
+
+    # Each qualifying pair's cells differ by at most 1 per dim, i.e. by
+    # exactly one offset δ.  Side A probes only the home cell plus the
+    # lexicographically-POSITIVE offsets; same-cell pairs are oriented by
+    # vec_id.  Every qualifying pair is therefore generated EXACTLY once —
+    # half the candidates and no dropDuplicates shuffle at all.
+    pos_offsets = [
+        o for o in itertools.product((-1, 0, 1), repeat=grid_dims) if o > tuple([0] * grid_dims)
+    ]
+    home = F.concat_ws(",", *[F.col(f"c{i}").cast("string") for i in range(grid_dims)])
+
+    def probe_cell(o):
+        return F.concat_ws(
+            ",", *[(F.col(f"c{i}") + F.lit(o[i])).cast("string") for i in range(grid_dims)]
+        )
+
+    probes = F.explode(
+        F.array(
+            F.struct(home.alias("cell"), F.lit(True).alias("same_cell")),
+            *[F.struct(probe_cell(o).alias("cell"), F.lit(False).alias("same_cell")) for o in pos_offsets],
+        )
+    )
+    a = keyed.select(
+        F.col("vec_id").alias("ia"), F.col("e").alias("ea"), F.col("nrm").alias("na"),
+        *[F.col(f"p{i}").alias(f"pa{i}") for i in range(PRUNE_DIMS)],
+        probes.alias("p"),
+    ).select(
+        "ia", "ea", "na", *[f"pa{i}" for i in range(PRUNE_DIMS)],
+        F.col("p.cell").alias("cell"), F.col("p.same_cell").alias("same_cell"),
+    )
+    b = keyed.select(
+        F.col("vec_id").alias("ib"), F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+        *[F.col(f"p{i}").alias(f"pb{i}") for i in range(PRUNE_DIMS)],
+        home.alias("cell"),
+    )
+
+    # Lossless scalar prefilter: cos >= t ⟺ ||ua-ub||² <= d², and a
+    # coordinate-subset projection only SHRINKS the squared distance, so
+    # Σ_{i<PRUNE_DIMS}(ua_i-ub_i)² > d² safely rejects.  Plain double
+    # columns — runs in whole-stage codegen; the interpreted array fold
+    # below only ever sees the survivors.
+    proj_dist2 = reduce(
+        lambda acc, i: acc + (F.col(f"pa{i}") - F.col(f"pb{i}")) * (F.col(f"pa{i}") - F.col(f"pb{i}")),
+        range(PRUNE_DIMS),
+        F.lit(0.0),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / F.col("na") / F.col("nb")
+    return (
+        a.join(b, ["cell"])
+        .filter((~F.col("same_cell") & (F.col("ia") != F.col("ib"))) | (F.col("ia") < F.col("ib")))
+        # tiny epsilon: the bound holds in real arithmetic; don't let a
+        # last-ulp float wobble reject an exactly-at-threshold pair
+        .filter(proj_dist2 <= F.lit(d * d * (1.0 + 1e-9) + 1e-12))
+        .filter(cos >= threshold)
+        .select(
+            F.least("ia", "ib").alias("vec_a"),
+            F.greatest("ia", "ib").alias("vec_b"),
+            round_half_up(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over the ``embeddings`` table — exact
+    pairs at cosine >= 0.95 through the grid-blocked plan (no all-pairs;
+    the DuckDB oracle brute-forces the same answer).  The synthetic
+    corpus has no planted embedding dups (max pairwise cosine ≈ 0.51), so
+    the result is empty at test SFs; tests/test_llm_pipeline.py plants
+    duplicates and asserts parity with brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    return embedding_dup_pairs(v)
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e)
+           / sqrt(list_dot_product(a.e, a.e))
+           / sqrt(list_dot_product(b.e, b.e)) AS cos
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {{round6}} AS cos_sim
+FROM pairs WHERE cos >= {COSINE_DUP_THRESHOLD}
+""".format(round6=sql_round_half_up("cos", 6))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based, no DuckDB twin —
     # rows-only driver check; recall verified in tests/test_dedup.py.
 }

@@ -76,14 +76,15 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → top-10.
-    customer (filtered) broadcasts into orders, orders joins lineitem on
-    the shuffle key l_orderkey; top-k via TakeOrderedAndProject (no full
-    sort at scale)."""
+    The filtered customer broadcasts when it fits (threshold + AQE decide
+    — no forced hint, since customer scales with SF); orders joins
+    lineitem on the shuffle key l_orderkey; top-k via
+    TakeOrderedAndProject (no full sort at scale)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     joined = l.join(o, l.l_orderkey == o.o_orderkey).join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
+        c, o.o_custkey == c.c_custkey
     )
     agg = (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")

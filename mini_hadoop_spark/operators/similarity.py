@@ -143,16 +143,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = keyed.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "table_id", "bucket"
     )
+    # cosine INSIDE the join stage (deterministic, so equal across a
+    # pair's multi-table collisions); the dedupe shuffles scalar rows
+    # only — the embedding arrays never travel through a shuffle.
     cand = (
         keyed.join(queries, ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("qe"), F.col("e"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
-            "neighbor_id",
+            F.col("vec_id").alias("neighbor_id"),
             cosine(F.col("qe"), F.col("e")).alias("cos"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     from pyspark.sql import Window as W
 

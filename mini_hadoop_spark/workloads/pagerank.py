@@ -63,36 +63,40 @@ def pagerank(
         )
     baseline = F.lit((1.0 - damping) / total_pages)
 
-    # iteration 1: every source has rank 1.0 (page_rank.ex:56 default)
-    ranks = out_deg.select("src", F.lit(1.0).alias("rank"))
+    # Iteration state is the per-source emission RATE rank/out_degree —
+    # |sources| rows, not |edges| — so each iteration needs exactly ONE
+    # big join (edges ⋈ rate on src) instead of edges ⋈ out_deg ⋈ ranks.
+    # Iteration 1: every source has rank 1.0 (page_rank.ex:56 default).
+    rate = out_deg.select("src", (F.lit(1.0) / F.col("out_degree")).alias("w"))
 
     result = None
     prev_cached: DataFrame | None = None
     for i in range(iterations):
-        contribs = (
-            edges.join(out_deg, "src")
-            .join(ranks, "src", "left")
-            .select(
-                F.col("dst").alias("page"),
-                (F.lit(damping) * F.coalesce(F.col("rank"), F.lit(1.0)) / F.col("out_degree")).alias("contrib"),
-            )
+        contribs = edges.join(rate, "src").select(
+            F.col("dst").alias("page"), (F.lit(damping) * F.col("w")).alias("contrib")
         )
         base = sources.select(F.col("src").alias("page"), baseline.alias("contrib"))
         result = contribs.unionAll(base).groupBy("page").agg(F.sum("contrib").alias("rank"))
         if i < iterations - 1:
-            # feed ranks of pages that are sources back into the next iter
-            ranks = result.select(F.col("page").alias("src"), "rank")
+            # fold the new ranks back into per-source rates: a SMALL join
+            # (|sources| rows; every source appears in result via its
+            # baseline, so inner join loses nothing)
+            rate = (
+                result.alias("res")
+                .join(out_deg.alias("od"), F.col("res.page") == F.col("od.src"))
+                .select(F.col("od.src").alias("src"), (F.col("res.rank") / F.col("od.out_degree")).alias("w"))
+            )
             if (i + 1) % checkpoint_every == 0:
                 # truncate lineage so the plan stays O(1) per iteration
                 if reliable_checkpoint:
-                    ranks = ranks.checkpoint(eager=True)
+                    rate = rate.checkpoint(eager=True)
                 else:
-                    ranks = ranks.localCheckpoint(eager=True)
+                    rate = rate.localCheckpoint(eager=True)
             else:
-                ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+                rate = rate.persist(StorageLevel.MEMORY_AND_DISK)
             if prev_cached is not None:
                 prev_cached.unpersist()
-            prev_cached = ranks
+            prev_cached = rate
     return result
 
 

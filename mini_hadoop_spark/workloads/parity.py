@@ -71,15 +71,17 @@ WITH edges AS (
     SELECT src AS page FROM edges UNION SELECT dst FROM edges
   )
 ), iter1 AS (
+  -- 0.85 * (rank / deg): parenthesization matches the Spark side's
+  -- d * w with w = rank/out_degree, so the IEEE op order is identical
   SELECT page, sum(contrib) AS rank FROM (
-    SELECT e.dst AS page, 0.85 * 1.0 / o.deg AS contrib
+    SELECT e.dst AS page, 0.85 * (1.0 / o.deg) AS contrib
     FROM edges e JOIN outdeg o ON e.src = o.src
     UNION ALL
     SELECT src AS page, 0.15 / (SELECT n FROM npages) AS contrib FROM outdeg
   ) GROUP BY page
 ), iter2 AS (
   SELECT page, sum(contrib) AS rank FROM (
-    SELECT e.dst AS page, 0.85 * coalesce(r.rank, 1.0) / o.deg AS contrib
+    SELECT e.dst AS page, 0.85 * (coalesce(r.rank, 1.0) / o.deg) AS contrib
     FROM edges e JOIN outdeg o ON e.src = o.src
     LEFT JOIN iter1 r ON e.src = r.page
     UNION ALL

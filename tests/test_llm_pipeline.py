@@ -102,6 +102,51 @@ def test_exact_dedup_counts_duplicates(spark):
     assert by_keep == {1: 2, 3: 1}
 
 
+def test_embedding_dup_pairs_matches_brute_force(spark):
+    """Grid-blocked exact cosine dedup must find EXACTLY the brute-force
+    pairs (zero false negatives by the lossless-blocking argument, zero
+    false positives by the exact verify) — planted near-dup vectors,
+    since the sf tables contain none (max pairwise cosine ~0.51)."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    vecs = []
+    for i, b in enumerate(base):
+        vecs.append((i * 10, b))
+        # near-copy: tiny perturbation -> cosine ~0.999
+        vecs.append((i * 10 + 1, [x + rng.gauss(0, 0.02) for x in b]))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(x * x for x in b))
+
+    expected = {
+        (ia, ib)
+        for (ia, va), (ib, vb) in itertools.combinations(vecs, 2)
+        if cos(va, vb) >= 0.95
+    }
+    assert expected, "perturbation should plant qualifying pairs"
+
+    from mini_hadoop_spark.operators.dedup import embedding_dup_pairs
+
+    df = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+    got = {(r.vec_a, r.vec_b) for r in embedding_dup_pairs(df).collect()}
+    assert got == expected
+
+
+def test_embedding_dup_query_empty_on_sf_tables(spark):
+    """The synthetic embeddings have no near-dups; the declared query
+    must return an empty frame with the contracted schema."""
+    from mini_hadoop_spark.operators.dedup import dedup_embedding_cosine
+
+    out = dedup_embedding_cosine(spark, SF_DIR)
+    assert out.columns == ["vec_a", "vec_b", "cos_sim"]
+    assert out.count() == 0
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

@@ -79,3 +79,99 @@ def test_stream_incremental_two_batches(spark, tmp_path):
     assert set(n1) == set(n2)
     for k in n1:
         assert n2[k] == 2 * n1[k]
+
+
+def test_streaming_sessionization_matches_batch(spark, events_dir):
+    """Draining the closed events input through session_window must yield
+    the same per-user session stats as the oracle-checked batch
+    gaps-and-islands query (sessions keyed by start time instead of seq)."""
+    import uuid
+
+    from mini_hadoop_spark.operators.events import events_sessionization
+    from mini_hadoop_spark.streaming.stateful import streaming_sessionization
+    from mini_hadoop_spark.streaming.windowed import read_events_stream, run_stream_to_memory
+
+    table = f"sess_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(streaming_sessionization(read_events_stream(spark, events_dir)), table)
+    got = {
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in spark.table(table).collect()
+    }
+    want = {
+        (r.user_id, r.n_events, r.duration_sec)
+        for r in events_sessionization(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert got
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """Two micro-batches with overlapping keys: every key emits exactly
+    once, with its first-batch timestamp; intra-batch repeats are counted
+    as suppressed."""
+    import uuid
+
+    import pandas as pd
+
+    from mini_hadoop_spark.streaming.stateful import streaming_dedup_first_seen
+    from mini_hadoop_spark.streaming.windowed import EVENTS_STREAM_SCHEMA
+
+    d = tmp_path / "dedup_stream"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / name))
+
+    write_batch(
+        "b1",
+        [
+            (1, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2026-01-01 10:01:00", 2, "click", 1.0, "{}"),
+            (3, "2026-01-01 10:02:00", 1, "view", 1.0, "{}"),  # dup key user 1
+        ],
+    )
+
+    sink = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(d / "*"))
+        out = streaming_dedup_first_seen(
+            src.withColumn("key", src.user_id.cast("string")), "key"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.key: (r.first_ts, r.n_suppressed) for r in spark.read.parquet(sink).collect()}
+
+    rows1 = drain()
+    assert set(rows1) == {"1", "2"}
+    assert rows1["1"][0] == pd.Timestamp("2026-01-01 10:00:00")
+    assert rows1["1"][1] == 1  # the 10:02 repeat suppressed in-batch
+    assert rows1["2"][1] == 0
+
+    # second micro-batch: key 1 repeats (suppressed via cross-batch
+    # state), key 3 is new (emitted)
+    write_batch(
+        "b2",
+        [
+            (4, "2026-01-01 10:10:00", 1, "click", 1.0, "{}"),
+            (5, "2026-01-01 10:11:00", 3, "click", 1.0, "{}"),
+        ],
+    )
+    rows2 = drain()
+    assert set(rows2) == {"1", "2", "3"}
+    assert rows2["1"] == rows1["1"]  # unchanged: no re-emission
+    assert rows2["3"][0] == pd.Timestamp("2026-01-01 10:11:00")
