@@ -96,6 +96,57 @@ GROUP BY user_id, session_seq
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window — the same
+    windows Structured Streaming maintains incrementally
+    (streaming/stateful.py), here as an oracle-checked batch query.
+
+    Boundary semantics: session_window spans [ts, ts+gap) half-open, so
+    an event exactly ``gap`` after its predecessor starts a NEW session —
+    the oracle's gaps-and-islands uses >= accordingly (the plain
+    ``events_sessionization`` query uses strict > with its own oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000)
+            ).alias("dr"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            F.round("dr", 6).alias("duration_sec"),
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                   >= {SESSION_GAP_SEC} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sessions AS (
+  SELECT user_id, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round((max(ts_us) - min(ts_us)) / 1000000.0, 6) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
 def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type value distribution stats (the monitoring rollup)."""
     e = load_table(spark, sf_dir, "events")
@@ -119,11 +170,13 @@ FROM events GROUP BY event_type
 QUERIES = {
     "events_hourly_window": events_hourly_window,
     "events_sessionization": events_sessionization,
+    "events_session_window": events_session_window,
     "events_type_value_stats": events_type_value_stats,
 }
 
 ORACLES = {
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,
+    "events_session_window": EVENTS_SESSION_WINDOW_SQL,
     "events_type_value_stats": EVENTS_TYPE_STATS_SQL,
 }

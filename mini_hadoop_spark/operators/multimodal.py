@@ -142,12 +142,110 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = "doc_id long, modality string, payload binary, width int, height int"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_payload binary, n_frames int"
+
+FRAME_SIZE = 64  # bytes per synthetic "frame"
+
+
+def resize_payloads(binary_df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Resize plumbing: 1→1 mapInPandas that rewrites each payload to a
+    fixed target size and attaches typed dimension metadata.
+
+    The real implementation would decode → PIL/cv2 resize → re-encode;
+    absent those libs the deterministic fake tiles/truncates the byte
+    stream to exactly ``width*height`` bytes — the SPARK side (schema,
+    Arrow batching, binary-in/binary-out, partition-parallel, no
+    shuffle) is the part under test."""
+    target = width * height
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def fit(p: bytes) -> bytes:
+            if not p:
+                return bytes(target)
+            reps = (target + len(p) - 1) // len(p)
+            return (p * reps)[:target]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"].map(fit),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return binary_df.select("doc_id", "modality", "payload").mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: 1→N mapInPandas — each video payload explodes into
+    every ``every_n``-th FRAME_SIZE-byte slice, tagged with its index.
+
+    This is the row-expanding batch contract (one input row yields many
+    output rows inside the same Arrow batch) a video pipeline needs; at
+    100 TB it stays linear and shuffle-free, and downstream per-frame
+    work inherits the partitioning."""
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max((len(payload) + FRAME_SIZE - 1) // FRAME_SIZE, 1)
+                for idx in range(0, n_frames, every_n):
+                    out.append(
+                        (doc_id, idx, payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE], n_frames)
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_payload", "n_frames"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the synthetic video payloads.  The projected
+    output (indices + sizes, not the binary frames) IS SQL-expressible,
+    so this mapInPandas path gets a full DuckDB oracle — the strongest
+    check available for a Python-batch operator."""
+    vids = synth_binary_docs(spark, sf_dir).filter(F.col("modality") == "video")
+    frames = sample_frames(vids)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        F.octet_length("frame_payload").alias("frame_bytes"),
+    )
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH v AS (
+  SELECT doc_id, encode(text) AS p FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, p, greatest(ceil(octet_length(p) / {FRAME_SIZE}.0)::INT, 1) AS n_frames
+  FROM v
+)
+SELECT doc_id, i::INT AS frame_idx, n_frames,
+       greatest(least({FRAME_SIZE}, octet_length(p) - i * {FRAME_SIZE}), 0)::INT AS frame_bytes
+FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 4)) AS i) g
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
-    # multimodal_features: mapInPandas decode path — rows-only check.
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+    # multimodal_features: mapInPandas decode path — rows-only check;
+    # exact values asserted in tests.
 }

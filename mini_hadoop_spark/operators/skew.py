@@ -1,0 +1,123 @@
+"""Skew-handling operators: salted aggregation and salted broadcast join.
+
+Hot keys are the canonical 100 TB failure mode: one reducer gets the
+whale key's entire partition while 999 executors idle.  Two standard
+mitigations, expressed as reusable DataFrame transforms:
+
+* ``salted_agg`` — two-stage aggregation: stage 1 groups on
+  (key, salt) so a hot key's rows spread over SALT_BUCKETS reducers and
+  combine map-side; stage 2 merges the per-salt partials on the true
+  key — a shuffle of at most |keys| x SALT_BUCKETS tiny rows.  The
+  decomposition (count→sum, sum→sum, min→min, max→max, avg→sum/count)
+  is exact.
+* ``salted_join`` — replicate the SMALL side SALT_BUCKETS times (one
+  copy per salt value) and salt the big side's key deterministically, so
+  a hot join key's rows land on SALT_BUCKETS different reducers.  Only
+  worth it when the small side is too big to broadcast outright but the
+  key histogram is spiked; with AQE's skew-join handling ON (session.py)
+  Spark usually does this re-split automatically — this operator is the
+  explicit form for engines/pipelines where the optimizer can't see the
+  skew (e.g. a pre-partitioned bucketed table).
+
+The salt is ``xxhash64(row-identity) % SALT_BUCKETS`` — deterministic,
+so results are reproducible and oracle-checkable (no ``rand()``).
+
+The registered query ``agg_salted_skew`` runs the salted two-stage plan
+over ``events`` (5 event types x 100k rows = a genuinely spiked key
+histogram) and must produce EXACTLY the rows of the plain one-stage
+aggregation — same oracle SQL as ``events_type_value_stats``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from mini_hadoop_spark.sources.catalog import load_table
+
+SALT_BUCKETS = 16
+
+
+def _salt(*identity_cols: Column | str) -> Column:
+    return F.pmod(F.xxhash64(*identity_cols), F.lit(SALT_BUCKETS))
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_on: str,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation of count/min/max/avg over
+    ``value`` grouped by ``key``; ``salt_on`` is any column that varies
+    within a key (an id / timestamp) to derive the deterministic salt.
+
+    Output schema matches the plain single-stage aggregation:
+    (key, n, min_v, max_v, avg_v)."""
+    stage1 = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)))
+        .groupBy(key, "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(value).alias("_sum"),
+            F.min(value).alias("_min"),
+            F.max(value).alias("_max"),
+        )
+    )
+    return (
+        stage1.groupBy(key)
+        .agg(
+            F.sum("_n").alias("n"),
+            F.round(F.min("_min"), 4).alias("min_v"),
+            F.round(F.max("_max"), 4).alias("max_v"),
+            F.round(F.sum("_sum") / F.sum("_n"), 4).alias("avg_v"),
+        )
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_on: str,
+    buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """Inner equi-join where ``big``'s key histogram is spiked: the big
+    side gets a deterministic salt from ``salt_on``; the small side is
+    exploded x``buckets`` (one row per salt value) so every
+    (key, salt) pair still matches — the hot key's rows now spread over
+    ``buckets`` reducers instead of one."""
+    big_salted = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)))
+    small_exploded = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(buckets)]))
+    )
+    return big_salted.join(small_exploded, [key, "_salt"]).drop("_salt")
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events grouped by its 5-value event_type through the salted
+    two-stage plan — result must be IDENTICAL to the single-stage
+    ``events_type_value_stats`` (shared oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    return salted_agg(e, key="event_type", value="value", salt_on="event_id").select(
+        "event_type", "n", "min_v", "max_v", "avg_v"
+    )
+
+
+# Exactly the plain aggregation's SQL: the salted plan must be
+# result-invariant (decomposed avg rounds identically at 4 dp).
+AGG_SALTED_SQL = """
+SELECT event_type, count(*) AS n,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(avg(value), 4) AS avg_v
+FROM events GROUP BY event_type
+"""
+
+QUERIES = {
+    "agg_salted_skew": agg_salted_skew,
+}
+
+ORACLES = {
+    "agg_salted_skew": AGG_SALTED_SQL,
+}

@@ -10,11 +10,12 @@ from mini_hadoop_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
     text_analysis,
 )
 from mini_hadoop_spark.workloads import parity
 
-_MODULES = [relational, parity, dedup, similarity, text_analysis, multimodal, events]
+_MODULES = [relational, parity, dedup, similarity, text_analysis, multimodal, events, skew]
 
 
 def _merge() -> tuple[dict, dict]:

@@ -218,6 +218,33 @@ def test_extract_features_end_to_end(spark):
         assert r.n_bytes > 0
 
 
+def test_sample_frames_slicing_exact(spark):
+    """1→N frame expansion: every 4th 64-byte slice, exact boundaries."""
+    from mini_hadoop_spark.operators.multimodal import FRAME_SIZE, sample_frames
+
+    payload = bytes(range(256)) * 2  # 512 bytes -> 8 frames -> idx 0, 4
+    df = spark.createDataFrame([(1, payload), (2, b"xy")], "doc_id long, payload binary")
+    rows = {(r.doc_id, r.frame_idx): r for r in sample_frames(df).collect()}
+    assert set(rows) == {(1, 0), (1, 4), (2, 0)}
+    assert rows[(1, 0)].n_frames == 8
+    assert bytes(rows[(1, 0)].frame_payload) == payload[:FRAME_SIZE]
+    assert bytes(rows[(1, 4)].frame_payload) == payload[4 * FRAME_SIZE : 5 * FRAME_SIZE]
+    assert rows[(2, 0)].n_frames == 1
+    assert bytes(rows[(2, 0)].frame_payload) == b"xy"
+
+
+def test_resize_payloads_exact(spark):
+    from mini_hadoop_spark.operators.multimodal import resize_payloads
+
+    df = spark.createDataFrame(
+        [(1, "image", b"abc"), (2, "image", b"")], "doc_id long, modality string, payload binary"
+    )
+    rows = {r.doc_id: r for r in resize_payloads(df, width=2, height=3).collect()}
+    assert bytes(rows[1].payload) == b"abcabc"  # tiled to 6 bytes
+    assert bytes(rows[2].payload) == bytes(6)  # empty -> zero-filled
+    assert (rows[1].width, rows[1].height) == (2, 3)
+
+
 def test_extract_features_real_decoder_fails_loudly(spark):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
