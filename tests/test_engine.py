@@ -201,6 +201,45 @@ def test_pagerank_shim_matches_dataframe(spark, tmp_path):
         assert shim[k] == pytest.approx(df[k], rel=1e-12)
 
 
+def test_pagerank_deep_iteration_checkpoint_parity(spark, tmp_path):
+    """7 iterations cross the checkpoint_every=5 lineage truncation; the
+    checkpointed run (both local and reliable) must produce exactly the
+    ranks of an uncheckpointed run — truncation is a physical-plan
+    concern, never a semantic one."""
+    from mini_hadoop_spark.workloads.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)], ["src", "dst"]
+    )
+
+    def ranks(**kw):
+        return {
+            r.page: round(r.rank, 10)
+            for r in pagerank(edges, iterations=7, total_pages=4, **kw).collect()
+        }
+
+    plain = ranks(checkpoint_every=100)  # never truncates
+    local_ckpt = ranks(checkpoint_every=5)
+    assert local_ckpt == plain
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = ranks(checkpoint_every=5, reliable_checkpoint=True)
+    assert reliable == plain
+
+
+def test_pagerank_convergence_helper(spark):
+    from mini_hadoop_spark.workloads.pagerank import converged, pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    r10 = pagerank(edges, iterations=10, total_pages=2)
+    r11 = pagerank(edges, iterations=11, total_pages=2)
+    # delta_n = 0.075 * 0.85^n for the 2-cycle -> delta_10 ~ 0.0148
+    assert converged(r10, r11, tolerance=0.02)
+    r1 = pagerank(edges, iterations=1, total_pages=2)
+    r2 = pagerank(edges, iterations=2, total_pages=2)
+    assert not converged(r1, r2, tolerance=1e-12)
+
+
 def test_run_job_empty_input(spark, tmp_path):
     """Empty input must yield an empty result, not a schema-inference
     crash (found by an empty-file probe)."""
