@@ -294,6 +294,29 @@ def test_write_tsv_headered_sorted_by_value_desc(spark, tmp_path):
 # FileStore (mini_hadoop.ex:6-16 round trip)
 # ---------------------------------------------------------------------------
 
+def test_distributed_writers_roundtrip(spark, tmp_path):
+    """Multi-file committer sinks: JSON-lines and TSV outputs must read
+    back to exactly the written rows (one file per partition is the
+    100 TB-path contract; the single-file object sinks are for final
+    results only)."""
+    from mini_hadoop_spark.sources.sinks import (
+        write_json_distributed,
+        write_tsv_distributed,
+    )
+
+    df = spark.range(0, 100).selectExpr("concat('k', id) AS key", "id AS value").repartition(4)
+
+    jpath = str(tmp_path / "dist_json")
+    write_json_distributed(df, jpath)
+    back = spark.read.json(jpath)
+    assert {(r.key, r.value) for r in back.collect()} == {(f"k{i}", i) for i in range(100)}
+
+    tpath = str(tmp_path / "dist_tsv")
+    write_tsv_distributed(df, tpath)
+    back = spark.read.option("sep", "\t").csv(tpath).toDF("key", "value")
+    assert {(r.key, int(r.value)) for r in back.collect()} == {(f"k{i}", i) for i in range(100)}
+
+
 def test_filestore_roundtrip(spark, tmp_path):
     from mini_hadoop_spark.sources.dfs import FileStore
 
