@@ -169,6 +169,92 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CENTROIDS = 32
+IVF_NPROBE = 4
+
+
+def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) -> DataFrame:
+    """Assign each vector its ``n_nearest`` centroids by cosine (the
+    centroid table is tiny — broadcast; argmax via a rank window over
+    |v| x K scored rows)."""
+    from pyspark.sql import Window as W
+
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("cs")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_nearest)
+        .select("vec_id", "e", F.col("cid").alias(out_col))
+    )
+
+
+def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> DataFrame:
+    """Build an IVF coarse-quantizer index: (cid, ce: array<double>).
+
+    Seeds are the first ``k`` vectors by vec_id (deterministic — no RNG
+    state to leak across runs); ``refine`` runs ONE distributed Lloyd
+    step: assign all vectors to their nearest seed, then recompute each
+    centroid as the element-wise mean of its members (posexplode →
+    per-(cid, pos) avg → re-pack), which is the standard k-means
+    iteration expressed as two shuffles."""
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    )
+    if not refine:
+        return seeds
+    assigned = _assign(v, seeds, 1, "cid")
+    means = (
+        assigned.select("cid", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.col("pm.m").alias("ce"))
+    )
+    return means
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-3 per query via IVF: vectors live in their nearest
+    centroid's inverted list; each query probes its IVF_NPROBE nearest
+    centroids and scores ONLY those lists (equi-join on cid — shuffle
+    bounded by list sizes, never all-pairs).  Complements the SRP-LSH
+    variant: IVF adapts to the data's cluster structure, LSH does not.
+    Deterministic; rows-only driver check, recall vs brute force
+    asserted in tests."""
+    from pyspark.sql import Window as W
+
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    # materialize the (<=32-row) quantizer once: its build lineage (seed
+    # scan + Lloyd step) would otherwise re-execute for every assignment
+    # pass that references it
+    centroids = ivf_index(v).localCheckpoint(eager=True)
+    lists = _assign(v, centroids, 1, "cid")
+    probes = _assign(
+        v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, IVF_NPROBE, "cid"
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cid")
+    cand = (
+        lists.join(probes, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qe"), F.col("e")).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk", round_half_up(F.col("cos"), 6).alias("cos_sim"))
+    )
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics: count, avg L2 norm, avg first
     component — the kind of sanity aggregation a training pipeline runs
@@ -198,6 +284,7 @@ GROUP BY label
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ann_ivf": similarity_ann_ivf,
     "embedding_norm_stats": embedding_norm_stats,
 }
 

@@ -180,6 +180,33 @@ def test_ann_lsh_subset_of_true_cosines(spark):
             assert a.cos_sim >= b.cos_sim
 
 
+def test_ann_ivf_recall_and_score_exactness(spark):
+    """IVF candidates carry TRUE cosines (the quantizer only prunes), and
+    top-1 recall vs brute force must be substantial (nprobe=4 of 32
+    centroids on isotropic data won't be perfect — assert a floor)."""
+    from mini_hadoop_spark.operators.similarity import (
+        similarity_ann_ivf,
+        similarity_topk_brute,
+    )
+
+    ivf = similarity_ann_ivf(spark, SF_DIR).collect()
+    assert ivf, "IVF should return candidates"
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity_topk_brute(spark, SF_DIR).collect()
+    }
+    for r in ivf:
+        if (r.query_id, r.neighbor_id) in brute:
+            assert r.cos_sim == pytest.approx(brute[(r.query_id, r.neighbor_id)], abs=1e-9)
+    brute_top1 = {}
+    for (q, n), c in brute.items():
+        if q not in brute_top1 or c > brute_top1[q][1]:
+            brute_top1[q] = (n, c)
+    ivf_hits = {(r.query_id, r.neighbor_id) for r in ivf}
+    hits = sum(1 for q, (n, _) in brute_top1.items() if (q, n) in ivf_hits)
+    assert hits / len(brute_top1) >= 0.3, f"top-1 recall too low: {hits}/{len(brute_top1)}"
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------

@@ -24,7 +24,9 @@ from tests.conftest import SF_DIR
 #   (the deliberate brute-force baseline);
 # - tfidf_top_terms: crossJoin(broadcast(<1-row aggregate>)) — the
 #   canonical scalar-attach, build side is exactly one row.
-BNLJ_ALLOWED = {"similarity_topk_brute", "tfidf_top_terms"}
+# - similarity_ann_ivf: crossJoin(broadcast(<=32-row centroid table)) —
+#   bounded constant build side (the IVF coarse quantizer).
+BNLJ_ALLOWED = {"similarity_topk_brute", "tfidf_top_terms", "similarity_ann_ivf"}
 
 
 def _names():
