@@ -168,6 +168,7 @@ class JobResult:
     job_name: str
     pairs: DataFrame  # columns: key, value
     sort_result_opt: tuple[str, str] | None = None
+    output_paths: tuple[str, str] | None = None  # (json, tsv) when output_dir set
 
     def collect_pairs(self) -> list[tuple]:
         return [(r.key, r.value) for r in self.pairs.collect()]
@@ -243,9 +244,26 @@ def run_job(
     else:
         pairs_df = spark.createDataFrame(reduced, ["key", "value"])
 
+    output_paths = None
+    if spec.output_dir is not None:
+        # reference result naming: <job_name>_<id>.json and
+        # <job_name>_<id>_<sorted|unsorted>.txt (job_runner.ex:243, 280)
+        import os
+
+        from mini_hadoop_spark.sources.sinks import write_json_object, write_tsv_headered
+
+        os.makedirs(spec.output_dir, exist_ok=True)
+        json_path = os.path.join(spec.output_dir, f"{spec.job_name}_{spec.id}.json")
+        suffix = "sorted" if spec.sort_result_opt is not None else "unsorted"
+        tsv_path = os.path.join(spec.output_dir, f"{spec.job_name}_{spec.id}_{suffix}.txt")
+        write_json_object(pairs_df, json_path)
+        write_tsv_headered(pairs_df, tsv_path, sort_result_opt=spec.sort_result_opt)
+        output_paths = (json_path, tsv_path)
+
     return JobResult(
         job_id=spec.id,
         job_name=spec.job_name,
         pairs=pairs_df,
         sort_result_opt=spec.sort_result_opt,
+        output_paths=output_paths,
     )

@@ -294,6 +294,35 @@ def test_write_tsv_headered_sorted_by_value_desc(spark, tmp_path):
 # FileStore (mini_hadoop.ex:6-16 round trip)
 # ---------------------------------------------------------------------------
 
+def test_run_job_output_dir_writes_reference_named_files(spark, tmp_path):
+    """output_dir set -> JSON + headered-TSV results land with the
+    reference's naming (<job_name>_<id>.json / _<sorted|unsorted>.txt,
+    job_runner.ex:243,280) and round-trip the pairs."""
+    import json
+
+    from mini_hadoop_spark.engine import JobSpec, run_job
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("b b a c b\n")
+    out = tmp_path / "results"
+    spec = JobSpec.create(
+        job_name="wc",
+        input_files=[str(inp)],
+        output_dir=str(out),
+        map_function=lambda block, _c: [(w, 1) for w in block.split()],
+        reduce_function=lambda k, vs, _c: sum(vs),
+        sort_result_opt=("value", "desc"),
+    )
+    res = run_job(spark, spec)
+    json_path, tsv_path = res.output_paths
+    assert json_path.endswith(f"wc_{spec.id}.json")
+    assert tsv_path.endswith(f"wc_{spec.id}_sorted.txt")
+    assert json.load(open(json_path)) == {"a": 1, "b": 3, "c": 1}
+    lines = open(tsv_path).read().splitlines()
+    assert lines[0].startswith("# sorted by value desc - Total: 3 entries")
+    assert lines[1:] == ["b\t3", "a\t1", "c\t1"]
+
+
 def test_distributed_writers_roundtrip(spark, tmp_path):
     """Multi-file committer sinks: JSON-lines and TSV outputs must read
     back to exactly the written rows (one file per partition is the
