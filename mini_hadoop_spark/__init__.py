@@ -21,11 +21,14 @@ Layout:
   workloads   — WordCount + PageRank as DataFrame queries (reference
                 parity) + the queries()/oracle pairs (parity)
   operators   — relational battery (relational), dedup (exact/Jaccard/
-                MinHash-LSH/SimHash), similarity search (brute + SRP-
-                LSH), text analysis, multimodal binary handling, event
-                windowing/sessionization (events)
+                MinHash-LSH/SimHash/embedding-cosine), similarity search
+                (brute + SRP-LSH + IVF), text analysis, multimodal binary
+                handling (meta/features/resize/frame-sample), event
+                windowing/sessionization (events), skew mitigation
+                (salted agg/join)
   streaming   — Structured Streaming watermarked windowed aggregation
-                (windowed)
+                (windowed), session windows + stateful first-seen dedup
+                (stateful)
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

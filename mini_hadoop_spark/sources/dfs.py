@@ -86,3 +86,25 @@ class FileStore:
             return False
         shutil.rmtree(self._path(filename))
         return True
+
+    def file_info(self, filename: str) -> dict:
+        """Stored-file metadata — the ``file_op_info`` analogue
+        (mini_hadoop.ex:75-80): line count, on-disk bytes, and block
+        (parquet part-file) count standing in for the reference's
+        per-block replica map."""
+        if not self.exists(filename):
+            raise FileNotFoundError(f"not in store: {filename}")
+        path = self._path(filename)
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        )
+        n_lines = self.spark.read.parquet(path).count()
+        return {
+            "filename": filename,
+            "n_lines": n_lines,
+            "n_blocks": len(parts),
+            "total_bytes": size,
+        }

@@ -373,6 +373,24 @@ def test_filestore_roundtrip(spark, tmp_path):
 # Info API (mini_hadoop.ex:75-109)
 # ---------------------------------------------------------------------------
 
+def test_filestore_file_info(spark, tmp_path):
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    src = tmp_path / "f.txt"
+    src.write_text("one\ntwo\nthree\n")
+    fs = FileStore(spark, str(tmp_path / "store"))
+    fs.store_file("f", str(src))
+    info = fs.file_info("f")
+    assert info["filename"] == "f"
+    assert info["n_lines"] == 3
+    assert info["n_blocks"] >= 1
+    assert info["total_bytes"] > 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        fs.file_info("missing")
+
+
 def test_cluster_info_shape(spark):
     from mini_hadoop_spark.engine.info import cluster_info
 
