@@ -1,0 +1,139 @@
+"""Temporal joins — the as-of join Spark lacks as a built-in, expressed
+as the scalable union+window merge (no per-row Python, ONE shuffle).
+
+``asof_join(probe, build, ...)`` attaches to every probe row the build
+row with the greatest ``build_ts <= probe_ts`` for the same key — the
+canonical enrichment ("latest reading before the trade", "most recent
+prior order for this event").  The implementation is the classic
+merge-as-window trick:
+
+  union both sides tagged → one shuffle on key → in-partition sort by
+  (ts, tag) → ``last(build-payload, ignorenulls)`` running window →
+  keep probe rows.
+
+At 100 TB this is strictly one hash shuffle + sort per side — the same
+cost as a regular join — and per-key partitions are bounded by per-key
+row counts (skewed keys → AQE/salting as elsewhere).  An equi+range
+join formulation (``probe.ts >= build.ts``) would instead explode into
+a range join or nested loop.
+
+Ties: build rows sharing (key, build_ts) are ordered by ``tiebreak``
+and the LAST wins, deterministically.  DuckDB's native ASOF JOIN picks
+an arbitrary row among exact build-ts ties, so the oracle-checked query
+below exposes only the matched ``build_ts`` (tie-insensitive); payload
+determinism is covered by the planted unit test instead
+(tests/test_temporal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from mini_hadoop_spark.sources.catalog import load_table
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    build_payload: list[str],
+    tiebreak: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each probe row, attach the build row with the greatest
+    ``build_ts <= probe_ts`` within the same ``key``.
+
+    Returns all probe columns plus ``asof_<build_ts>`` and
+    ``asof_<c>`` for each payload column (null / dropped per ``how``
+    when no build row precedes the probe row)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    tag = F.lit(0)  # build sorts before probe at equal ts
+    b = build.select(
+        F.col(key).alias("_k"),
+        F.col(build_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.col(tiebreak if tiebreak is not None else build_ts).alias("_tb"),
+        F.struct(F.col(build_ts).alias("_bts"), *[F.col(c) for c in build_payload]).alias("_bp"),
+        *[F.lit(None).cast(t.dataType).alias(f"_p_{c}") for c, t in zip(probe.columns, probe.schema)],
+    )
+    p = probe.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(
+            build.schema[tiebreak if tiebreak is not None else build_ts].dataType
+        ).alias("_tb"),
+        F.lit(None)
+        .cast(
+            "struct<_bts:"
+            + build.schema[build_ts].dataType.simpleString()
+            + "".join(f",{c}:{build.schema[c].dataType.simpleString()}" for c in build_payload)
+            + ">"
+        )
+        .alias("_bp"),
+        *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
+    )
+    merged = b.unionByName(p)
+    w = (
+        W.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_tag"), F.col("_tb"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = (
+        merged.withColumn("_m", F.last("_bp", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+    )
+    out = matched.select(
+        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
+        F.col("_m._bts").alias(f"asof_{build_ts}"),
+        *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in build_payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{build_ts}").isNotNull())
+    return out
+
+
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every event with its user's most recent PRIOR order date —
+    the as-of join over (events ⟕ orders on user/custkey).  Output keeps
+    only the matched timestamp (tie-insensitive: multiple orders on the
+    same date collapse to the same value), so DuckDB's native ASOF JOIN
+    is an exact oracle."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    j = asof_join(
+        e,
+        o,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="o_orderdate",
+        build_payload=["o_orderkey"],
+        how="inner",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("asof_order_date"),
+    )
+
+
+JOIN_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS asof_order_date
+FROM events e
+ASOF JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+QUERIES = {
+    "join_asof_latest_order": join_asof_latest_order,
+}
+
+ORACLES = {
+    "join_asof_latest_order": JOIN_ASOF_SQL,
+}

@@ -141,6 +141,88 @@ FROM r
 """
 
 
+QUALITY_KEEP_THRESHOLD = 2.1  # ~median of the synthetic corpus
+
+
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats over the labeled ``lang`` column —
+    the shard-level report a multilingual pipeline runs per ingest."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg(F.size(tokens("text"))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+TEXT_LANG_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(avg(len(regexp_extract_all(lower(text), '[a-z0-9]+'))), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline AS ONE PLAN: exact
+    dedup (content-hash survivor) → quality filter (threshold on the
+    text_quality_score blend) → labeled output.
+
+    This is the composition the individual operators exist for; Catalyst
+    fuses it into: scan → project(hash, score) → one window shuffle on
+    the hash (survivor pick) → filter.  Dups share identical text, so
+    scoring before the survivor pick changes nothing and keeps the scan
+    single-pass."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
+    score = stop_ratio * 2.0 + (1.0 - punct_ratio) + (1.0 - digit_ratio)
+
+    scored = d.select(
+        "doc_id", "lang", F.sha2("text", 256).alias("h"), round_half_up(score, 6).alias("q")
+    )
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("q") >= QUALITY_KEEP_THRESHOLD))
+        .select("doc_id", "lang", F.col("q").alias("quality_score"))
+    )
+
+
+PIPELINE_CLEAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, sha256(text) AS h,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, h,
+         (CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) * 1.0 / len(toks)
+               ELSE 0.0 END) * 2.0
+         + (1.0 - CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END)
+         + (1.0 - CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END) AS score,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM t
+)
+SELECT doc_id, lang, {sql_round_half_up('score', 6)} AS quality_score
+FROM r
+WHERE rn = 1 AND {sql_round_half_up('score', 6)} >= {QUALITY_KEEP_THRESHOLD}
+"""
+
+
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language ID with deterministic argmax.
 
@@ -329,6 +411,8 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "ngram_bigram_freq": ngram_bigram_freq,
     "doc_fingerprint": doc_fingerprint,
+    "text_lang_stats": text_lang_stats,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
 }
 
 ORACLES = {
@@ -338,4 +422,6 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "ngram_bigram_freq": NGRAM_BIGRAM_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "text_lang_stats": TEXT_LANG_STATS_SQL,
+    "pipeline_clean_corpus": PIPELINE_CLEAN_SQL,
 }

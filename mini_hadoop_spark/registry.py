@@ -11,11 +11,14 @@ from mini_hadoop_spark.operators import (
     relational,
     similarity,
     skew,
+    temporal,
     text_analysis,
 )
 from mini_hadoop_spark.workloads import parity
 
-_MODULES = [relational, parity, dedup, similarity, text_analysis, multimodal, events, skew]
+_MODULES = [
+    relational, parity, dedup, similarity, text_analysis, multimodal, events, skew, temporal,
+]
 
 
 def _merge() -> tuple[dict, dict]:
