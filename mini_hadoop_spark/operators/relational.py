@@ -715,7 +715,31 @@ FROM events GROUP BY event_type
 """
 
 
+
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct and
+    exact median: HyperLogLog++ approx_count_distinct (fixed-size sketch,
+    map-side mergeable, vs. the full shuffle of countDistinct) and
+    KLL/GK percentile_approx.  Deterministic for a given input (sketch
+    merges are order-independent), but DuckDB's approx implementations
+    differ, so the driver applies the rows-only check; accuracy bounds
+    vs the exact answers are pinned in tests/test_oracle_battery.py."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+        F.count("*").alias("n_rows"),
+    ).select(
+        "l_returnflag",
+        "approx_orders",
+        F.col("price_p50_p95").getItem(0).alias("price_p50"),
+        F.col("price_p50_p95").getItem(1).alias("price_p95"),
+        "n_rows",
+    )
+
+
 QUERIES = {
+    "agg_approx_sketches": agg_approx_sketches,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,

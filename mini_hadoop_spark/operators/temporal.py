@@ -97,6 +97,78 @@ def asof_join(
     return out
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_sec: int,
+) -> DataFrame:
+    """Equi+range join ``left.key = right.key AND right_ts ∈ [left_ts,
+    left_ts + max_gap_sec]`` without a nested loop.
+
+    Spark compiles a raw inequality join on top of an equi-key into a
+    SortMergeJoin with a post-filter ONLY when the planner cooperates;
+    the robust scalable form is explicit TIME BINNING: both sides hash
+    into ``max_gap_sec``-wide bins, the left side probes its own and the
+    next bin (any in-range pair is in one of the two), and the exact
+    range predicate verifies.  Cost: one equi-join shuffle on
+    (key, bin); candidates ≤ rows sharing a 2-bin window per key —
+    never |left|x|right|.
+
+    Returns all left columns plus every right column (right's ``key``
+    dropped; its ts column surfaced as ``matched_<right_ts>``)."""
+    bin_l = (F.unix_micros(F.col(left_ts)) / F.lit(max_gap_sec * 1_000_000)).cast("long")
+    bin_r = (F.unix_micros(F.col(right_ts)) / F.lit(max_gap_sec * 1_000_000)).cast("long")
+
+    l = left.withColumn("_bin", F.explode(F.array(bin_l, bin_l + 1)))
+    r = right.withColumn("_bin", bin_r).withColumnRenamed(key, "_rk")
+    in_range = (F.col(right_ts) >= F.col(left_ts)) & (
+        F.unix_micros(F.col(right_ts)) - F.unix_micros(F.col(left_ts))
+        <= F.lit(max_gap_sec * 1_000_000)
+    )
+    return (
+        l.join(r, (F.col(key) == F.col("_rk")) & (l["_bin"] == r["_bin"]))
+        .filter(in_range)
+        .drop("_bin", "_rk")
+        .withColumnRenamed(right_ts, f"matched_{right_ts}")
+    )
+
+
+RANGE_GAP_SEC = 1800  # follow-up window: 30 minutes
+
+
+def join_range_event_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many of the SAME user's events land within the 30
+    minutes after it — the binned range self-join (the burst-detection
+    primitive).  DuckDB oracle: the plain inequality self-join (its
+    optimizer handles ranges natively; ours bins — same rows)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    f = e.select(
+        "user_id", F.col("event_id").alias("f_event_id"), F.col("ts").alias("f_ts")
+    )
+    j = range_join_binned(
+        e, f, key="user_id", left_ts="ts", right_ts="f_ts", max_gap_sec=RANGE_GAP_SEC
+    )
+    return (
+        j.filter(F.col("f_event_id") != F.col("event_id"))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_followups"))
+    )
+
+
+JOIN_RANGE_SQL = f"""
+SELECT a.event_id, count(*) AS n_followups
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_id <> a.event_id
+ AND b.ts >= a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_GAP_SEC} * 1000000
+GROUP BY a.event_id
+"""
+
+
 def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Enrich every event with its user's most recent PRIOR order date —
     the as-of join over (events ⟕ orders on user/custkey).  Output keeps
@@ -132,8 +204,10 @@ ASOF JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 
 QUERIES = {
     "join_asof_latest_order": join_asof_latest_order,
+    "join_range_event_followups": join_range_event_followups,
 }
 
 ORACLES = {
     "join_asof_latest_order": JOIN_ASOF_SQL,
+    "join_range_event_followups": JOIN_RANGE_SQL,
 }

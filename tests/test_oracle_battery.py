@@ -31,6 +31,40 @@ def test_all_queries_have_unique_names():
         assert sql.strip()
 
 
+def test_sketch_accuracy_bounds(spark):
+    """agg_approx_sketches has no cross-engine oracle (sketch impls
+    differ); pin its accuracy against the exact answers instead:
+    HLL++ within 3x its 2% rsd, percentiles within 2% of exact."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    approx = {
+        r.l_returnflag: r
+        for r in entry_mod.queries()["agg_approx_sketches"](spark, SF_DIR).collect()
+    }
+    l = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert a.n_rows == e.n
+        assert abs(a.approx_orders - e.orders) / e.orders <= 0.06  # 3x rsd
+        assert abs(a.price_p50 - e.p50) / e.p50 <= 0.02
+        assert abs(a.price_p95 - e.p95) / e.p95 <= 0.02
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 

@@ -74,6 +74,30 @@ def test_asof_tiebreak_deterministic(spark):
         assert [r.asof_bid for r in out] == [22]
 
 
+def test_range_join_binned_boundaries(spark):
+    """Planted pairs at/around the bin and gap boundaries: in-range pairs
+    spanning a bin edge must be found (left probes bin+1), pairs beyond
+    the gap must not, exact-gap pairs are inclusive."""
+    from mini_hadoop_spark.operators.temporal import range_join_binned
+
+    gap = 60  # 1-minute window, 1-minute bins
+    left = spark.createDataFrame(
+        [(1, 7, _ts("2026-01-01 10:00:30"))], "lid long, k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 7, _ts("2026-01-01 10:00:30")),  # equal ts -> in
+            (11, 7, _ts("2026-01-01 10:01:30")),  # exactly gap -> in (next bin)
+            (12, 7, _ts("2026-01-01 10:01:31")),  # gap+1s -> out
+            (13, 7, _ts("2026-01-01 10:00:29")),  # before left -> out
+            (14, 8, _ts("2026-01-01 10:00:40")),  # other key -> out
+        ],
+        "rid long, k long, rts timestamp",
+    )
+    out = range_join_binned(left, right, key="k", left_ts="lts", right_ts="rts", max_gap_sec=gap)
+    assert sorted(r.rid for r in out.collect()) == [10, 11]
+
+
 def test_asof_rejects_bad_how(spark, frames):
     from mini_hadoop_spark.operators.temporal import asof_join
 
