@@ -49,7 +49,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 VALID_SORT_OPTS = {
     ("key", "asc"),
@@ -146,6 +146,14 @@ class JobSpec:
                     f"sort_result_opt must be one of {sorted(VALID_SORT_OPTS)}, got: {sort_opt!r}"
                 )
 
+        if not attrs["input_files"]:
+            raise JobSpecError("input_files must not be empty")
+        bad_paths = [p for p in attrs["input_files"] if not isinstance(p, str) or "," in p]
+        if bad_paths:
+            # sc.textFile takes a comma-joined path list, so a comma IN a
+            # path cannot be expressed — reject loudly at spec time
+            raise JobSpecError(f"input paths must be comma-free strings: {bad_paths!r}")
+
         if check_files:
             import os
 
@@ -227,22 +235,32 @@ def run_job(
             lambda kv: (kv[0], reduce_fn(kv[0], list(kv[1]), bc_reduce_ctx.value))
         )
 
-    if spec.sort_result_opt is not None:
-        by, direction = spec.sort_result_opt
-        asc = direction == "asc"
-        if by == "key":
-            reduced = reduced.sortBy(lambda kv: kv[0], ascending=asc)
-        else:
-            # deterministic secondary key on ties (the reference's plain
-            # Enum.sort_by leaves value-ties nondeterministic)
-            reduced = reduced.sortBy(lambda kv: (kv[1], kv[0]), ascending=asc)
+    # persist before the first action: isEmpty, createDataFrame's schema
+    # inference, and both sinks each trigger the pipeline — without this
+    # the user's map/reduce closures would re-execute up to 4x (slow, and
+    # visibly wrong for non-deterministic or side-effecting reducers)
+    reduced = reduced.persist()
 
     if reduced.isEmpty():
-        # empty input -> empty result (schema can't be inferred from an
-        # empty RDD; the reference likewise emits an empty output file)
+        # empty input -> empty result typed (string, string) — a FIXED
+        # documented fallback, since no schema can be inferred from an
+        # empty RDD; callers unioning across runs should supply their own
+        # casts (the reference likewise emits an empty output file)
         pairs_df = spark.createDataFrame([], "key string, value string")
     else:
         pairs_df = spark.createDataFrame(reduced, ["key", "value"])
+
+    if spec.sort_result_opt is not None:
+        # distributed sort at the DataFrame layer with the SAME tiebreak
+        # convention as sinks.write_tsv_headered (secondary column always
+        # ascending), so JobResult.pairs, the JSON file, and the TSV file
+        # agree on tie order (the reference's Enum.sort_by leaves ties
+        # nondeterministic — SURVEY.md §7.3)
+        by, direction = spec.sort_result_opt
+        col = F.col("key") if by == "key" else F.col("value")
+        tiebreak = F.col("value") if by == "key" else F.col("key")
+        primary = col.asc() if direction == "asc" else col.desc()
+        pairs_df = pairs_df.orderBy(primary, tiebreak.asc())
 
     output_paths = None
     if spec.output_dir is not None:

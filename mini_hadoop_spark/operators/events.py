@@ -127,14 +127,16 @@ EVENTS_SESSION_WINDOW_SQL = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
 ), flagged AS (
-  SELECT user_id, ts_us,
+  SELECT user_id, event_id, ts_us,
          CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
                    >= {SESSION_GAP_SEC} * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM e
 ), sessions AS (
+  -- event_id tiebreak keeps the cumulative sum deterministic when a
+  -- user has duplicate timestamps (must match the lag() ordering above)
   SELECT user_id, ts_us,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )

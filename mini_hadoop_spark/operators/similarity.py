@@ -7,20 +7,22 @@ embedding: array<float>, label) — LLM-pipeline operator family #2.
   non-equi join, NOT an accidental cartesian: cost = |queries| x N with
   |queries| = N/50).  Oracle-checked — cosines are bit-identical to
   DuckDB (see functions/vectors.py determinism contract).
-* ``similarity_ann_lsh``  — the 100 TB path: 16-bit random-hyperplane
-  (sign-random-projection) LSH.  Vectors hash to a bucket; candidates
-  meet only within their bucket (equi-join on the bucket id — shuffle,
-  no broadcast of the big side, no all-pairs).  Hyperplanes are
-  deterministic ±1 sign matrices derived from SHA-256, so the operator
-  is reproducible across runs/engines; rows-only driver check (DuckDB
-  twin impractical), recall vs the brute-force baseline is asserted in
-  tests/test_similarity.py.
+* ``similarity_ann_lsh``  — the 100 TB path: LSH_TABLES (4) independent
+  LSH_BITS-bit (8) random-hyperplane (sign-random-projection) hash
+  tables.  Vectors hash to a bucket per table; candidates meet only
+  within a shared (table, bucket) key (equi-join — shuffle, no broadcast
+  of the big side, no all-pairs), E[bucket size] = N / 2^LSH_BITS per
+  table.  Hyperplanes are deterministic ±1 sign matrices derived from
+  SHA-256, so the operator is reproducible across runs/engines;
+  rows-only driver check (DuckDB twin impractical), recall vs the
+  brute-force baseline is asserted in tests.
 * ``embedding_norm_stats`` — per-label vector statistics (oracle).
 
 At 100 TB: brute-force is O(Q*N) and exists as the semantic baseline;
 the LSH variant shuffles each vector once (bucket key) and joins within
-buckets whose expected size is N / 2^16 per hash table — add tables /
-probe neighboring buckets for recall, repartition by bucket for skew.
+buckets whose expected size is N / 2^LSH_BITS per hash table — add
+tables / probe neighboring buckets for recall, repartition by bucket
+for skew.
 """
 
 from __future__ import annotations

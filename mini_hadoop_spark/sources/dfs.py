@@ -65,7 +65,10 @@ class FileStore:
             rdd.map(lambda li: (li[1], li[0])), "line_idx long, line string"
         )
         df.write.parquet(self._path(filename))
-        return df.count()
+        # count what was WRITTEN (one cheap metadata-only scan), not the
+        # source lineage — re-running textFile would re-read the local
+        # file a third time and could disagree if it was appended to
+        return self.spark.read.parquet(self._path(filename)).count()
 
     def retrieve_file(self, filename: str, local_path: str) -> int:
         """Reassemble the stored file to a local path in line order."""

@@ -75,7 +75,13 @@ def write_tsv_headered(
         pairs = pairs.orderBy(primary, tiebreak.asc())
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    placeholder = f"# {suffix} - Total: ".ljust(_HEADER_PAD) + "\n"
+    # pad must fit prefix + "<count> entries" for any 64-bit count (20
+    # digits) — the reference's fixed 50-char pad silently corrupts row 1
+    # past ~10^10 rows; widen only when the suffix forces it (byte-compat
+    # with the reference whenever 50 suffices)
+    prefix = f"# {suffix} - Total: "
+    pad = max(_HEADER_PAD, len(prefix) + 20 + len(" entries"))
+    placeholder = prefix.ljust(pad) + "\n"
     count = 0
     with open(path, "w", encoding="utf-8") as f:
         f.write(placeholder)
@@ -87,7 +93,8 @@ def write_tsv_headered(
                 f.writelines(batch)
                 batch = []
         f.writelines(batch)
-        header = f"# {suffix} - Total: {count} entries".ljust(_HEADER_PAD) + "\n"
+        header = f"{prefix}{count} entries".ljust(pad) + "\n"
+        assert len(header) == len(placeholder), "header overflow would corrupt row 1"
         f.seek(0)
         f.write(header)
     return count

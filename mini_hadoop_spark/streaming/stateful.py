@@ -103,20 +103,32 @@ def _dedup_fn(
         state.remove()
     else:
         first_us, last_us, n_sup = state.get if state.exists else (None, None, 0)
-        emit = []
+        # Fold ALL Arrow chunks of this micro-batch into (min, max, n)
+        # BEFORE deciding what to emit: a hot key's batch arrives as
+        # several pdfs with no time ordering across them, so emitting
+        # from the first chunk alone would report the wrong first_ts and
+        # undercount same-batch repeats.
+        batch_min = batch_max = None
+        batch_n = 0
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()  # ns -> us
-            batch_min, batch_max = min(ts_us), max(ts_us)
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            batch_min = lo if batch_min is None else min(batch_min, lo)
+            batch_max = hi if batch_max is None else max(batch_max, hi)
+            batch_n += len(ts_us)
+
+        emit = []
+        if batch_n:
             if first_us is None:
                 # first sighting: emit immediately; repeats inside the same
                 # micro-batch are already suppressed (counted, not emitted)
                 first_us, last_us = batch_min, batch_max
-                n_sup = len(ts_us) - 1
+                n_sup = batch_n - 1
                 emit.append((key[0], pd.Timestamp(batch_min, unit="us"), n_sup))
             else:
-                n_sup += len(ts_us)
+                n_sup += batch_n
                 last_us = max(last_us, batch_max)
         state.update((first_us, last_us, n_sup))
         state.setTimeoutTimestamp(last_us // 1000 + DEDUP_TTL_MS)  # ms epoch

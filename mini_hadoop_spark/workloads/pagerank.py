@@ -70,7 +70,7 @@ def pagerank(
     rate = out_deg.select("src", (F.lit(1.0) / F.col("out_degree")).alias("w"))
 
     result = None
-    prev_cached: DataFrame | None = None
+    cached_rates: list[DataFrame] = []
     for i in range(iterations):
         contribs = edges.join(rate, "src").select(
             F.col("dst").alias("page"), (F.lit(damping) * F.col("w")).alias("contrib")
@@ -94,9 +94,21 @@ def pagerank(
                     rate = rate.localCheckpoint(eager=True)
             else:
                 rate = rate.persist(StorageLevel.MEMORY_AND_DISK)
-            if prev_cached is not None:
-                prev_cached.unpersist()
-            prev_cached = rate
+                cached_rates.append(rate)
+
+    # Materialize the final ranks ONCE, then release every cached input:
+    # without this the persisted edges/out_deg/rate frames stay pinned in
+    # the block manager for the session's lifetime (each pagerank() call
+    # would leak its whole edge list), and unpersisting lazily instead
+    # would silently void the caching the loop depends on.
+    if reliable_checkpoint:
+        result = result.checkpoint(eager=True)
+    else:
+        result = result.localCheckpoint(eager=True)
+    for r in cached_rates:
+        r.unpersist()
+    out_deg.unpersist()
+    edges.unpersist()
     return result
 
 

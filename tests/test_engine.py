@@ -80,17 +80,33 @@ def test_jobspec_arity_normalization():
     """1-arg map fn and 2-arg reduce fn are wrapped to take context
     (job_spec.ex:161-188)."""
     spec = JobSpec.create(
-        job_name="x", input_files=[], map_function=_noop_map,
+        job_name="x", input_files=["dummy.txt"], map_function=_noop_map,
         reduce_function=_noop_reduce, check_files=False,
     )
     assert spec.map_function("hello", {"ignored": True}) == [("h", 1)]
     assert spec.reduce_function("k", [1, 2, 3], {"ignored": True}) == 3
 
 
+def test_jobspec_rejects_empty_and_comma_paths():
+    """sc.textFile takes a comma-joined list, so empty lists and paths
+    containing commas must fail at SPEC time, not with an opaque runtime
+    error from Hadoop path parsing."""
+    with pytest.raises(JobSpecError, match="must not be empty"):
+        JobSpec.create(
+            job_name="x", input_files=[], map_function=_noop_map,
+            reduce_function=_noop_reduce, check_files=False,
+        )
+    with pytest.raises(JobSpecError, match="comma-free"):
+        JobSpec.create(
+            job_name="x", input_files=["/data/a,b.txt"], map_function=_noop_map,
+            reduce_function=_noop_reduce, check_files=False,
+        )
+
+
 def test_jobspec_bad_arity_rejected():
     with pytest.raises(JobSpecError, match="map function has invalid arity"):
         JobSpec.create(
-            job_name="x", input_files=[],
+            job_name="x", input_files=["dummy.txt"],
             map_function=lambda a, b, c: [], reduce_function=_noop_reduce,
             check_files=False,
         )
