@@ -8,8 +8,11 @@ mitigations, expressed as reusable DataFrame transforms:
   (key, salt) so a hot key's rows spread over SALT_BUCKETS reducers and
   combine map-side; stage 2 merges the per-salt partials on the true
   key — a shuffle of at most |keys| x SALT_BUCKETS tiny rows.  The
-  decomposition (count→sum, sum→sum, min→min, max→max, avg→sum/count)
-  is exact.
+  decomposition (count→sum, sum→sum, min→min, max→max,
+  avg→sum/count-of-non-null) is value-exact for integers; for doubles
+  the per-salt partial sums add in a different IEEE order than the
+  single-stage plan, so equality holds to ~1 ulp (the registered query
+  rounds at 4 dp, far coarser than the ulp drift on these magnitudes).
 * ``salted_join`` — replicate the SMALL side SALT_BUCKETS times (one
   copy per salt value) and salt the big side's key deterministically, so
   a hot join key's rows land on SALT_BUCKETS different reducers.  Only
@@ -37,8 +40,8 @@ from mini_hadoop_spark.sources.catalog import load_table
 SALT_BUCKETS = 16
 
 
-def _salt(*identity_cols: Column | str) -> Column:
-    return F.pmod(F.xxhash64(*identity_cols), F.lit(SALT_BUCKETS))
+def _salt(salt_on: str, buckets: int) -> Column:
+    return F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets))
 
 
 def salted_agg(
@@ -55,10 +58,13 @@ def salted_agg(
     Output schema matches the plain single-stage aggregation:
     (key, n, min_v, max_v, avg_v)."""
     stage1 = (
-        df.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)))
+        df.withColumn("_salt", _salt(salt_on, buckets))
         .groupBy(key, "_salt")
         .agg(
             F.count("*").alias("_n"),
+            # avg ignores NULL values: its denominator is the non-null
+            # count, NOT count(*) — they differ whenever value has nulls.
+            F.count(value).alias("_nv"),
             F.sum(value).alias("_sum"),
             F.min(value).alias("_min"),
             F.max(value).alias("_max"),
@@ -70,7 +76,7 @@ def salted_agg(
             F.sum("_n").alias("n"),
             F.round(F.min("_min"), 4).alias("min_v"),
             F.round(F.max("_max"), 4).alias("max_v"),
-            F.round(F.sum("_sum") / F.sum("_n"), 4).alias("avg_v"),
+            F.round(F.sum("_sum") / F.sum("_nv"), 4).alias("avg_v"),
         )
     )
 
@@ -87,7 +93,7 @@ def salted_join(
     exploded x``buckets`` (one row per salt value) so every
     (key, salt) pair still matches — the hot key's rows now spread over
     ``buckets`` reducers instead of one."""
-    big_salted = big.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)))
+    big_salted = big.withColumn("_salt", _salt(salt_on, buckets))
     small_exploded = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(buckets)]))
     )

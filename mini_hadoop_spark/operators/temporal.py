@@ -51,7 +51,13 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
-    tag = F.lit(0)  # build sorts before probe at equal ts
+    # SQL join semantics: NULL keys never match (NULL != NULL), and a
+    # build row with a NULL build_ts can never satisfy build_ts <=
+    # probe_ts.  Drop both up front — otherwise Window.partitionBy puts
+    # all NULL keys in ONE partition (matching them to each other) and
+    # NULL build_ts rows sort first with a non-null _bp struct, becoming
+    # a bogus "match" for probe rows with no true prior build.
+    build = build.filter(F.col(key).isNotNull() & F.col(build_ts).isNotNull())
     b = build.select(
         F.col(key).alias("_k"),
         F.col(build_ts).alias("_t"),

@@ -37,9 +37,15 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up, tokens
 from mini_hadoop_spark.sources.catalog import load_table
 
+# Explicit whitespace class for every regex shared with the DuckDB
+# oracle: Java's \s includes \x0B (vertical tab) while RE2's does not,
+# so a literal \s silently diverges on text containing \x0B.  Spelling
+# the class out keeps both engines bit-identical on any input.
+WS = r" \t\n\f\r"
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
 # symbols — the shape GPT-2-style byte-BPE splits on before merges.
-BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+BPE_ISH_PATTERN = rf"[a-z]+|[0-9]+|[^a-z0-9{WS}]"
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
@@ -60,7 +66,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens, BPE-ish regex
     tokens, and average ASCII-token length."""
     d = _docs(spark, sf_dir)
-    ws_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\s]+"), F.lit(0)))
+    ws_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(rf"[^{WS}]+"), F.lit(0)))
     bpe_tokens = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0)))
     toks = tokens("text")
     total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
@@ -76,8 +82,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_TOKEN_STATS_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_extract_all(text, '[^\\s]+'))                      AS n_ws_tokens,
-         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[^{WS}]+'))                      AS n_ws_tokens,
+         len(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
          regexp_extract_all(lower(text), '[a-z0-9]+')                  AS toks
   FROM documents
 )
@@ -87,22 +93,30 @@ FROM t
 """
 
 
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-training quality heuristics per document.
-
-    ratios are integer-count divisions (bit-identical across engines);
-    the composite score is a fixed linear blend."""
-    d = _docs(spark, sf_dir)
+def _quality_parts() -> tuple:
+    """(n_tok, stop_ratio, punct_ratio, digit_ratio, score) Columns —
+    the ONE definition of the quality blend, shared by the per-doc
+    report (``text_quality_score``) and the keep-filter
+    (``pipeline_clean_corpus``) so the two can never drift.  Ratios are
+    integer-count divisions (bit-identical across engines); the score is
+    a fixed linear blend."""
     toks = tokens("text")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     n_chars = F.length("text")
-    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(F.col("text"), rf"[a-zA-Z0-9{WS}]", ""))
     n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
     stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
     score = stop_ratio * 2.0 + (1.0 - punct_ratio) + (1.0 - digit_ratio)
+    return n_tok, stop_ratio, punct_ratio, digit_ratio, score
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality heuristics per document (see _quality_parts)."""
+    d = _docs(spark, sf_dir)
+    n_tok, stop_ratio, punct_ratio, digit_ratio, score = _quality_parts()
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -115,14 +129,21 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
-TEXT_QUALITY_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
+
+def _sql_quality_inputs(extra: str = "") -> str:
+    """The t-CTE column list both quality oracles build on — the SQL
+    mirror of ``_quality_parts``'s inputs, defined once."""
+    return f"""SELECT doc_id{extra},
          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
          length(text) AS n_chars,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[a-zA-Z0-9{WS}]', '', 'g')) AS n_punct,
          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
-  FROM documents
+  FROM documents"""
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  {_sql_quality_inputs()}
 ), r AS (
   SELECT doc_id, len(toks) AS n_tokens,
          CASE WHEN len(toks) > 0
@@ -177,16 +198,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring before the survivor pick changes nothing and keeps the scan
     single-pass."""
     d = _docs(spark, sf_dir)
-    toks = tokens("text")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    n_chars = F.length("text")
-    n_punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
-    n_digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
-    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
-    digit_ratio = F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0))
-    score = stop_ratio * 2.0 + (1.0 - punct_ratio) + (1.0 - digit_ratio)
+    _, _, _, _, score = _quality_parts()
 
     scored = d.select(
         "doc_id", "lang", F.sha2("text", 256).alias("h"), round_half_up(score, 6).alias("q")
@@ -201,12 +213,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_CLEAN_SQL = f"""
 WITH t AS (
-  SELECT doc_id, lang, sha256(text) AS h,
-         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
-         length(text) AS n_chars,
-         length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
-  FROM documents
+  {_sql_quality_inputs(", lang, sha256(text) AS h")}
 ), r AS (
   SELECT doc_id, lang, h,
          (CASE WHEN len(toks) > 0
@@ -384,7 +391,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize→fingerprint→shard dedup key for exact-dup removal at
     scale (the shard key is what you'd bucket/partition by)."""
     d = _docs(spark, sf_dir)
-    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), rf"[{WS}]+", " "))
     digest = F.md5(F.encode(normalized, "UTF-8"))
     return d.select(
         "doc_id",
@@ -393,9 +400,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_FINGERPRINT_SQL = """
+DOC_FINGERPRINT_SQL = f"""
 WITH t AS (
-  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[{WS}]+', ' ', 'g'))) AS fingerprint
   FROM documents
 )
 SELECT doc_id, fingerprint,

@@ -40,6 +40,30 @@ def test_round_half_up_matches_float_semantics(x, digits):
     assert _py_round_half_up(r, digits) == r
 
 
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_round_half_up_column_matches_python_model(spark, xs, digits):
+    """The REAL Column builder (functions.text.round_half_up), evaluated
+    through Spark, must agree bit-for-bit with the Python float model —
+    guarding the invariant the oracle gate depends on (a regression in
+    the builder must fail here, not only in the driver gate)."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.functions.text import round_half_up
+
+    df = spark.createDataFrame([(x,) for x in xs], ["x"])
+    got = [r[0] for r in df.select(round_half_up(F.col("x"), digits)).collect()]
+    want = [_py_round_half_up(x, digits) for x in xs]
+    assert got == want
+
+
 @settings(max_examples=20, deadline=None)
 @given(
     st.lists(

@@ -98,6 +98,46 @@ def test_range_join_binned_boundaries(spark):
     assert sorted(r.rid for r in out.collect()) == [10, 11]
 
 
+def test_asof_null_keys_never_match(spark):
+    """SQL equi-join semantics: NULL keys match nothing (NULL != NULL).
+    Regression: Window.partitionBy groups nulls into ONE partition, so
+    without the explicit build-side filter a NULL-key probe row would
+    'match' a NULL-key build row."""
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, None, _ts("2026-01-01 12:00:00"))], "pid long, k long, pts timestamp"
+    )
+    build = spark.createDataFrame(
+        [(10, None, _ts("2026-01-01 09:00:00"))], "bid long, k long, bts timestamp"
+    )
+    inner = asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                      build_payload=["bid"], how="inner").collect()
+    assert inner == []
+    left = asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                     build_payload=["bid"], how="left").collect()
+    assert [(r.pid, r.asof_bts, r.asof_bid) for r in left] == [(1, None, None)]
+
+
+def test_asof_null_build_ts_never_matches(spark):
+    """A build row with NULL build_ts can't satisfy build_ts <= probe_ts.
+    Regression: nulls sort first ascending with a NON-null _bp struct,
+    so without the filter it becomes a bogus 'match' whose payload is
+    non-null while asof_<build_ts> is null."""
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 5, _ts("2026-01-01 10:00:00"))], "pid long, k long, pts timestamp"
+    )
+    build = spark.createDataFrame([(21, 5, None)], "bid long, k long, bts timestamp")
+    left = asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                     build_payload=["bid"], how="left").collect()
+    assert [(r.pid, r.asof_bts, r.asof_bid) for r in left] == [(1, None, None)]
+    inner = asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                      build_payload=["bid"], how="inner").collect()
+    assert inner == []
+
+
 def test_asof_rejects_bad_how(spark, frames):
     from mini_hadoop_spark.operators.temporal import asof_join
 
