@@ -1,0 +1,253 @@
+"""Relational battery extension — operator shapes the core battery
+(operators/relational.py) does not yet exercise, each as a DataFrame
+plan + bit-identical DuckDB oracle:
+
+* ``agg_global_no_group``          — global aggregate with NO grouping
+                                     (TPC-H q6 shape: filter → one-row
+                                     partial+final agg, zero shuffle of
+                                     data rows — only partials move).
+* ``subquery_exists_priority``     — correlated EXISTS with an extra
+                                     non-equi predicate (TPC-H q4 shape)
+                                     → left-semi join in Spark.
+* ``set_union_all``                — UNION ALL (bag semantics; the set
+                                     battery so far only covers
+                                     union-distinct/intersect/except).
+* ``unpivot_lineitem_measures``    — wide→long unpivot via ``stack``:
+                                     pure projection (no shuffle until
+                                     the aggregate), oracled by a UNION
+                                     ALL twin.
+* ``window_ntile_quartiles``       — ntile ranking window; partitioned
+                                     by o_orderpriority so no global
+                                     single-partition sort; total order
+                                     via (o_totalprice desc, o_orderkey)
+                                     makes ntile deterministic.
+* ``scalar_subquery_uncorrelated`` — one-row uncorrelated scalar
+                                     subquery as a broadcast cross join
+                                     (the single partial-agg row ships
+                                     to every executor; no driver-side
+                                     collect).
+
+Scale notes: every plan here is a single scan + at most one hash/window
+shuffle; the EXISTS semi-join shuffles on the join key only and never
+multiplies rows (semi semantics).  Float discipline follows the repo
+rule: engine-order-independent aggregates (count/min/max) are raw; sums
+of doubles round via round_half_up at 2dp, far coarser than the ~1e-7
+partial-sum op-order drift at these row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
+from mini_hadoop_spark.sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def agg_global_no_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: tight filter → global one-row aggregate.
+
+    The plan to want at 100 TB: pushed-down shipdate/discount/quantity
+    predicates at the parquet scan, partial agg per task, one tiny
+    final-merge exchange of per-task partial rows (no data shuffle)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+        round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+    )
+
+
+AGG_GLOBAL_SQL = f"""
+SELECT {sql_round_half_up('sum(l_extendedprice * l_discount)', 2)} AS revenue,
+       count(*) AS n_items,
+       {sql_round_half_up('avg(l_quantity)', 4)} AS avg_qty
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+"""
+
+
+def subquery_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: orders with at least one line item shipped after
+    the order date, counted per priority.  EXISTS compiles to a
+    left-semi join — the probe side never duplicates, and only
+    (orderkey, dates) columns shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    sat = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"]) & (l["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return sat.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+SUBQUERY_EXISTS_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag) of customer and supplier nation memberships,
+    counted per (nation, role) — completes the set-operator battery
+    (distinct-union/intersect/except are in the core module).  The
+    union is free (no shuffle); the count is one hash agg."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("role")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("role")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey", "role")
+        .agg(F.count("*").alias("n_members"))
+        .join(F.broadcast(n), F.col("nationkey") == F.col("n_nationkey"))
+        .select("n_name", "role", "n_members")
+    )
+
+
+SET_UNION_ALL_SQL = """
+WITH u AS (
+  SELECT c_nationkey AS nationkey, 'customer' AS role FROM customer
+  UNION ALL
+  SELECT s_nationkey, 'supplier' FROM supplier
+)
+SELECT n_name, role, count(*) AS n_members
+FROM u JOIN nation ON nationkey = n_nationkey
+GROUP BY n_name, role
+"""
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of three lineitem measures via ``stack`` (a
+    pure projection: 1 input row → 3 output rows with no shuffle), then
+    sum/count per (returnflag, measure).  Map-side partial agg keeps the
+    shuffle at |flags| x 3 rows regardless of input size."""
+    l = _t(spark, sf_dir, "lineitem")
+    long = l.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice,"
+        " 'discount', l_discount) AS (measure, val)",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        round_half_up(F.sum("val"), 2).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+UNPIVOT_SQL = f"""
+WITH u AS (
+  SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure,
+       {sql_round_half_up('sum(val)', 2)} AS total,
+       count(*) AS n
+FROM u GROUP BY l_returnflag, measure
+"""
+
+
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartiles of order value WITHIN each priority class
+    (partitioned window — no global single-partition sort), then
+    per-quartile stats.  The (o_totalprice desc, o_orderkey) total order
+    makes quartile assignment deterministic on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.min("o_totalprice"), 2).alias("min_price"),
+            round_half_up(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+WINDOW_NTILE_SQL = f"""
+WITH q AS (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+  FROM orders
+)
+SELECT o_orderpriority, quartile, count(*) AS n_orders,
+       {sql_round_half_up('min(o_totalprice)', 2)} AS min_price,
+       {sql_round_half_up('max(o_totalprice)', 2)} AS max_price
+FROM q GROUP BY o_orderpriority, quartile
+"""
+
+# Orders "big" relative to the catalog: threshold = 250 x the priciest
+# part.  max() is order-independent (exact across engines); the single
+# multiply is one IEEE op on both sides.
+PRICE_MULTIPLIER = 250.0
+
+
+def scalar_subquery_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated one-row scalar subquery: orders whose totalprice
+    exceeds 250 x max(p_retailprice).  Expressed as a broadcast cross
+    join of the one-row aggregate — the scalar ships to executors; no
+    driver-side collect, no re-trigger of the subquery per task."""
+    o = _t(spark, sf_dir, "orders")
+    thr = _t(spark, sf_dir, "part").agg(
+        (F.max("p_retailprice") * F.lit(PRICE_MULTIPLIER)).alias("thr")
+    )
+    return (
+        o.crossJoin(F.broadcast(thr))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_big"),
+            round_half_up(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+SCALAR_SUBQUERY_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_big,
+       {sql_round_half_up('max(o_totalprice)', 2)} AS max_price
+FROM orders
+WHERE o_totalprice > (SELECT max(p_retailprice) * {PRICE_MULTIPLIER} FROM part)
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "agg_global_no_group": agg_global_no_group,
+    "subquery_exists_priority": subquery_exists_priority,
+    "set_union_all": set_union_all,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "window_ntile_quartiles": window_ntile_quartiles,
+    "scalar_subquery_uncorrelated": scalar_subquery_uncorrelated,
+}
+
+ORACLES = {
+    "agg_global_no_group": AGG_GLOBAL_SQL,
+    "subquery_exists_priority": SUBQUERY_EXISTS_SQL,
+    "set_union_all": SET_UNION_ALL_SQL,
+    "unpivot_lineitem_measures": UNPIVOT_SQL,
+    "window_ntile_quartiles": WINDOW_NTILE_SQL,
+    "scalar_subquery_uncorrelated": SCALAR_SUBQUERY_SQL,
+}

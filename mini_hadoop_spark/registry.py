@@ -9,6 +9,7 @@ from mini_hadoop_spark.operators import (
     events,
     multimodal,
     relational,
+    relational_ext,
     similarity,
     skew,
     temporal,
@@ -17,7 +18,8 @@ from mini_hadoop_spark.operators import (
 from mini_hadoop_spark.workloads import parity
 
 _MODULES = [
-    relational, parity, dedup, similarity, text_analysis, multimodal, events, skew, temporal,
+    relational, relational_ext, parity, dedup, similarity, text_analysis,
+    multimodal, events, skew, temporal,
 ]
 
 

@@ -26,7 +26,14 @@ from tests.conftest import SF_DIR
 #   canonical scalar-attach, build side is exactly one row.
 # - similarity_ann_ivf: crossJoin(broadcast(<=32-row centroid table)) —
 #   bounded constant build side (the IVF coarse quantizer).
-BNLJ_ALLOWED = {"similarity_topk_brute", "tfidf_top_terms", "similarity_ann_ivf"}
+# - scalar_subquery_uncorrelated: crossJoin(broadcast(<1-row aggregate>))
+#   — the same canonical scalar-attach as tfidf_top_terms.
+BNLJ_ALLOWED = {
+    "similarity_topk_brute",
+    "tfidf_top_terms",
+    "similarity_ann_ivf",
+    "scalar_subquery_uncorrelated",
+}
 
 
 def _names():
