@@ -1,0 +1,87 @@
+"""Stream-stream joins: the watermarked interval join that completes
+the streaming surface (windowed agg + session windows + stateful dedup
+live in the sibling modules; the reference has NO streaming at all —
+SURVEY.md §2.3, extension surface).
+
+``stream_interval_join`` joins two event-time streams on an equi-key
+plus a bounded time range — "every error within N minutes after a
+click by the same user".  The range bound is NOT optional decoration:
+Spark uses (watermark + range) to compute how long each side's rows
+must be buffered, so state is O(rows inside the watermark+gap horizon)
+per key, evicted continuously.  An unbounded-condition stream-stream
+join would require infinite state and is rejected by the engine.
+
+This is the INCREMENTAL twin of the batch binned range join
+(operators/temporal.py::range_join_binned): same pair semantics
+(right_ts in [left_ts, left_ts + gap]), maintained continuously
+instead of recomputed — the stream/batch pair mirrors how the
+windowed-agg and sessionization operators each shadow an
+oracle-checked batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_gap_sec: int,
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-key + interval join of two streams: pairs where
+    ``right_ts ∈ [left_ts, left_ts + max_gap_sec]`` for the same key.
+
+    Both sides get event-time watermarks (required for state cleanup);
+    the time-range predicate bounds the join buffer.  ``left`` keeps its
+    column names; ``right``'s key column must be pre-renamed to match
+    ``key`` (the join condition equates them and drops the duplicate).
+
+    Works identically on batch frames (plain range join) — the tests
+    exploit that for stream-vs-batch parity."""
+    streaming = left.isStreaming or right.isStreaming
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    if streaming and not (left.isStreaming and right.isStreaming):
+        raise ValueError("stream_interval_join requires both sides streaming (or both batch)")
+    rk = f"_r_{key}"
+    r = r.withColumnRenamed(key, rk)
+    cond = (
+        (F.col(key) == F.col(rk))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_gap_sec} SECONDS"))
+    )
+    return l.join(r, cond, how).drop(rk)
+
+
+CLICK_ERROR_GAP_SEC = 1800  # errors within 30 minutes of a click
+
+
+def clicks_with_errors(events: DataFrame, gap_sec: int = CLICK_ERROR_GAP_SEC) -> DataFrame:
+    """Concrete pipeline: for every click, the same user's error events
+    within the next ``gap_sec`` seconds — the funnel/debug primitive
+    ("which clicks preceded an error?").  Two filtered branches of ONE
+    events stream self-join; output one row per (click, error) pair."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return stream_interval_join(
+        clicks,
+        errors,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="error_ts",
+        max_gap_sec=gap_sec,
+    ).select("user_id", "click_id", "click_ts", "error_id", "error_ts")

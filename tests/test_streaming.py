@@ -105,6 +105,73 @@ def test_streaming_sessionization_matches_batch(spark, events_dir):
     assert got
 
 
+def test_stream_interval_join_matches_batch(spark, events_dir):
+    """Draining the closed events input through the stream-stream
+    interval join must produce exactly the pairs of the batch twin
+    (same filter branches, plain range join on batch frames)."""
+    import uuid
+
+    from mini_hadoop_spark.sources.catalog import load_table
+    from mini_hadoop_spark.streaming.joins import clicks_with_errors
+    from mini_hadoop_spark.streaming.windowed import read_events_stream
+
+    table = f"ssj_{uuid.uuid4().hex[:8]}"
+    out = clicks_with_errors(read_events_stream(spark, events_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.click_id, r.error_id) for r in spark.table(table).collect()}
+
+    want = {
+        (r.click_id, r.error_id)
+        for r in clicks_with_errors(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == want
+    assert got, "expected at least one click→error pair in the test data"
+
+
+def test_stream_interval_join_boundaries(spark, tmp_path):
+    """Planted pairs: equal-ts in, exactly-gap in, gap+1s out, before
+    the click out, other-user out — batch mode (the operator is the
+    same code path modulo watermarks)."""
+    import pandas as pd
+
+    from mini_hadoop_spark.streaming.joins import stream_interval_join
+    from mini_hadoop_spark.streaming.windowed import EVENTS_STREAM_SCHEMA
+
+    def frame(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        return spark.createDataFrame(pdf, schema=EVENTS_STREAM_SCHEMA)
+
+    from pyspark.sql import functions as F
+
+    clicks = frame([(1, "2026-01-01 10:00:30", 7, "click", 1.0, "{}")]).select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = frame(
+        [
+            (10, "2026-01-01 10:00:30", 7, "error", 1.0, "{}"),  # equal ts -> in
+            (11, "2026-01-01 10:01:30", 7, "error", 1.0, "{}"),  # exactly gap -> in
+            (12, "2026-01-01 10:01:31", 7, "error", 1.0, "{}"),  # gap+1s -> out
+            (13, "2026-01-01 10:00:29", 7, "error", 1.0, "{}"),  # before -> out
+            (14, "2026-01-01 10:00:40", 8, "error", 1.0, "{}"),  # other user -> out
+        ]
+    ).select("user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("error_ts"))
+
+    out = stream_interval_join(
+        clicks, errors, key="user_id", left_ts="click_ts", right_ts="error_ts", max_gap_sec=60
+    )
+    assert sorted(r.error_id for r in out.collect()) == [10, 11]
+
+
 def test_streaming_dedup_first_seen(spark, tmp_path):
     """Two micro-batches with overlapping keys: every key emits exactly
     once, with its first-batch timestamp; intra-batch repeats are counted
