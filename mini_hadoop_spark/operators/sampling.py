@@ -1,0 +1,116 @@
+"""Deterministic sampling / splitting over ``documents`` — the
+train/val/test machinery of a training-data pipeline (driver contract
+BASELINE.json ``north_star`` family; no reference analogue — its only
+workloads are WordCount/PageRank, SURVEY.md §2.3).
+
+* ``split_train_val_test``     — 80/10/10 split by a CONTENT-hash
+                                 bucket: md5(text) mod 100.  Hashing
+                                 content (not doc_id) keeps every
+                                 exact duplicate in the SAME split —
+                                 no train/test leakage via dups; and a
+                                 re-run over re-ingested data lands
+                                 each document in the same split
+                                 (reproducible pipelines).  Output is
+                                 per-(lang, split) counts.
+* ``sample_stratified_per_lang`` — k docs per language, chosen by
+                                 md5-hash order: a deterministic
+                                 "random" stratified sample (the
+                                 eyeball-QA / eval-set primitive).
+
+Both are md5-based so the DuckDB oracle computes the IDENTICAL buckets
+— unlike xxhash64 (Spark-only), md5 is standard on both engines.
+
+Scale posture: the split is a pure projection + one hash agg (the
+bucket never shuffles document bodies); the stratified sample is one
+window shuffle on ``lang`` where per-group state is a top-k heap —
+both O(n) with tiny shuffles.  At 100 TB you'd write the split label
+as a partition column (``df.write.partitionBy("split")``) and the
+sample query is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from mini_hadoop_spark.sources.catalog import load_table
+
+SPLIT_BUCKETS = 100
+TRAIN_UPTO = 80  # [0, 80) -> train
+VAL_UPTO = 90    # [80, 90) -> val; [90, 100) -> test
+SAMPLE_K = 5
+
+
+def _md5_bucket(col, buckets: int = SPLIT_BUCKETS):
+    """First 8 hex chars of md5 → long → mod buckets (engine-identical:
+    md5 and base-16 parsing are bit-exact on both Spark and DuckDB)."""
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(buckets))
+
+
+def split_label(col) -> Column:
+    b = _md5_bucket(col)
+    return (
+        F.when(b < TRAIN_UPTO, "train").when(b < VAL_UPTO, "val").otherwise("test")
+    )
+
+
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, split) document counts under the content-hash 80/10/10
+    split — the summary a pipeline materializes to sanity-check split
+    balance before training."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", split_label(F.col("text")).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SPLIT_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT % {SPLIT_BUCKETS} AS b
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN b < {TRAIN_UPTO} THEN 'train'
+            WHEN b < {VAL_UPTO} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM t GROUP BY 1, 2
+"""
+
+
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the ``SAMPLE_K`` documents per
+    language with the smallest md5(text) — hash order is
+    indistinguishable from random for sampling purposes but exactly
+    reproducible across runs and engines.  Tiebreak on doc_id makes the
+    selection total even for duplicate texts."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("text")), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("lang", "rk", "doc_id", "n_chars")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+WITH r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+  FROM documents
+)
+SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= {SAMPLE_K}
+"""
+
+
+QUERIES = {
+    "split_train_val_test": split_train_val_test,
+    "sample_stratified_per_lang": sample_stratified_per_lang,
+}
+
+ORACLES = {
+    "split_train_val_test": SPLIT_SQL,
+    "sample_stratified_per_lang": SAMPLE_STRATIFIED_SQL,
+}

@@ -10,6 +10,7 @@ from mini_hadoop_spark.operators import (
     multimodal,
     relational,
     relational_ext,
+    sampling,
     similarity,
     skew,
     temporal,
@@ -19,7 +20,7 @@ from mini_hadoop_spark.workloads import parity
 
 _MODULES = [
     relational, relational_ext, parity, dedup, similarity, text_analysis,
-    multimodal, events, skew, temporal,
+    multimodal, events, skew, temporal, sampling,
 ]
 
 
