@@ -16,11 +16,14 @@ plan + bit-identical DuckDB oracle:
                                      pure projection (no shuffle until
                                      the aggregate), oracled by a UNION
                                      ALL twin.
-* ``window_ntile_quartiles``       — ntile ranking window; partitioned
-                                     by o_orderpriority so no global
-                                     single-partition sort; total order
-                                     via (o_totalprice desc, o_orderkey)
-                                     makes ntile deterministic.
+* ``window_ntile_quartiles``       — ntile ranking window over
+                                     (priority, month) cohorts; exact
+                                     ntile sorts each cohort in one
+                                     task, so cohort granularity is the
+                                     parallelism knob (see docstring);
+                                     total order via (o_totalprice
+                                     desc, o_orderkey) makes ntile
+                                     deterministic.
 * ``scalar_subquery_uncorrelated`` — one-row uncorrelated scalar
                                      subquery as a broadcast cross join
                                      (the single partial-agg row ships
@@ -113,12 +116,14 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("role")
     )
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # group by n_name AFTER the join (mirroring the SQL twin exactly):
+    # grouping by nationkey first would silently assume n_name is unique
+    # per key — true for TPC-H nation, but not something to bake in.
     return (
         c.unionAll(s)
-        .groupBy("nationkey", "role")
-        .agg(F.count("*").alias("n_members"))
         .join(F.broadcast(n), F.col("nationkey") == F.col("n_nationkey"))
-        .select("n_name", "role", "n_members")
+        .groupBy("n_name", "role")
+        .agg(F.count("*").alias("n_members"))
     )
 
 
@@ -167,17 +172,27 @@ FROM u GROUP BY l_returnflag, measure
 
 
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4) quartiles of order value WITHIN each priority class
-    (partitioned window — no global single-partition sort), then
-    per-quartile stats.  The (o_totalprice desc, o_orderkey) total order
-    makes quartile assignment deterministic on both engines."""
+    """ntile(4) quartiles of order value within each (priority, order
+    month) cohort, then per-quartile stats.
+
+    Scale note: exact ntile fundamentally SORTS each window partition in
+    one task (no partial/group-limit pushdown exists for it), so the
+    cohort granularity IS the parallelism knob — priority alone gives
+    only 5 partitions; priority x month gives |priorities| x |months|
+    sort tasks with proportionally smaller spills.  At 100 TB, cohorts
+    should be chosen so a cohort's rows fit a task's spill budget, or
+    quartiles computed approximately via percentile cut points instead.
+    The (o_totalprice desc, o_orderkey) total order makes quartile
+    assignment deterministic on both engines."""
     o = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy(
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("order_month")
+    w = W.partitionBy("o_orderpriority", "order_month").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("o_orderpriority", "quartile")
+        o.select("o_orderpriority", month, "o_totalprice", "o_orderkey")
+        .withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "order_month", "quartile")
         .agg(
             F.count("*").alias("n_orders"),
             round_half_up(F.min("o_totalprice"), 2).alias("min_price"),
@@ -188,15 +203,16 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_NTILE_SQL = f"""
 WITH q AS (
-  SELECT o_orderpriority, o_totalprice,
-         ntile(4) OVER (PARTITION BY o_orderpriority
+  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS order_month,
+         o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
                         ORDER BY o_totalprice DESC, o_orderkey) AS quartile
   FROM orders
 )
-SELECT o_orderpriority, quartile, count(*) AS n_orders,
+SELECT o_orderpriority, order_month, quartile, count(*) AS n_orders,
        {sql_round_half_up('min(o_totalprice)', 2)} AS min_price,
        {sql_round_half_up('max(o_totalprice)', 2)} AS max_price
-FROM q GROUP BY o_orderpriority, quartile
+FROM q GROUP BY o_orderpriority, order_month, quartile
 """
 
 # Orders "big" relative to the catalog: threshold = 250 x the priciest

@@ -87,7 +87,12 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across runs and engines.  Tiebreak on doc_id makes the
     selection total even for duplicate texts."""
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(F.md5(F.col("text")), F.col("doc_id"))
+    # explicit NULLS LAST on both twins: Spark defaults ASC NULLS FIRST,
+    # DuckDB defaults NULLS LAST — a NULL text/doc_id would silently
+    # rank opposite ends without the pin.
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("text")).asc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
     return (
         d.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= SAMPLE_K)
@@ -98,7 +103,8 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_STRATIFIED_SQL = f"""
 WITH r AS (
   SELECT lang, doc_id, n_chars,
-         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(text) NULLS LAST, doc_id NULLS LAST) AS rk
   FROM documents
 )
 SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= {SAMPLE_K}

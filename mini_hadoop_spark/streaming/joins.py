@@ -38,17 +38,30 @@ def stream_interval_join(
     ``right_ts ∈ [left_ts, left_ts + max_gap_sec]`` for the same key.
 
     Both sides get event-time watermarks (required for state cleanup);
-    the time-range predicate bounds the join buffer.  ``left`` keeps its
-    column names; ``right``'s key column must be pre-renamed to match
-    ``key`` (the join condition equates them and drops the duplicate).
+    the time-range predicate bounds the join buffer.  Column contract
+    (validated up front): both sides carry ``key``; apart from it the
+    two schemas must be DISJOINT — in particular ``left_ts`` and
+    ``right_ts`` must be different names (pre-rename with
+    ``withColumnRenamed``), otherwise the join condition and the output
+    columns would be ambiguous.
 
     Works identically on batch frames (plain range join) — the tests
     exploit that for stream-vs-batch parity."""
-    streaming = left.isStreaming or right.isStreaming
+    if left.isStreaming != right.isStreaming:
+        raise ValueError("stream_interval_join requires both sides streaming (or both batch)")
+    for side, df, ts in (("left", left, left_ts), ("right", right, right_ts)):
+        if key not in df.columns:
+            raise ValueError(f"{side} side is missing key column {key!r}")
+        if ts not in df.columns:
+            raise ValueError(f"{side} side is missing timestamp column {ts!r}")
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"left/right schemas must be disjoint apart from {key!r}; "
+            f"shared columns {sorted(overlap)} would be ambiguous — rename them first"
+        )
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
-    if streaming and not (left.isStreaming and right.isStreaming):
-        raise ValueError("stream_interval_join requires both sides streaming (or both batch)")
     rk = f"_r_{key}"
     r = r.withColumnRenamed(key, rk)
     cond = (

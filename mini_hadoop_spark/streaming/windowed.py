@@ -72,16 +72,24 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: 
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, table_name: str, timeout_sec: int = 120
+    stream_df: DataFrame,
+    table_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> None:
     """Drain the stream with availableNow into an in-memory table —
-    deterministic end-to-end execution for tests/demos (complete mode:
-    watermarked aggregation state is emitted in full)."""
+    deterministic end-to-end execution for tests/demos.  ``complete``
+    for watermarked aggregations (state emitted in full); ``append``
+    for joins and pass-through plans.  Raises if the drain does not
+    finish within ``timeout_sec`` (a partially-drained table would
+    otherwise surface as a baffling downstream comparison failure)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(f"stream drain into {table_name!r} exceeded {timeout_sec}s")

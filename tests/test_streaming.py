@@ -108,31 +108,97 @@ def test_streaming_sessionization_matches_batch(spark, events_dir):
 def test_stream_interval_join_matches_batch(spark, events_dir):
     """Draining the closed events input through the stream-stream
     interval join must produce exactly the pairs of the batch twin
-    (same filter branches, plain range join on batch frames)."""
+    (same filter branches, plain range join on batch frames).
+    Multiset compare: duplicate emission by the stream side must fail."""
     import uuid
+    from collections import Counter
 
     from mini_hadoop_spark.sources.catalog import load_table
     from mini_hadoop_spark.streaming.joins import clicks_with_errors
-    from mini_hadoop_spark.streaming.windowed import read_events_stream
+    from mini_hadoop_spark.streaming.windowed import read_events_stream, run_stream_to_memory
 
     table = f"ssj_{uuid.uuid4().hex[:8]}"
     out = clicks_with_errors(read_events_stream(spark, events_dir))
-    q = (
-        out.writeStream.format("memory")
-        .queryName(table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {(r.click_id, r.error_id) for r in spark.table(table).collect()}
+    run_stream_to_memory(out, table, output_mode="append")
+    got = Counter((r.click_id, r.error_id) for r in spark.table(table).collect())
 
-    want = {
+    want = Counter(
         (r.click_id, r.error_id)
         for r in clicks_with_errors(load_table(spark, SF_DIR, "events")).collect()
-    }
+    )
     assert got == want
     assert got, "expected at least one click→error pair in the test data"
+
+
+def test_stream_interval_join_cross_batch(spark, tmp_path):
+    """The join must match rows ACROSS micro-batches: a click buffered in
+    batch-1 state pairs with an error arriving in batch 2 (the semantics
+    that distinguish the streaming join from a per-batch join)."""
+    import pandas as pd
+
+    from mini_hadoop_spark.streaming.joins import clicks_with_errors
+    from mini_hadoop_spark.streaming.windowed import EVENTS_STREAM_SCHEMA
+
+    d = tmp_path / "ssj_stream"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / name))
+
+    sink = str(tmp_path / "ssj_out")
+    ckpt = str(tmp_path / "ssj_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(d / "*"))
+        q = (
+            clicks_with_errors(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "drain timed out"
+        from collections import Counter
+
+        return Counter(
+            (r.click_id, r.error_id) for r in spark.read.parquet(sink).collect()
+        )
+
+    # batch 1: click c1, an in-gap error e11, and an out-of-order error
+    # before the click (no pair)
+    write_batch(
+        "b1",
+        [
+            (100, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (110, "2026-01-01 10:05:00", 1, "error", 1.0, "{}"),
+            (111, "2026-01-01 09:50:00", 1, "error", 1.0, "{}"),
+        ],
+    )
+    pairs1 = drain()
+    assert pairs1 == {(100, 110): 1}
+
+    # batch 2: error e12 pairs with the batch-1 click (cross-batch state);
+    # a new click c2 + in-gap error e21 pair within the batch; e13 is
+    # past c1's 30-minute gap (and before c2) — no pair
+    write_batch(
+        "b2",
+        [
+            (112, "2026-01-01 10:10:00", 1, "error", 1.0, "{}"),
+            (200, "2026-01-01 10:45:00", 2, "click", 1.0, "{}"),
+            (210, "2026-01-01 10:50:00", 2, "error", 1.0, "{}"),
+            (113, "2026-01-01 10:31:00", 1, "error", 1.0, "{}"),
+        ],
+    )
+    pairs2 = drain()
+    assert pairs2 == {(100, 110): 1, (100, 112): 1, (200, 210): 1}
 
 
 def test_stream_interval_join_boundaries(spark, tmp_path):
@@ -170,6 +236,24 @@ def test_stream_interval_join_boundaries(spark, tmp_path):
         clicks, errors, key="user_id", left_ts="click_ts", right_ts="error_ts", max_gap_sec=60
     )
     assert sorted(r.error_id for r in out.collect()) == [10, 11]
+
+
+def test_stream_interval_join_validates_schema_contract(spark):
+    """Shared non-key columns (including left_ts == right_ts) and a
+    missing key must be rejected up front with a clear error, not
+    surface later as AMBIGUOUS_REFERENCE."""
+    import pandas as pd
+    import pytest as pt
+
+    from mini_hadoop_spark.streaming.joins import stream_interval_join
+
+    a = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [pd.Timestamp("2026-01-01")]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [pd.Timestamp("2026-01-01")]}))
+    with pt.raises(ValueError, match="disjoint.*ts"):
+        stream_interval_join(a, b, key="k", left_ts="ts", right_ts="ts", max_gap_sec=60)
+    c = b.withColumnRenamed("k", "other")
+    with pt.raises(ValueError, match="missing key"):
+        stream_interval_join(a, c, key="k", left_ts="ts", right_ts="ts", max_gap_sec=60)
 
 
 def test_streaming_dedup_first_seen(spark, tmp_path):
