@@ -250,6 +250,96 @@ GROUP BY o_orderpriority
 """
 
 
+def quantile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) quantiles of l_extendedprice per returnflag —
+    the EXACT element at position ceil(p*n), selected via row_number
+    over a total order.  Discrete selection (vs interpolated
+    percentile) is an actual data value and bit-identical across
+    engines — no float-interpolation op-order risk.  Plan: one window
+    shuffle on the group key + a broadcast-free self-contained filter;
+    per-group partitions sort in one task (same cohort-granularity
+    caveat as ntile — returnflag is a demo-grade 3-value key)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    n = F.count("*").over(W.partitionBy("l_returnflag"))
+    ranked = l.withColumn("rn", F.row_number().over(w)).withColumn("n", n)
+    picks = None
+    for p in (0.5, 0.95):
+        sel = ranked.filter(F.col("rn") == F.ceil(F.lit(p) * F.col("n"))).select(
+            "l_returnflag", F.lit(p).alias("p"), F.col("l_extendedprice").alias("quantile_disc")
+        )
+        picks = sel if picks is None else picks.unionAll(sel)
+    return picks
+
+
+QUANTILE_DISC_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, 0.5::DOUBLE AS p, l_extendedprice AS quantile_disc FROM r WHERE rn = ceil(0.5 * n)
+UNION ALL
+SELECT l_returnflag, 0.95::DOUBLE AS p, l_extendedprice AS quantile_disc FROM r WHERE rn = ceil(0.95 * n)
+"""
+
+
+def agg_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): several differently-
+    filtered aggregates in ONE pass over the data — the idiom that
+    replaces N separate filtered scans with one scan + N conditional
+    aggregates (at 100 TB: 1 scan instead of 4)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        F.count(F.when(F.col("l_quantity") >= 40, 1)).alias("n_bulk"),
+        round_half_up(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(F.lit(0.0))), 2
+        ).alias("deep_discount_revenue"),
+    )
+
+
+AGG_FILTERED_SQL = f"""
+SELECT l_linestatus, count(*) AS n_all,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       count(*) FILTER (WHERE l_quantity >= 40) AS n_bulk,
+       {sql_round_half_up("sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END)", 2)}
+         AS deep_discount_revenue
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def array_agg_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation with a DETERMINISTIC element order
+    (sort_array over collect_list), surfaced as a joined string so the
+    value is engine-comparable.  The grouped-collect shape every
+    feature-assembly pipeline uses; output cardinality = |groups|."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT r_name,
+       array_to_string(list_sort(list(n_name)), '|') AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "agg_global_no_group": agg_global_no_group,
     "subquery_exists_priority": subquery_exists_priority,
@@ -257,6 +347,9 @@ QUERIES = {
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "window_ntile_quartiles": window_ntile_quartiles,
     "scalar_subquery_uncorrelated": scalar_subquery_uncorrelated,
+    "quantile_disc_price": quantile_disc_price,
+    "agg_filtered_counts": agg_filtered_counts,
+    "array_agg_regions": array_agg_regions,
 }
 
 ORACLES = {
@@ -266,4 +359,7 @@ ORACLES = {
     "unpivot_lineitem_measures": UNPIVOT_SQL,
     "window_ntile_quartiles": WINDOW_NTILE_SQL,
     "scalar_subquery_uncorrelated": SCALAR_SUBQUERY_SQL,
+    "quantile_disc_price": QUANTILE_DISC_SQL,
+    "agg_filtered_counts": AGG_FILTERED_SQL,
+    "array_agg_regions": ARRAY_AGG_SQL,
 }
