@@ -20,15 +20,20 @@ Layout:
   functions   — reusable Catalyst expression builders (text, vectors)
   workloads   — WordCount + PageRank as DataFrame queries (reference
                 parity) + the queries()/oracle pairs (parity)
-  operators   — relational battery (relational), dedup (exact/Jaccard/
-                MinHash-LSH/SimHash/embedding-cosine), similarity search
-                (brute + SRP-LSH + IVF), text analysis, multimodal binary
-                handling (meta/features/resize/frame-sample), event
-                windowing/sessionization (events), skew mitigation
-                (salted agg/join)
+  operators   — relational battery (relational) + extension shapes
+                (relational_ext: global agg, EXISTS, union-all, unpivot,
+                ntile, scalar subqueries, discrete quantiles, FILTER-agg,
+                array agg), dedup (exact/Jaccard/MinHash-LSH/SimHash/
+                embedding-cosine), similarity search (brute + SRP-LSH +
+                IVF), text analysis, sampling (train/val/test split +
+                stratified sample), multimodal binary handling
+                (meta/features/resize/frame-sample), event windowing/
+                sessionization (events), temporal joins (temporal),
+                skew mitigation (salted agg/join)
   streaming   — Structured Streaming watermarked windowed aggregation
                 (windowed), session windows + stateful first-seen dedup
-                (stateful)
+                (stateful), watermarked interval stream-stream join
+                (joins)
 """
 
 __version__ = "0.3.0"
