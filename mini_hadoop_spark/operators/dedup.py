@@ -122,8 +122,10 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_NEAR_JACCARD_SQL = f"""
-WITH toks AS (
+# Shared CTE chain: shingle index → sizes → shared-count → qualifying
+# pairs.  Used by BOTH the near-dup oracle and the cluster oracle (which
+# builds its recursive closure on top of the same pair set).
+_JACCARD_CTES = f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -134,13 +136,19 @@ WITH toks AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT doc_a, doc_b,
-       {sql_round_half_up('shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared)', 6)} AS jaccard
-FROM shared
-JOIN sizes sa ON doc_a = sa.doc_id
-JOIN sizes sb ON doc_b = sb.doc_id
-WHERE shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared) >= {JACCARD_THRESHOLD}
+), pairs AS (
+  SELECT doc_a, doc_b,
+         shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared) AS jac
+  FROM shared
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE shared * 1.0 / (sa.n_shingles + sb.n_shingles - shared) >= {JACCARD_THRESHOLD}
+)"""
+
+DEDUP_NEAR_JACCARD_SQL = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, {sql_round_half_up('jac', 6)} AS jaccard
+FROM pairs
 """
 
 
@@ -442,18 +450,111 @@ FROM pairs WHERE cos >= {COSINE_DUP_THRESHOLD}
 """.format(round6=sql_round_half_up("cos", 6))
 
 
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """HashMin label propagation: every vertex's label converges to the
+    minimum vertex id of its connected component.
+
+    Per iteration: one equi-join (labels onto undirected edges) + one
+    min-aggregate — O(diameter) iterations, each a single keyed shuffle
+    (near-dup clusters have tiny diameters; web-scale graphs would use
+    the large-star/small-star variant to cut iteration count).  The
+    edge list is persisted once; per-iteration label frames are
+    persisted/released pairwise (the PageRank lesson: never re-derive
+    the big relation inside the loop).  Raises if not converged within
+    ``max_iter`` — a half-converged labeling is silently WRONG, not
+    approximate."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id")).persist()
+    )
+    labels.count()
+    converged = False
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["a"] == labels["id"])
+            .groupBy(F.col("b").alias("nid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.select("id", F.col("label").alias("old")), "id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    result = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    und.unpersist()
+    if not converged:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    return result
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS with survivor selection — the step after pair
+    finding that an actual dedup pipeline needs: pairs only say "a~b";
+    clustering says "a,b,c,d are one group, keep min(doc_id), drop the
+    rest" (and is transitive-safe: a~b, b~c groups a,c together even if
+    the a~c pair fell below threshold).
+
+    Output: one row per clustered doc (docs with no near-dup are
+    implicitly their own singleton and omitted).  DuckDB oracle: the
+    same Jaccard pairs closed transitively with a recursive CTE."""
+    pairs = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).alias("is_survivor"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES}, und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id,
+       least(min(b), a) AS cluster_id,
+       least(min(b), a) = a AS is_survivor
+FROM reach GROUP BY a
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based, no DuckDB twin —
     # rows-only driver check; recall verified in tests/test_dedup.py.
 }

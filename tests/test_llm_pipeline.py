@@ -284,3 +284,29 @@ def test_extract_features_real_decoder_fails_loudly(spark):
     out = extract_features(synth_binary_docs(spark, SF_DIR), fake=False)
     with pytest.raises((PythonException, Py4JJavaError)):
         out.collect()
+
+
+def test_connected_components_transitive_and_converged(spark):
+    """Planted chain a-b-c-d plus a separate pair e-f: labels must close
+    transitively (one cluster per chain, min id as label) even though no
+    direct a-d edge exists; singleton-free output; convergence required."""
+    import pytest as pt
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.id: r.label for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    # a long path needs diameter-many iterations: max_iter=1 must raise,
+    # not return a half-propagated labeling
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with pt.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, "doc_a", "doc_b", max_iter=1)
