@@ -340,6 +340,68 @@ GROUP BY r_name
 """
 
 
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — both-sides-preserved semantics the join battery
+    lacked (inner/left/semi/anti are in the core module).  Customers
+    with their order counts on one side, per-customer event counts on
+    the other: customers with no events AND event users with no
+    customer row both survive with nulls.  Plan: one shuffle per side
+    on the key; null-safe output via coalesce on the join keys."""
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders")
+    )
+    e = _t(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("e_user")
+    ).agg(F.count("*").alias("n_events"))
+    j = o.join(e, o["o_custkey"] == e["e_user"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("o_custkey"), F.col("e_user")).alias("user_key"),
+        F.col("n_orders"),
+        F.col("n_events"),
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+WITH o AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), e AS (
+  SELECT user_id AS e_user, count(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT coalesce(o_custkey, e_user) AS user_key, n_orders, n_events
+FROM o FULL OUTER JOIN e ON o_custkey = e_user
+"""
+
+PAGE_SIZE = 20
+PAGE_OFFSET = 40
+
+
+def page_orders_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination: page 3 of orders by (totalprice desc,
+    orderkey) via LIMIT/OFFSET over a deterministic total order.
+
+    Scale note: OFFSET must still order the first offset+limit rows —
+    fine for UI-depth pages (TakeOrdered over offset+limit per
+    partition), degenerate for deep scans, where keyset pagination
+    (WHERE (price, key) < last_seen ORDER BY ... LIMIT n) is the
+    100 TB idiom; this query demonstrates the operator, the docstring
+    records the trade-off."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", round_half_up(F.col("o_totalprice"), 2).alias("total"))
+        .offset(PAGE_OFFSET)
+        .limit(PAGE_SIZE)
+    )
+
+
+PAGE_OFFSET_SQL = f"""
+SELECT o_orderkey, o_custkey, {sql_round_half_up('o_totalprice', 2)} AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT {PAGE_SIZE} OFFSET {PAGE_OFFSET}
+"""
+
+
 QUERIES = {
     "agg_global_no_group": agg_global_no_group,
     "subquery_exists_priority": subquery_exists_priority,
@@ -350,6 +412,8 @@ QUERIES = {
     "quantile_disc_price": quantile_disc_price,
     "agg_filtered_counts": agg_filtered_counts,
     "array_agg_regions": array_agg_regions,
+    "join_full_outer": join_full_outer,
+    "page_orders_offset": page_orders_offset,
 }
 
 ORACLES = {
@@ -362,4 +426,6 @@ ORACLES = {
     "quantile_disc_price": QUANTILE_DISC_SQL,
     "agg_filtered_counts": AGG_FILTERED_SQL,
     "array_agg_regions": ARRAY_AGG_SQL,
+    "join_full_outer": JOIN_FULL_OUTER_SQL,
+    "page_orders_offset": PAGE_OFFSET_SQL,
 }
