@@ -466,11 +466,25 @@ def connected_components(
     ``max_iter`` — a half-converged labeling is silently WRONG, not
     approximate."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    # cache pre-partitioned on the per-iteration join key: the edge
+    # shuffle happens once here, not once per iteration (the cached
+    # hashpartitioning satisfies the join's distribution requirement)
+    und = (
+        und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(F.col("a"))
+        .persist()
+    )
     labels = (
         und.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id")).persist()
     )
-    labels.count()
+    # Convergence witness: HashMin labels are non-increasing per vertex,
+    # so sum(label) strictly decreases until the fixpoint — an unchanged
+    # sum IS convergence.  One scalar agg per iteration (also the action
+    # that fills new_labels' cache), no extra self-join to diff labels.
+    # decimal(38,0) sum: an int64 sum could overflow (and wrap) on
+    # billions of large ids, corrupting the convergence witness
+    _wit = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_wit).first()[0]
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -486,17 +500,13 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.select("id", F.col("label").alias("old")), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        new_sum = new_labels.agg(_wit).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     result = labels.localCheckpoint(eager=True)
     labels.unpersist()
     und.unpersist()
