@@ -450,8 +450,15 @@ FROM pairs WHERE cos >= {COSINE_DUP_THRESHOLD}
 """.format(round6=sql_round_half_up("cos", 6))
 
 
+# HashMin needs diameter+1 iterations; 50 covers any plausible near-dup
+# chain (a 50-link versioned-document chain) while still bounding a
+# pathological input.  Callers with wider graphs pass their own limit.
+CC_MAX_ITER = 50
+CC_CHECKPOINT_EVERY = 5  # truncate lineage every N iterations
+
+
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+    edges: DataFrame, src: str, dst: str, max_iter: int = CC_MAX_ITER
 ) -> DataFrame:
     """HashMin label propagation: every vertex's label converges to the
     minimum vertex id of its connected component.
@@ -461,10 +468,12 @@ def connected_components(
     (near-dup clusters have tiny diameters; web-scale graphs would use
     the large-star/small-star variant to cut iteration count).  The
     edge list is persisted once; per-iteration label frames are
-    persisted/released pairwise (the PageRank lesson: never re-derive
-    the big relation inside the loop).  Raises if not converged within
-    ``max_iter`` — a half-converged labeling is silently WRONG, not
-    approximate."""
+    persisted/released pairwise and lineage is truncated every
+    ``CC_CHECKPOINT_EVERY`` iterations (the PageRank lesson: without
+    truncation, recomputing a lost cached partition at iteration k
+    cascades through every unpersisted predecessor).  Raises if not
+    converged within ``max_iter`` — a half-converged labeling is
+    silently WRONG, not approximate."""
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # cache pre-partitioned on the per-iteration join key: the edge
     # shuffle happens once here, not once per iteration (the cached
@@ -486,20 +495,25 @@ def connected_components(
     _wit = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(_wit).first()[0]
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             und.join(labels, und["a"] == labels["id"])
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .persist()
+        new_labels = labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
+        if (it + 1) % CC_CHECKPOINT_EVERY == 0:
+            # lineage truncation: the plan otherwise nests all prior
+            # iterations, and a lost cached partition would recompute
+            # through every (unpersisted) predecessor.  localCheckpoint
+            # stores its own blocks — it REPLACES persist() here
+            # (stacking both would conflict on the storage level).
+            new_labels = new_labels.localCheckpoint(eager=False)
+        else:
+            new_labels = new_labels.persist()
         new_sum = new_labels.agg(_wit).first()[0]
         labels.unpersist()
         labels = new_labels
@@ -507,11 +521,13 @@ def connected_components(
             converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        labels.unpersist()
+        und.unpersist()
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
     result = labels.localCheckpoint(eager=True)
     labels.unpersist()
     und.unpersist()
-    if not converged:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
     return result
 
 
@@ -526,7 +542,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     implicitly their own singleton and omitted).  DuckDB oracle: the
     same Jaccard pairs closed transitively with a recursive CTE."""
     pairs = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b", max_iter=CC_MAX_ITER)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),

@@ -29,13 +29,29 @@ plan + bit-identical DuckDB oracle:
                                      (the single partial-agg row ships
                                      to every executor; no driver-side
                                      collect).
+* ``quantile_disc_price``          — exact type-1 (discrete) quantiles
+                                     via row_number selection, all
+                                     probes in ONE window pass.
+* ``agg_filtered_counts``          — FILTER-style conditional
+                                     aggregation: N filtered aggregates
+                                     in one scan.
+* ``array_agg_regions``            — deterministic grouped collection
+                                     (sort_array over collect_list).
+* ``join_full_outer``              — both-sides-preserved join with
+                                     coalesced keys.
+* ``page_orders_offset``           — LIMIT/OFFSET pagination over a
+                                     deterministic total order.
 
-Scale notes: every plan here is a single scan + at most one hash/window
-shuffle; the EXISTS semi-join shuffles on the join key only and never
-multiplies rows (semi semantics).  Float discipline follows the repo
-rule: engine-order-independent aggregates (count/min/max) are raw; sums
-of doubles round via round_half_up at 2dp, far coarser than the ~1e-7
-partial-sum op-order drift at these row counts.
+Scale notes: most plans are a single scan + one hash/window shuffle;
+the exceptions are stated per-docstring — the EXISTS semi-join never
+multiplies rows, full-outer shuffles both sides on the key,
+quantile/ntile windows sort each partition-group in one task (cohort
+granularity is the parallelism knob), and OFFSET pagination degrades
+with depth (keyset pagination is the deep-scan idiom).  Float
+discipline follows the repo rule: engine-order-independent aggregates
+(count/min/max) are raw; sums of doubles round via round_half_up at
+2dp, far coarser than the ~1e-7 partial-sum op-order drift at these
+row counts.
 """
 
 from __future__ import annotations
@@ -265,13 +281,17 @@ def quantile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.count("*").over(W.partitionBy("l_returnflag"))
     ranked = l.withColumn("rn", F.row_number().over(w)).withColumn("n", n)
-    picks = None
-    for p in (0.5, 0.95):
-        sel = ranked.filter(F.col("rn") == F.ceil(F.lit(p) * F.col("n"))).select(
-            "l_returnflag", F.lit(p).alias("p"), F.col("l_extendedprice").alias("quantile_disc")
+    # ONE window pass for all quantiles: explode the probe list and keep
+    # rows whose rank is a probed position (a filtered-union of branches
+    # would re-run the expensive sort+window once per quantile)
+    return (
+        ranked.select(
+            "l_returnflag", "l_extendedprice", "rn", "n",
+            F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("p"),
         )
-        picks = sel if picks is None else picks.unionAll(sel)
-    return picks
+        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+        .select("l_returnflag", "p", F.col("l_extendedprice").alias("quantile_disc"))
+    )
 
 
 QUANTILE_DISC_SQL = """
@@ -282,9 +302,9 @@ WITH r AS (
          count(*) OVER (PARTITION BY l_returnflag) AS n
   FROM lineitem
 )
-SELECT l_returnflag, 0.5::DOUBLE AS p, l_extendedprice AS quantile_disc FROM r WHERE rn = ceil(0.5 * n)
-UNION ALL
-SELECT l_returnflag, 0.95::DOUBLE AS p, l_extendedprice AS quantile_disc FROM r WHERE rn = ceil(0.95 * n)
+SELECT l_returnflag, p, l_extendedprice AS quantile_disc
+FROM r CROSS JOIN (VALUES (0.5::DOUBLE), (0.95::DOUBLE)) ps(p)
+WHERE rn = ceil(p * n)
 """
 
 

@@ -310,3 +310,18 @@ def test_connected_components_transitive_and_converged(spark):
     )
     with pt.raises(RuntimeError, match="did not converge"):
         connected_components(chain, "doc_a", "doc_b", max_iter=1)
+
+
+def test_connected_components_long_chain_exercises_checkpoint(spark):
+    """A 12-link chain needs >10 iterations — crossing the
+    CC_CHECKPOINT_EVERY=5 lineage truncations twice (the code path a
+    short input never runs) and still converging to one component."""
+    from mini_hadoop_spark.operators.dedup import CC_CHECKPOINT_EVERY, connected_components
+
+    n = 13  # diameter 12 > 2 * CC_CHECKPOINT_EVERY
+    assert n - 2 > 2 * CC_CHECKPOINT_EVERY
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "doc_a long, doc_b long"
+    )
+    got = {r.id: r.label for r in connected_components(chain, "doc_a", "doc_b").collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
