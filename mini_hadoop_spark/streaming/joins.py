@@ -72,6 +72,27 @@ def stream_interval_join(
     return l.join(r, cond, how).drop(rk)
 
 
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-STATIC join: enrich a stream with a batch dimension table.
+
+    Unlike the stream-stream case, the static side needs no watermark
+    and holds no join state — each micro-batch plans a fresh join
+    against the dimension (picking up storage-level updates between
+    batches), and a small dimension broadcasts, so the stream is never
+    shuffled at all.  This is the dimension-enrichment pattern ("attach
+    the user's segment to every event"): the streaming counterpart of
+    the batch broadcast-dim joins in the relational battery."""
+    if not stream.isStreaming:
+        raise ValueError("stream_static_enrich expects a streaming left side")
+    if dim.isStreaming:
+        raise ValueError("the dimension side must be a static (batch) frame")
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
+    ).drop(dim[dim_key])
+
+
 CLICK_ERROR_GAP_SEC = 1800  # errors within 30 minutes of a click
 
 

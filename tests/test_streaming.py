@@ -238,6 +238,39 @@ def test_stream_interval_join_boundaries(spark, tmp_path):
     assert sorted(r.error_id for r in out.collect()) == [10, 11]
 
 
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream enriched with a static dimension (events ⟕ customer
+    segment) must equal the batch join over the same closed input;
+    unmatched users keep nulls (left join)."""
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.sources.catalog import load_table
+    from mini_hadoop_spark.streaming.joins import stream_static_enrich
+    from mini_hadoop_spark.streaming.windowed import read_events_stream, run_stream_to_memory
+
+    dim = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    table = f"sse_{uuid.uuid4().hex[:8]}"
+    out = stream_static_enrich(
+        read_events_stream(spark, events_dir).select("event_id", "user_id"),
+        dim, stream_key="user_id", dim_key="cust_id",
+    ).select("event_id", "user_id", "c_mktsegment")
+    run_stream_to_memory(out, table, output_mode="append")
+    got = Counter((r.event_id, r.c_mktsegment) for r in spark.table(table).collect())
+
+    batch = (
+        load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+        .join(dim, F.col("user_id") == F.col("cust_id"), "left")
+    )
+    want = Counter((r.event_id, r.c_mktsegment) for r in batch.collect())
+    assert got == want
+    assert got
+
+
 def test_stream_interval_join_validates_schema_contract(spark):
     """Shared non-key columns (including left_ts == right_ts) and a
     missing key must be rejected up front with a clear error, not
