@@ -395,11 +395,17 @@ WHERE rn <= 3
 
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum per supplier over ship time (rows-between frame)."""
+    """Running sum per supplier over ship time (rows-between frame).
+
+    The sort includes l_quantity as the final tiebreak: the synthetic
+    data carries duplicate (orderkey, linenumber) rows at larger SFs,
+    and without a total order over everything that affects the sum,
+    tied rows accumulate in engine-dependent order (full duplicates are
+    then genuinely order-insensitive)."""
     l = _t(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return l.select(
@@ -413,7 +419,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_RUNNING_SQL = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
        round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-                                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                                   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
            AS running_qty
 FROM lineitem
