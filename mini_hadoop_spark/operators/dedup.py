@@ -567,6 +567,54 @@ FROM reach GROUP BY a
 """
 
 
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the near-dup graph — the density diagnostic that
+    distinguishes chain-shaped clusters (versioned documents, 0
+    triangles) from clique-shaped ones (true dup groups, many): a
+    cluster's triangle count tells a pipeline whether transitive
+    merging was aggressive or safe.
+
+    Standard oriented enumeration: with edges kept as doc_a < doc_b,
+    each triangle a<b<c is found EXACTLY once by joining (a,b)+(b,c)
+    and probing (a,c) — two equi-join shuffles on vertex keys, no
+    orientation dedupe needed.  Output: per-cluster triangle counts."""
+    pairs = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    out = (
+        tri.join(labels.select(F.col("id").alias("a"), F.col("label").alias("cluster_id")), "a")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    result = out.localCheckpoint(eager=True)
+    pairs.unpersist()
+    return result
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH RECURSIVE {_JACCARD_CTES}, e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+), und AS (
+  SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), labels AS (
+  SELECT a AS id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+), tri AS (
+  SELECT ab.a, ab.b, bc.b AS c
+  FROM e ab JOIN e bc ON ab.b = bc.a JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+)
+SELECT l.cluster_id, count(*) AS n_triangles
+FROM tri t JOIN labels l ON t.a = l.id
+GROUP BY l.cluster_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_jaccard": dedup_near_jaccard,
@@ -574,6 +622,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
+    "graph_triangle_count": graph_triangle_count,
 }
 
 ORACLES = {
@@ -581,6 +630,7 @@ ORACLES = {
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "graph_triangle_count": GRAPH_TRIANGLES_SQL,
     # dedup_minhash_lsh / dedup_simhash: xxhash64-based, no DuckDB twin —
     # rows-only driver check; recall verified in tests/test_dedup.py.
 }

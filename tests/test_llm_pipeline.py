@@ -325,3 +325,22 @@ def test_connected_components_long_chain_exercises_checkpoint(spark):
     )
     got = {r.id: r.label for r in connected_components(chain, "doc_a", "doc_b").collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_triangle_enumeration_on_planted_graphs(spark):
+    """K4 (4 vertices, all 6 oriented edges) has exactly 4 triangles;
+    a 4-chain has 0 — the oriented a<b<c enumeration must count each
+    exactly once, via the same join shape as graph_triangle_count."""
+    from pyspark.sql import functions as F
+
+    def count_triangles(edge_rows):
+        pairs = spark.createDataFrame(edge_rows, "doc_a long, doc_b long")
+        ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        bc = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+        ac = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+        return ab.join(bc, "b").join(ac, ["a", "c"]).count()
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert count_triangles(k4) == 4
+    chain = [(1, 2), (2, 3), (3, 4)]
+    assert count_triangles(chain) == 0
