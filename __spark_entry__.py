@@ -8,6 +8,17 @@ SURVEY.md §2 with DuckDB oracle twins.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Self-contained bootstrap: a driver may load this contract module by
+# file path (importlib spec_from_file_location) from any cwd, in which
+# case the repo root is not on sys.path and the package import below
+# would fail.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -6,10 +6,11 @@ JSON line:
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
-Each query is executed via a count-style action that forces the full plan
-(collect to the driver is avoided for large outputs — we want engine time,
-not driver-materialization time).  A warmup query amortizes JVM/codegen
-startup out of the numbers.
+Each query is executed via a noop-sink write that forces the FULL plan
+including final sorts and projections (count() would let the optimizer
+prune them; collect is avoided so we time the engine, not driver
+materialization).  A warmup query amortizes JVM/codegen startup out of
+the numbers.
 """
 
 from __future__ import annotations
@@ -54,9 +55,10 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            # force full execution of every operator in the plan; cheap on
-            # the driver (single long per partition comes back)
-            df.count()
+            # noop sink: forces the FULL plan — count() would let the
+            # optimizer prune final projections and eliminate top-level
+            # sorts, undercounting engine work
+            df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]

@@ -25,9 +25,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
-
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -35,6 +32,14 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Runtime confs (NOT session-build confs): the external driver runs
+    # these queries on a vanilla session it built itself, so every conf
+    # the package NEEDS must be set here.  UTC pins timestamp rendering
+    # (date_trunc/date_format/session_window): on a non-UTC host,
+    # session-local rendering would shift every hour/session boundary
+    # away from the DuckDB oracle, which treats the naive timestamps
+    # as-is.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS,false), which
         # Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL).  Read
