@@ -32,7 +32,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
-from mini_hadoop_spark.functions.vectors import as_double, cosine, dot
+from mini_hadoop_spark.functions.vectors import as_double, dot, norm
 from mini_hadoop_spark.sources.catalog import load_table
 
 TOP_K = 5
@@ -51,8 +51,15 @@ def _hyperplane_sign(plane: int, dim: int) -> float:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, e, nv) — norm computed ONCE per vector here: the
+    per-pair cosine is then a single fold + two divisions
+    (dot / query-norm / vector-norm, the exact op order of the oracle's
+    dot/sqrt/sqrt — identical IEEE results, ~3x less work on pair-heavy
+    plans; the same hoist embedding_dup_pairs already uses)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select("vec_id", "label", as_double("embedding").alias("e"))
+    return emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
+        "nv", norm(F.col("e"))
+    )
 
 
 def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,14 +67,14 @@ def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak on neighbor_id."""
     v = _vectors(spark, sf_dir)
     queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nv").alias("nq")
     )
     scored = (
         v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("e")).alias("cos"),
+            (dot(F.col("qe"), F.col("e")) / F.col("nq") / F.col("nv")).alias("cos"),
         )
     )
     from pyspark.sql import Window as W
@@ -132,8 +139,8 @@ def _bucketed(v: DataFrame) -> DataFrame:
             for t in range(LSH_TABLES)
         ]
     )
-    return v.select("vec_id", "e", F.explode(entries).alias("tb")).select(
-        "vec_id", "e", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
+    return v.select("vec_id", "e", "nv", F.explode(entries).alias("tb")).select(
+        "vec_id", "e", "nv", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket")
     )
 
 
@@ -146,7 +153,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     keyed = _bucketed(v)
     queries = keyed.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "table_id", "bucket"
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nv").alias("nq"), "table_id", "bucket",
     )
     # cosine INSIDE the join stage (deterministic, so equal across a
     # pair's multi-table collisions); the dedupe shuffles scalar rows
@@ -157,7 +165,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("e")).alias("cos"),
+            (dot(F.col("qe"), F.col("e")) / F.col("nq") / F.col("nv")).alias("cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -178,17 +186,20 @@ IVF_NPROBE = 4
 def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) -> DataFrame:
     """Assign each vector its ``n_nearest`` centroids by cosine (the
     centroid table is tiny — broadcast; argmax via a rank window over
-    |v| x K scored rows)."""
+    |v| x K scored rows).  ``v`` carries its hoisted ``nv`` norm; the
+    centroid norm is computed once per centroid inside the broadcast."""
     from pyspark.sql import Window as W
 
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "e", "cid", cosine(F.col("e"), F.col("ce")).alias("cs")
+    c = centroids.withColumn("nce", norm(F.col("ce")))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id", "e", "nv", "cid",
+        (dot(F.col("e"), F.col("ce")) / F.col("nv") / F.col("nce")).alias("cs"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= n_nearest)
-        .select("vec_id", "e", F.col("cid").alias(out_col))
+        .select("vec_id", "e", "nv", F.col("cid").alias(out_col))
     )
 
 
@@ -230,7 +241,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests."""
     from pyspark.sql import Window as W
 
-    v = _vectors(spark, sf_dir).select("vec_id", "e")
+    v = _vectors(spark, sf_dir).select("vec_id", "e", "nv")
     # materialize the (<=32-row) quantizer once: its build lineage (seed
     # scan + Lloyd step) would otherwise re-execute for every assignment
     # pass that references it
@@ -238,14 +249,17 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = _assign(v, centroids, 1, "cid")
     probes = _assign(
         v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, IVF_NPROBE, "cid"
-    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cid")
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
+        F.col("nv").alias("nq"), "cid",
+    )
     cand = (
         lists.join(probes, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qe"), F.col("e")).alias("cos"),
+            (dot(F.col("qe"), F.col("e")) / F.col("nq") / F.col("nv")).alias("cos"),
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -263,7 +277,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ingesting an embedding shard."""
     v = _vectors(spark, sf_dir)
     return (
-        v.select("label", F.sqrt(dot(F.col("e"), F.col("e"))).alias("nrm"), F.col("e").getItem(0).alias("c0"))
+        v.select("label", F.col("nv").alias("nrm"), F.col("e").getItem(0).alias("c0"))
         .groupBy("label")
         .agg(
             F.count("*").alias("n_vectors"),
