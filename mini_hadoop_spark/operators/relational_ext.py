@@ -422,6 +422,48 @@ LIMIT {PAGE_SIZE} OFFSET {PAGE_OFFSET}
 """
 
 
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: 5-way join (part ⋈ lineitem ⋈ supplier ⋈ nation
+    ⋈ orders) → profit per (supplier nation, order year) for parts
+    matching a name filter.
+
+    The multi-join planning exhibit: Catalyst reorders so the
+    name-filtered part table prunes lineitem FIRST (the most selective
+    join), nation broadcasts (25 rows), and the surviving rows make one
+    pass through the orders join — the join tree a hand-written plan
+    would pick, derived automatically from the declarative form."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(round_half_up(F.sum(profit), 2).alias("sum_profit"), F.count("*").alias("n_lines"))
+    )
+
+
+Q9_PROFIT_SQL = f"""
+SELECT n_name, year(o_orderdate) AS o_year,
+       {sql_round_half_up('sum(l_extendedprice * (1.0 - l_discount))', 2)} AS sum_profit,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
 QUERIES = {
     "agg_global_no_group": agg_global_no_group,
     "subquery_exists_priority": subquery_exists_priority,
@@ -434,6 +476,7 @@ QUERIES = {
     "array_agg_regions": array_agg_regions,
     "join_full_outer": join_full_outer,
     "page_orders_offset": page_orders_offset,
+    "q9_profit_by_nation_year": q9_profit_by_nation_year,
 }
 
 ORACLES = {
@@ -448,4 +491,5 @@ ORACLES = {
     "array_agg_regions": ARRAY_AGG_SQL,
     "join_full_outer": JOIN_FULL_OUTER_SQL,
     "page_orders_offset": PAGE_OFFSET_SQL,
+    "q9_profit_by_nation_year": Q9_PROFIT_SQL,
 }
