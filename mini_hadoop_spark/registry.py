@@ -18,9 +18,15 @@ from mini_hadoop_spark.operators import (
 )
 from mini_hadoop_spark.workloads import parity
 
+# Order matters: the driver's correctness artifact records only the first 50
+# entries of queries() in registration order.  The LLM-pipeline families
+# (dedup, similarity, text, multimodal, events, temporal, skew, sampling) and
+# the reference-parity workloads are the north-star operators, so they come
+# first; the relational battery (42 entries, all long driver-green) fills the
+# remaining rows.
 _MODULES = [
-    relational, relational_ext, parity, dedup, similarity, text_analysis,
-    multimodal, events, skew, temporal, sampling,
+    dedup, similarity, text_analysis, multimodal, events, skew, temporal,
+    sampling, parity, relational, relational_ext,
 ]
 
 
