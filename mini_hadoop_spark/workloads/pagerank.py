@@ -47,6 +47,11 @@ def pagerank(
     only in-edge contributions; initial rank is 1.0 for every source
     (page_rank.ex:56 default).
     """
+    if iterations < 1:
+        # validate BEFORE persisting inputs: with 0 iterations `result`
+        # would stay None (AttributeError below) after edges/out_deg had
+        # already been pinned in the block manager
+        raise ValueError(f"pagerank requires iterations >= 1, got {iterations}")
     edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -54,14 +59,31 @@ def pagerank(
     sources = out_deg.select("src")
 
     if total_pages is None:
-        # one distinct over the persisted edges — NOT a re-scan of parquet
-        total_pages = (
+        # page count as a 1-ROW AGGREGATE attached via broadcast cross
+        # join (the canonical scalar-attach) instead of a driver-side
+        # .count(): the whole PageRank run is then a SINGLE Spark job —
+        # no separate count job, no job-submission barrier before the
+        # loop.  lit(1-d)/n is the same IEEE double division the old
+        # Python-side (1-d)/total_pages performed, so ranks are
+        # bit-identical.  The identical 1-row broadcast exchange is
+        # reused across iterations (ReusedExchange).
+        npages = (
             edges.select(F.col("src").alias("page"))
             .union(edges.select(F.col("dst").alias("page")))
             .distinct()
-            .count()
+            .agg(F.count("*").alias("_npages"))
         )
-    baseline = F.lit((1.0 - damping) / total_pages)
+
+        def with_baseline(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(npages)).withColumn(
+                "contrib", F.lit(1.0 - damping) / F.col("_npages")
+            ).drop("_npages")
+
+    else:
+        _baseline = F.lit((1.0 - damping) / total_pages)
+
+        def with_baseline(df: DataFrame) -> DataFrame:
+            return df.withColumn("contrib", _baseline)
 
     # Iteration state is the per-source emission RATE rank/out_degree —
     # |sources| rows, not |edges| — so each iteration needs exactly ONE
@@ -75,7 +97,7 @@ def pagerank(
         contribs = edges.join(rate, "src").select(
             F.col("dst").alias("page"), (F.lit(damping) * F.col("w")).alias("contrib")
         )
-        base = sources.select(F.col("src").alias("page"), baseline.alias("contrib"))
+        base = with_baseline(sources.select(F.col("src").alias("page")))
         result = contribs.unionAll(base).groupBy("page").agg(F.sum("contrib").alias("rank"))
         if i < iterations - 1:
             # fold the new ranks back into per-source rates: a SMALL join

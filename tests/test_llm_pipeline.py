@@ -50,6 +50,36 @@ def test_minhash_deterministic(spark):
     assert a == b
 
 
+def test_clusters_lsh_covers_exact_clusters(spark):
+    """Composition gate for the 100 TB path: clustering over the LSH
+    candidate pairs must co-cluster every planted (Jaccard >= 0.8) exact
+    pair — swapping the scale-limited exact pair generator for the
+    banded-LSH one cannot split a true dup group."""
+    from mini_hadoop_spark.operators.dedup import dedup_clusters_lsh
+
+    high = _exact_pairs(spark, threshold=0.8)
+    assert high, "test data should contain planted near-dup pairs"
+    labels = {
+        r.doc_id: r.cluster_id for r in dedup_clusters_lsh(spark, SF_DIR).collect()
+    }
+    split = [
+        p for p in high
+        if labels.get(p[0]) is None or labels.get(p[0]) != labels.get(p[1])
+    ]
+    assert not split, f"LSH clustering split planted dup pairs: {split}"
+
+
+def test_near_dup_pair_memo_shares_one_materialization(spark):
+    """The shared pipeline memoizes per (app, sf_dir, method): repeated
+    query calls return the SAME checkpointed frame (no recompute), and
+    clusters/triangles consume exactly that pair set."""
+    from mini_hadoop_spark.operators.dedup import dedup_near_jaccard, near_dup_pairs
+
+    a = dedup_near_jaccard(spark, SF_DIR)
+    b = near_dup_pairs(spark, SF_DIR, "jaccard")
+    assert a is b, "memo must return the identical materialized frame"
+
+
 def test_simhash_pairs_are_valid(spark):
     from mini_hadoop_spark.operators.dedup import (
         SIMHASH_MAX_HAMMING,

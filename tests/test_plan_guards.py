@@ -42,21 +42,44 @@ def _names():
     return sorted(entry_mod.queries().keys())
 
 
-@pytest.mark.parametrize("name", _names())
-def test_no_cartesian_or_interpreted_python(spark, name):
-    import __spark_entry__ as entry_mod
-
-    df = entry_mod.queries()[name](spark, SF_DIR)
+def _assert_plan_clean(name, df, bnlj_ok=False):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
 
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product:\n{plan}"
-    if name not in BNLJ_ALLOWED:
+    if not bnlj_ok:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans an unbounded nested-loop join:\n{plan}"
         )
     assert "BatchEvalPython" not in plan, (
         f"{name} uses a row-at-a-time Python UDF (use Arrow batches):\n{plan}"
     )
+
+
+@pytest.mark.parametrize("name", _names())
+def test_no_cartesian_or_interpreted_python(spark, name):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    _assert_plan_clean(name, df, bnlj_ok=name in BNLJ_ALLOWED)
+
+
+def _internal_plans():
+    """Plan builders hidden behind the memoized near-dup pipeline: the
+    registered queries return checkpointed frames (whose physical plan is
+    just a block scan), so the real candidate-generation plans are
+    guarded here directly."""
+    from mini_hadoop_spark.operators import dedup
+
+    return {
+        "near_dup_pairs_jaccard_plan": dedup._near_jaccard_plan,
+        "near_dup_pairs_minhash_plan": dedup._minhash_lsh_plan,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_internal_plans()))
+def test_internal_pair_plans_clean(spark, name):
+    df = _internal_plans()[name](spark, SF_DIR)
+    _assert_plan_clean(name, df)
