@@ -8,12 +8,15 @@ pipeline needs:
 * an opaque ``binary`` payload column + typed metadata columns
   (modality, byte length, content digest, magic-prefix sniffing) —
   pure JVM expressions, oracle-checked (``multimodal_meta``);
-* Arrow-batched ``mapInPandas`` feature extraction with a REAL batch
-  contract (schema, partition-parallel, bounded memory via
-  ``maxRecordsPerBatch``) and a STUBBED decoder — the container has no
-  image/audio libs, so ``decode_payload`` raises ``NotImplementedError``
-  unless ``fake=True``, which substitutes a deterministic byte-histogram
-  "feature vector" (``multimodal_features``, rows-only check + pytest).
+* feature extraction with TWO interchangeable engines: the registered
+  ``multimodal_features`` computes the deterministic byte-histogram
+  "feature vector" as pure JVM expressions (whole-stage codegen, full
+  DuckDB oracle), while ``extract_features`` is the Arrow-batched
+  ``mapInPandas`` twin with a REAL batch contract (schema, partition-
+  parallel, bounded memory) — the seam a real decoder plugs into.  The
+  container has no image/audio libs, so ``decode_payload`` raises
+  ``NotImplementedError`` unless ``fake=True``; tests assert the two
+  fake paths produce identical features.
 
 At 100 TB: payloads live in parquet binary columns; the meta pass is a
 projection (no shuffle); feature extraction is mapInPandas — linear,
@@ -128,17 +131,42 @@ def extract_features(binary_df: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def byte_histogram_features(payload, dim: int = FEATURE_DIM) -> list:
+    """The fake decoder's byte histogram as PURE JVM expressions — no
+    Python anywhere: ``byte % 8`` equals the byte's low hex nibble % 8
+    (16 ≡ 0 mod 8), so the histogram falls out of the payload's hex
+    string with one regex projection (keep every second char) plus one
+    ``translate`` count per bin.  Returns ``dim`` unrounded feature
+    columns ``count_b / max(n_bytes, 1)`` — bit-identical to
+    ``decode_payload(..., fake=True)`` (same integer counts, one IEEE
+    double division) and SQL-expressible, which upgrades the registered
+    query from rows-only to a full DuckDB oracle."""
+    if dim != 8:
+        raise ValueError("byte_histogram_features requires dim == 8 (low-nibble identity)")
+    lows = F.regexp_replace(F.lower(F.hex(payload)), "(.)(.)", "$2")
+    total = F.greatest(F.octet_length(payload), F.lit(1))
+    return [
+        (F.length(lows) - F.length(F.translate(lows, f"{b:x}{b + 8:x}", ""))) / total
+        for b in range(dim)
+    ]
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction end-to-end with the deterministic fake decoder;
-    rows-only driver check (the mapInPandas step has no SQL twin), exact
-    values asserted in tests/test_multimodal.py."""
-    feats = extract_features(synth_binary_docs(spark, sf_dir), fake=True)
-    return feats.select(
+    """Feature extraction end-to-end with the deterministic fake decoder
+    expressed as JVM byte-histogram expressions (full DuckDB oracle;
+    whole-stage codegen, zero Python).  The Arrow-batched mapInPandas
+    twin (``extract_features``) remains the seam a REAL decoder plugs
+    into — tests/test_llm_pipeline.py asserts both paths produce
+    identical features."""
+    from mini_hadoop_spark.functions.text import round_half_up
+
+    b = synth_binary_docs(spark, sf_dir)
+    feats = byte_histogram_features(F.col("payload"))
+    return b.select(
         "doc_id",
         "modality",
-        "n_bytes",
-        F.round(F.col("features").getItem(0), 6).alias("f0"),
-        F.round(F.col("features").getItem(1), 6).alias("f1"),
+        F.octet_length("payload").alias("n_bytes"),
+        *[round_half_up(f, 6).alias(f"f{i}") for i, f in enumerate(feats)],
     )
 
 
@@ -243,9 +271,41 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
+def _features_sql() -> str:
+    from mini_hadoop_spark.functions.text import sql_round_half_up
+
+    bins = ",\n       ".join(
+        sql_round_half_up(
+            f"(length(lows) - length(translate(lows, '{b:x}{b + 8:x}', ''))) / greatest(n_bytes, 1)",
+            6,
+        )
+        + f" AS f{b}"
+        for b in range(FEATURE_DIM)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         encode(text) AS payload
+  FROM documents
+), h AS (
+  SELECT doc_id, modality, octet_length(payload) AS n_bytes,
+         regexp_replace(lower(hex(payload)), '(.)(.)', '\\2', 'g') AS lows
+  FROM b
+)
+SELECT doc_id, modality, n_bytes,
+       {bins}
+FROM h
+"""
+
+
+MULTIMODAL_FEATURES_SQL = _features_sql()
+
+
 ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
-    # multimodal_features: mapInPandas decode path — rows-only check;
-    # exact values asserted in tests.
 }

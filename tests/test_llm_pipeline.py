@@ -275,6 +275,32 @@ def test_extract_features_end_to_end(spark):
         assert r.n_bytes > 0
 
 
+def test_expression_features_match_mapinpandas_exactly(spark):
+    """The registered JVM-expression byte histogram and the Arrow-batched
+    mapInPandas fake decoder must agree BIT-FOR-BIT on every document —
+    the guarantee that swapping in a real decoder changes the decode
+    step only, not the surrounding contract."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.multimodal import (
+        FEATURE_DIM,
+        byte_histogram_features,
+        extract_features,
+        synth_binary_docs,
+    )
+
+    src = synth_binary_docs(spark, SF_DIR)
+    expr = {
+        r.doc_id: [r[f"f{i}"] for i in range(FEATURE_DIM)]
+        for r in src.select(
+            "doc_id",
+            *[f.alias(f"f{i}") for i, f in enumerate(byte_histogram_features(F.col("payload")))],
+        ).collect()
+    }
+    arrow = {r.doc_id: list(r.features) for r in extract_features(src, fake=True).collect()}
+    assert expr == arrow  # exact float equality, no tolerance
+
+
 def test_sample_frames_slicing_exact(spark):
     """1→N frame expansion: every 4th 64-byte slice, exact boundaries."""
     from mini_hadoop_spark.operators.multimodal import FRAME_SIZE, sample_frames
