@@ -241,13 +241,40 @@ def run_job(
     # visibly wrong for non-deterministic or side-effecting reducers)
     reduced = reduced.persist()
 
-    if reduced.isEmpty():
+    # ONE action (replacing a bare isEmpty) answers two questions: is the
+    # result empty, and are the pair types homogeneous?  The latter
+    # matters because a reducer may legally return different value types
+    # per key (the reference JSON-encodes ANY value, job_runner.ex:
+    # 242-270) — and sampled schema inference doesn't fail on such an
+    # RDD, it silently NULLS the rows that don't match the sampled type.
+    # Heterogeneously-typed keys/values are stringified instead (None
+    # stays null); homogeneous jobs keep their real types.  Same-named
+    # containers with differing element types (e.g. list[int]/list[str])
+    # still fall to inference — documented limitation.
+    type_pairs = reduced.map(
+        lambda kv: (type(kv[0]).__name__, type(kv[1]).__name__)
+    ).distinct().collect()
+
+    def _homogeneous(names: set[str]) -> bool:
+        base = names - {"NoneType"}
+        return len(base) <= 1 or base <= {"int", "float"}
+
+    if not type_pairs:
         # empty input -> empty result typed (string, string) — a FIXED
         # documented fallback, since no schema can be inferred from an
         # empty RDD; callers unioning across runs should supply their own
         # casts (the reference likewise emits an empty output file)
         pairs_df = spark.createDataFrame([], "key string, value string")
     else:
+        key_ok = _homogeneous({k for k, _ in type_pairs})
+        val_ok = _homogeneous({v for _, v in type_pairs})
+        if not (key_ok and val_ok):
+            reduced = reduced.map(
+                lambda kv: (
+                    kv[0] if key_ok else str(kv[0]),
+                    kv[1] if val_ok else (None if kv[1] is None else str(kv[1])),
+                )
+            )
         pairs_df = spark.createDataFrame(reduced, ["key", "value"])
 
     if spec.sort_result_opt is not None:
@@ -265,14 +292,18 @@ def run_job(
     output_paths = None
     if spec.output_dir is not None:
         # reference result naming: <job_name>_<id>.json and
-        # <job_name>_<id>_<sorted|unsorted>.txt (job_runner.ex:243, 280)
+        # <job_name>_<id>_<unsorted|sorted_by_<by>_<dir>>.txt
+        # (job_runner.ex:243, 274-280)
         import os
 
         from mini_hadoop_spark.sources.sinks import write_json_object, write_tsv_headered
 
         os.makedirs(spec.output_dir, exist_ok=True)
         json_path = os.path.join(spec.output_dir, f"{spec.job_name}_{spec.id}.json")
-        suffix = "sorted" if spec.sort_result_opt is not None else "unsorted"
+        if spec.sort_result_opt is None:
+            suffix = "unsorted"
+        else:
+            suffix = f"sorted_by_{spec.sort_result_opt[0]}_{spec.sort_result_opt[1]}"
         tsv_path = os.path.join(spec.output_dir, f"{spec.job_name}_{spec.id}_{suffix}.txt")
         write_json_object(pairs_df, json_path)
         write_tsv_headered(pairs_df, tsv_path, sort_result_opt=spec.sort_result_opt)

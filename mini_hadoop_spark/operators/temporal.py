@@ -125,8 +125,19 @@ def range_join_binned(
 
     Returns all left columns plus every right column (right's ``key``
     dropped; its ts column surfaced as ``matched_<right_ts>``)."""
-    bin_l = (F.unix_micros(F.col(left_ts)) / F.lit(max_gap_sec * 1_000_000)).cast("long")
-    bin_r = (F.unix_micros(F.col(right_ts)) / F.lit(max_gap_sec * 1_000_000)).cast("long")
+    def _bin(ts: str) -> Column:
+        us = F.unix_micros(F.col(ts))
+        gap = F.lit(max_gap_sec * 1_000_000)
+        # FLOOR-consistent binning for every epoch: double-divide +
+        # cast("long") (and SQL DIV) truncate toward zero, so pre-1970
+        # (negative-epoch) timestamps would bin one cell too high and an
+        # in-range pair could fall outside the probed two-bin window.
+        # (us - pmod(us, gap)) is exactly divisible, making the division
+        # an exact floor at any magnitude.
+        return ((us - F.pmod(us, gap)) / gap).cast("long")
+
+    bin_l = _bin(left_ts)
+    bin_r = _bin(right_ts)
 
     l = left.withColumn("_bin", F.explode(F.array(bin_l, bin_l + 1)))
     r = right.withColumn("_bin", bin_r).withColumnRenamed(key, "_rk")

@@ -30,6 +30,18 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table as a DataFrame.
+
+    SIDE EFFECT on the session: every call pins
+    ``spark.sql.session.timeZone=UTC`` (and, for ``events``,
+    ``spark.sql.legacy.parquet.nanosAsLong=true``) as session-global
+    runtime confs.  This is required by the driver contract — the
+    external harness runs these queries on a vanilla session it built
+    itself, so the confs the package needs MUST be set at runtime here —
+    but it also changes timestamp rendering for any UNRELATED queries an
+    external owner runs on the same session afterwards.  Callers
+    embedding this package in a shared session should save/restore those
+    confs if they depend on non-UTC rendering."""
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     # Runtime confs (NOT session-build confs): the external driver runs

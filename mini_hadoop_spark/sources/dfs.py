@@ -71,7 +71,17 @@ class FileStore:
         return self.spark.read.parquet(self._path(filename)).count()
 
     def retrieve_file(self, filename: str, local_path: str) -> int:
-        """Reassemble the stored file to a local path in line order."""
+        """Reassemble the stored file to a local path in line order.
+
+        Deliberate deviation from the reference: on a partially-
+        retrievable file the reference marks the operation completed-
+        with-warning and returns the bytes it could reassemble
+        (file_operation.ex:418-423).  Here retrieval is all-or-raise —
+        a missing parquet part fails the read outright — for the same
+        reason the C5 failure-accounting deviation exists (see
+        engine/mapreduce.py): silently returning partial data is the
+        one behavior a data pipeline cannot detect downstream; Spark's
+        fail-loud read surfaces the storage fault instead."""
         if not self.exists(filename):
             raise FileNotFoundError(f"not in store: {filename}")
         df = self.spark.read.parquet(self._path(filename)).orderBy(F.col("line_idx"))

@@ -7,10 +7,17 @@ Reference parity (citations into /root/reference):
   ``{"key": value, ...}`` streamed in 250-entry chunks
   (@write_chunk_size, job_runner.ex:12).
 * Headered TSV sink — job_runner.ex:272-323: ``key\\tvalue`` lines
-  under a ``# <sorted|unsorted ...> - Total: N entries`` header that
-  the reference back-patches by seeking to offset 0 over a 50-char
-  placeholder; we reproduce the same seek-back trick (and the same
-  50-char pad) so output files are byte-compatible in shape.
+  under a ``# <sorted by <by> <dir>|unsorted> - Total: N entries``
+  header.  In UNSORTED mode the reference back-patches the count by
+  seeking to offset 0 over a 50-char placeholder; we reproduce the
+  same seek-back trick (and the same 50-char pad), so unsorted files
+  are byte-compatible in shape.  In SORTED mode the reference holds
+  everything in memory, so it writes an UNPADDED header up front and
+  joins rows without a trailing newline (job_runner.ex:313-320); we
+  deliberately keep the one-pass streaming shape (padded header +
+  newline-terminated rows) there instead — header TEXT matches, byte
+  layout intentionally does not (the reference's in-memory sort is the
+  thing this sink exists to avoid).
 
 Both single-file writers stream via ``toLocalIterator`` — bounded
 driver memory (one partition at a time), matching the reference's
@@ -59,9 +66,13 @@ def write_tsv_headered(
     """Write ``key\\tvalue`` lines with the reference's counted header.
 
     Unsorted mode streams rows then seek-back-patches the count into a
-    50-char padded header line — the exact job_runner.ex:272-323
-    mechanism.  Sorted mode sorts DISTRIBUTED first (orderBy, not the
-    reference's in-memory Enum.sort) and then streams the same way."""
+    50-char padded header line — the exact job_runner.ex:283-310
+    mechanism and byte shape.  Sorted mode sorts DISTRIBUTED first
+    (orderBy, not the reference's in-memory Enum.sort) and then streams
+    through the SAME padded+seek-back path: the header text matches the
+    reference but the byte layout does not (see module docstring) —
+    matching it would require counting before streaming, an extra job
+    per sink write."""
     from pyspark.sql import functions as F
 
     suffix = "unsorted" if sort_result_opt is None else (

@@ -312,8 +312,9 @@ def test_write_tsv_headered_sorted_by_value_desc(spark, tmp_path):
 
 def test_run_job_output_dir_writes_reference_named_files(spark, tmp_path):
     """output_dir set -> JSON + headered-TSV results land with the
-    reference's naming (<job_name>_<id>.json / _<sorted|unsorted>.txt,
-    job_runner.ex:243,280) and round-trip the pairs."""
+    reference's naming (<job_name>_<id>.json /
+    _<unsorted|sorted_by_<by>_<dir>>.txt, job_runner.ex:243,274-280)
+    and round-trip the pairs."""
     import json
 
     from mini_hadoop_spark.engine import JobSpec, run_job
@@ -332,11 +333,30 @@ def test_run_job_output_dir_writes_reference_named_files(spark, tmp_path):
     res = run_job(spark, spec)
     json_path, tsv_path = res.output_paths
     assert json_path.endswith(f"wc_{spec.id}.json")
-    assert tsv_path.endswith(f"wc_{spec.id}_sorted.txt")
+    assert tsv_path.endswith(f"wc_{spec.id}_sorted_by_value_desc.txt")
     assert json.load(open(json_path)) == {"a": 1, "b": 3, "c": 1}
     lines = open(tsv_path).read().splitlines()
     assert lines[0].startswith("# sorted by value desc - Total: 3 entries")
     assert lines[1:] == ["b\t3", "a\t1", "c\t1"]
+
+
+def test_run_job_heterogeneous_values_fall_back_to_strings(spark, tmp_path):
+    """A reducer may return different value types per key (the reference
+    JSON-encodes anything); schema inference can't type that, so run_job
+    must fall back to stringified values instead of erroring."""
+    from mini_hadoop_spark.engine import JobSpec, run_job
+
+    inp = tmp_path / "in.txt"
+    inp.write_text("a b\n")
+    spec = JobSpec.create(
+        job_name="hetero",
+        input_files=[str(inp)],
+        map_function=lambda block, _c: [(w, 1) for w in block.split()],
+        # key 'a' -> int, key 'b' -> list: unmergeable inferred types
+        reduce_function=lambda k, vs, _c: sum(vs) if k == "a" else list(vs),
+    )
+    got = dict(run_job(spark, spec).collect_pairs())
+    assert got == {"a": "1", "b": "[1]"}
 
 
 def test_distributed_writers_roundtrip(spark, tmp_path):

@@ -98,6 +98,32 @@ def test_range_join_binned_boundaries(spark):
     assert sorted(r.rid for r in out.collect()) == [10, 11]
 
 
+def test_range_join_binned_pre_1970_epochs(spark):
+    """Negative-epoch regression: truncating division bins pre-1970
+    timestamps one cell too high (trunc ≠ floor below zero), silently
+    dropping in-range pairs that span a bin edge.  The floor-consistent
+    binning must find them."""
+    from mini_hadoop_spark.operators.temporal import range_join_binned
+
+    gap = 60
+    # 1969-12-31 23:59:50 is epoch -10s (bin -1); a follow-up 15s later
+    # at epoch +5s (bin 0) is in range and must be probed via bin+1
+    left = spark.createDataFrame(
+        [(1, 7, _ts("1969-12-31 23:59:50"))], "lid long, k long, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 7, _ts("1970-01-01 00:00:05")),   # +15s, crosses bin edge -> in
+            (11, 7, _ts("1969-12-31 23:59:55")),   # +5s, same bin -> in
+            (12, 7, _ts("1970-01-01 00:01:10")),   # +80s -> out
+            (13, 7, _ts("1969-12-31 23:59:40")),   # before left -> out
+        ],
+        "rid long, k long, rts timestamp",
+    )
+    out = range_join_binned(left, right, key="k", left_ts="lts", right_ts="rts", max_gap_sec=gap)
+    assert sorted(r.rid for r in out.collect()) == [10, 11]
+
+
 def test_asof_null_keys_never_match(spark):
     """SQL equi-join semantics: NULL keys match nothing (NULL != NULL).
     Regression: Window.partitionBy groups nulls into ONE partition, so
