@@ -12,8 +12,14 @@ Reference parity (citations into /root/reference):
   (task_executor.ex:93-132), but the README-documented public contract
   (README.md:584-585) and the example unit tests
   (word_count_test.exs:41-64) are per-key: ``reduce_fn(key, values,
-  context)``.  We expose the per-key contract — it is the documented
-  one, and maps 1:1 onto ``groupByKey().map`` (SURVEY.md §7.3).
+  context)``.  The per-key contract is the default — it is the
+  documented one, and maps 1:1 onto ``groupByKey().map`` (SURVEY.md
+  §7.3).  The engine-actual convention is ALSO offered:
+  ``JobSpec.create(..., reduce_mode="per_range")`` calls
+  ``reduce_fn(pairs_map, context)`` once per range partition with the
+  whole ``{key: [values]}`` dict, after a ``sortByKey`` whose
+  RangePartitioner reproduces SH1/SH2 (sample keys -> contiguous
+  ranges, job_runner.ex:534-577) with Spark's own reservoir sampling.
 * Whole-block mappers — the reference maps 8 MB blocks, not lines
   (task_executor.ex:141), so mappers amortize per-block setup.  Here a
   map task receives ONE newline-joined string per Spark partition
@@ -89,6 +95,16 @@ def _normalize_fn(fn: Callable, kind: str) -> Callable:
         if arity == 2:
             return fn
         raise JobSpecError(f"map function has invalid arity: {arity}. Must be 1 or 2.")
+    if kind == "reduce_range":
+        # engine-actual contract (task_executor.ex:93-132):
+        # reduce_fn(pairs_map[, context]) over a whole range partition
+        if arity == 1:
+            return lambda pairs, _ctx: fn(pairs)
+        if arity == 2:
+            return fn
+        raise JobSpecError(
+            f"per-range reduce function has invalid arity: {arity}. Must be 1 or 2."
+        )
     # reduce: per-key README contract (key, values[, context])
     if arity == 2:
         return lambda key, values, _ctx: fn(key, values)
@@ -109,13 +125,28 @@ class JobSpec:
     map_context: dict = field(default_factory=dict)
     reduce_context: dict = field(default_factory=dict)
     sort_result_opt: tuple[str, str] | None = None
+    reduce_mode: str = "per_key"
     id: str = field(default_factory=lambda: f"job_{uuid.uuid4().hex[:4]}")
 
     @classmethod
-    def create(cls, check_files: bool = True, **attrs: Any) -> "JobSpec":
+    def create(
+        cls, check_files: bool = True, reduce_mode: str = "per_key", **attrs: Any
+    ) -> "JobSpec":
         """Validated construction mirroring job_spec.ex:35-51.
 
+        ``reduce_mode`` selects the reduce calling convention and is a
+        keyword (not a spec attr) so the attrs/error surface stays
+        reference-parity: ``"per_key"`` (default, README.md:584-585) =
+        ``reduce_fn(key, values[, context])``; ``"per_range"``
+        (engine-actual, task_executor.ex:93-132) =
+        ``reduce_fn({key: [values]}[, context])`` once per range
+        partition.
+
         Raises :class:`JobSpecError` with reference-parity messages."""
+        if reduce_mode not in ("per_key", "per_range"):
+            raise JobSpecError(
+                f"reduce_mode must be 'per_key' or 'per_range', got: {reduce_mode!r}"
+            )
         invalid = [k for k in attrs if k not in _ALLOWED_KEYS]
         if invalid:
             raise JobSpecError(
@@ -162,8 +193,11 @@ class JobSpec:
                 raise JobSpecError(f"Input files do not exist: {', '.join(missing_files)}")
 
         attrs["map_function"] = _normalize_fn(attrs["map_function"], "map")
-        attrs["reduce_function"] = _normalize_fn(attrs["reduce_function"], "reduce")
-        return cls(**attrs)
+        attrs["reduce_function"] = _normalize_fn(
+            attrs["reduce_function"],
+            "reduce_range" if reduce_mode == "per_range" else "reduce",
+        )
+        return cls(reduce_mode=reduce_mode, **attrs)
 
 
 @dataclass
@@ -205,10 +239,18 @@ def run_job(
     map phase   : one call per partition with the newline-joined block
                   (whole-block contract) -> validated [(k, v)].
     shuffle     : Spark hash shuffle on the key (replaces SH1-SH3
-                  sampling/ranging/pulling, all delegated — SURVEY §4).
+                  sampling/ranging/pulling, all delegated — SURVEY §4);
+                  ``reduce_mode="per_range"`` shuffles with a
+                  RangePartitioner instead (sortByKey), the direct
+                  analogue of the reference's sampled contiguous key
+                  ranges (job_runner.ex:534-577).
     reduce phase: per-key ``reduce_fn(key, values, context)`` after
                   groupByKey, or ``combiner`` + reduceByKey when the
-                  caller declares associativity (map-side combine).
+                  caller declares associativity (map-side combine); in
+                  per-range mode, one ``reduce_fn({key: [values]},
+                  context) -> [(k, v)]`` call per range partition
+                  (task_executor.ex:93-132), output pairs validated
+                  exactly like map output (task_executor.ex:176-211).
     """
     sc = spark.sparkContext
     map_fn = spec.map_function
@@ -226,7 +268,27 @@ def run_job(
 
     mapped = rdd.mapPartitions(map_partition)
 
-    if combiner is not None:
+    if spec.reduce_mode == "per_range":
+        if combiner is not None:
+            raise ValueError(
+                "combiner= requires per-key reduce; a per-range reducer sees "
+                "value LISTS, which a pre-combine would collapse"
+            )
+        # sortByKey's RangePartitioner samples keys and builds contiguous
+        # ranges — the Spark-native form of SH1/SH2; each partition then
+        # carries the reference's whole %{key => [values]} map
+        grouped = mapped.groupByKey().sortByKey()
+
+        def reduce_range_partition(items):
+            pairs = {k: list(v) for k, v in items}
+            if not pairs:
+                return iter(())
+            return iter(
+                _validate_pairs(reduce_fn(pairs, bc_reduce_ctx.value), "reduce")
+            )
+
+        reduced = grouped.mapPartitions(reduce_range_partition)
+    elif combiner is not None:
         reduced = mapped.reduceByKey(combiner).map(
             lambda kv: (kv[0], reduce_fn(kv[0], [kv[1]], bc_reduce_ctx.value))
         )

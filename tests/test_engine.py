@@ -170,6 +170,120 @@ def test_wordcount_shim_sorted_output(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Per-range reduce (the engine-actual calling convention,
+# task_executor.ex:93-132: one call per range partition with the whole
+# %{key => [values]} map)
+# ---------------------------------------------------------------------------
+
+def test_per_range_reduce_matches_per_key(spark, tmp_path):
+    """A per-range wordcount reducer (whole-map contract) must produce
+    exactly the per-key reducer's result."""
+    from mini_hadoop_spark.engine.examples import word_count_mapper
+
+    p = tmp_path / "input.txt"
+    p.write_text("b b b a a c\nc a range range")
+
+    def range_reducer(pairs):  # arity-1: context-free engine contract
+        return [(k, sum(v for v in vals if isinstance(v, int))) for k, vals in pairs.items()]
+
+    per_range = run_job(
+        spark,
+        JobSpec.create(
+            job_name="wc_range", input_files=[str(p)],
+            map_function=word_count_mapper,
+            reduce_function=range_reducer,
+            reduce_mode="per_range",
+        ),
+    )
+    per_key = run_job(
+        spark,
+        JobSpec.create(
+            job_name="wc_key", input_files=[str(p)],
+            map_function=word_count_mapper,
+            reduce_function=lambda k, vals: sum(v for v in vals if isinstance(v, int)),
+        ),
+    )
+    assert dict(per_range.collect_pairs()) == dict(per_key.collect_pairs())
+    assert dict(per_range.collect_pairs()) == {"b": 3, "a": 3, "c": 2, "range": 2}
+
+
+def test_per_range_reducer_sees_whole_partition_map(spark, tmp_path):
+    """The reducer may emit pairs derived from CROSS-key state — only
+    possible under the whole-map contract (a per-key reducer cannot see
+    sibling keys).  Emitting one (key, rank-within-partition) pair per
+    key exercises exactly that."""
+    p = tmp_path / "input.txt"
+    p.write_text("a b c d")
+
+    def range_reducer(pairs, _ctx):
+        # rank keys within the partition — needs the whole map
+        ordered = sorted(pairs)
+        return [(k, {"rank": i, "siblings": len(ordered)}) for i, k in enumerate(ordered)]
+
+    result = run_job(
+        spark,
+        JobSpec.create(
+            job_name="xkey", input_files=[str(p)],
+            map_function=lambda block: [(w, 1) for w in block.split()],
+            reduce_function=range_reducer,
+            reduce_mode="per_range",
+        ),
+    )
+    got = dict(result.collect_pairs())
+    assert set(got) == {"a", "b", "c", "d"}
+    # every key got a rank < its partition's sibling count
+    for v in got.values():
+        assert v["rank"] < v["siblings"]
+
+
+def test_per_range_reduce_validates_output_pairs(spark, tmp_path):
+    """Per-range output passes the same list-of-pairs validation as map
+    output (task_executor.ex:176-211)."""
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "input.txt"
+    p.write_text("x y")
+    spec = JobSpec.create(
+        job_name="bad", input_files=[str(p)],
+        map_function=lambda block: [(w, 1) for w in block.split()],
+        reduce_function=lambda pairs: {"not": "a list"},
+        reduce_mode="per_range",
+    )
+    with pytest.raises(Py4JJavaError, match="must return a list"):
+        run_job(spark, spec)
+
+
+def test_per_range_rejects_combiner_and_bad_mode(tmp_path):
+    p = tmp_path / "input.txt"
+    p.write_text("x")
+    with pytest.raises(JobSpecError, match="reduce_mode must be"):
+        JobSpec.create(
+            job_name="x", input_files=[str(p)],
+            map_function=_noop_map, reduce_function=lambda pairs: [],
+            reduce_mode="per_partition",
+        )
+    with pytest.raises(JobSpecError, match="per-range reduce function has invalid arity"):
+        JobSpec.create(
+            job_name="x", input_files=[str(p)],
+            map_function=_noop_map, reduce_function=lambda a, b, c: [],
+            reduce_mode="per_range",
+        )
+
+
+def test_per_range_combiner_conflict(spark, tmp_path):
+    p = tmp_path / "input.txt"
+    p.write_text("x y x")
+    spec = JobSpec.create(
+        job_name="x", input_files=[str(p)],
+        map_function=lambda block: [(w, 1) for w in block.split()],
+        reduce_function=lambda pairs: [(k, sum(v)) for k, v in pairs.items()],
+        reduce_mode="per_range",
+    )
+    with pytest.raises(ValueError, match="combiner= requires per-key reduce"):
+        run_job(spark, spec, combiner=lambda a, b: a + b)
+
+
+# ---------------------------------------------------------------------------
 # PageRank through the shim (page_rank_test.exs semantics)
 # ---------------------------------------------------------------------------
 
