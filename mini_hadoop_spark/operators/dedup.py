@@ -521,8 +521,35 @@ CC_CHECKPOINT_EVERY = 5  # truncate lineage every N iterations
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = CC_MAX_ITER
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = CC_MAX_ITER,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
+    """Connected-component labels ``(id, label)``: every vertex's label
+    converges to the minimum vertex id of its component.
+
+    Two algorithms:
+
+    * ``"hashmin"`` (default) — label propagation, O(diameter)
+      iterations of one equi-join + one min-aggregate.  Right for
+      near-dup graphs, whose clusters have tiny diameters.
+    * ``"two-phase"`` — the large-star/small-star alternation (Kiveris
+      et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+      O(log² n) rounds regardless of diameter, each round two
+      groupBy+join passes over the shrinking edge set.  Right for
+      long-chain / high-diameter graphs where HashMin's per-hop
+      propagation would need hundreds of keyed shuffles.
+    """
+    if algorithm == "two-phase":
+        return _cc_two_phase(edges, src, dst, max_iter)
+    if algorithm != "hashmin":
+        raise ValueError(f"unknown CC algorithm {algorithm!r}; expected 'hashmin' or 'two-phase'")
+    return _cc_hashmin(edges, src, dst, max_iter)
+
+
+def _cc_hashmin(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     """HashMin label propagation: every vertex's label converges to the
     minimum vertex id of its connected component.
 
@@ -592,6 +619,104 @@ def connected_components(
     labels.unpersist()
     und.unpersist()
     return result
+
+
+def _cc_two_phase(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    SoCC'14) — O(log² n) rounds independent of graph diameter.
+
+    Edges are kept canonical ``(a, b), a < b``.  Per round:
+
+    * LARGE-STAR: for each vertex u (edges directed both ways), with
+      m = min(neighbors ∪ {u}), rewire every neighbor v > u to m.
+    * SMALL-STAR: orient edges high→low; for each u with smaller
+      neighborhood Γ and m = min(Γ), rewire every v ∈ Γ∖{m} to m and
+      connect u to m.
+
+    Both steps only ever LOWER edge-endpoint sums (a rewrite replaces
+    (v,u) with (v,m), m ≤ u, strict when anything changes), so an
+    unchanged (count, Σ endpoints) pair IS the fixpoint — one scalar agg
+    per round, which doubles as the cache-fill action, no edge-set diff
+    join.  At the fixpoint the edge set is a forest of stars: every
+    non-root vertex holds exactly its (root, v) edge — labels fall out
+    by projection.  Raises if not converged within ``max_iter`` rounds
+    (log₂²(n) is a handful for any real graph)."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # all original vertices (self-loops included) get a label row
+    verts = (
+        raw.select(F.col("a").alias("id"))
+        .unionAll(raw.select(F.col("b").alias("id")))
+        .distinct()
+        .persist()
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+        .persist()
+    )
+    # decimal sums: int64 could overflow (and wrap) on billions of large
+    # ids, corrupting the convergence witness
+    _wit = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("a").cast("decimal(38,0)") + F.col("b").cast("decimal(38,0)")).alias("s"),
+    ]
+    prev = e.agg(*_wit).first()
+    converged = False
+    for it in range(max_iter):
+        # ---- large-star ----
+        d = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+        m = F.least(F.col("mn"), F.col("u"))
+        ls = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(m.alias("a"), F.col("v").alias("b"))  # m <= u < v: canonical
+            .distinct()
+        )
+        # ---- small-star (edges oriented high->low: u=b, v=a) ----
+        d2 = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = d2.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            d2.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))  # m = min(Γ) < v
+        )
+        anchors = mins2.select(F.col("m").alias("a"), F.col("u").alias("b"))  # m < u
+        # checkpoint EVERY round (not every CC_CHECKPOINT_EVERY like
+        # HashMin): one round references `e` ~6 times (union both
+        # directions, then ls feeds d2/mins2/rewired), so the analyzed
+        # plan grows ~6x per round — persist() caches data but never
+        # truncates the logical plan, and Catalyst analysis goes
+        # exponential by round 3.  The lazy checkpoint materializes on
+        # the witness agg below, which doubles as the cache-fill action.
+        new_e = rewired.unionAll(anchors).distinct().localCheckpoint(eager=False)
+        cur = new_e.agg(*_wit).first()  # fills the checkpoint
+        e.unpersist()
+        e = new_e
+        if (cur["cnt"], cur["s"]) == (prev["cnt"], prev["s"]):
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        e.unpersist()
+        verts.unpersist()
+        raise RuntimeError(f"two-phase CC did not converge in {max_iter} rounds")
+    # star forest: non-roots are the b side (label = a); everything else
+    # (roots, isolated vertices) labels itself.  The min-agg makes the
+    # projection a function of id by construction (at the fixpoint each
+    # non-root has exactly one root edge anyway).
+    roots = e.groupBy(F.col("b").alias("id")).agg(F.min("a").alias("root"))
+    labels = (
+        verts.join(roots, "id", "left")
+        .select("id", F.coalesce("root", "id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    e.unpersist()
+    verts.unpersist()
+    return labels
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str, method: str = "jaccard") -> DataFrame:

@@ -383,6 +383,54 @@ def test_connected_components_long_chain_exercises_checkpoint(spark):
     assert got == {i: 1 for i in range(1, n + 1)}
 
 
+def test_two_phase_cc_converges_where_hashmin_cannot(spark):
+    """A 60-vertex chain has diameter 59: HashMin needs ~59 propagation
+    rounds and must raise at max_iter=12, while the two-phase large-star/
+    small-star variant collapses it within the same 12-round budget —
+    the high-diameter escape hatch the HashMin docstring promises."""
+    import pytest as pt
+
+    from mini_hadoop_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    with pt.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, "doc_a", "doc_b", max_iter=12)
+    got = {
+        r.id: r.label
+        for r in connected_components(
+            chain, "doc_a", "doc_b", max_iter=12, algorithm="two-phase"
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_two_phase_cc_matches_hashmin_on_mixed_graph(spark):
+    """Same labels as HashMin on a graph mixing chains, a clique, self
+    loops, reversed edges and singleton components."""
+    from mini_hadoop_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 3),            # chain with reversed edge
+         (10, 11), (11, 12), (10, 12),      # triangle
+         (20, 20),                          # self-loop singleton
+         (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    hashmin = {
+        r.id: r.label for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    two_phase = {
+        r.id: r.label
+        for r in connected_components(
+            edges, "doc_a", "doc_b", algorithm="two-phase"
+        ).collect()
+    }
+    assert two_phase == hashmin
+    assert two_phase[20] == 20  # self-loop vertex labels itself
+
+
 def test_triangle_enumeration_on_planted_graphs(spark):
     """K4 (4 vertices, all 6 oriented edges) has exactly 4 triangles;
     a 4-chain has 0 — the oriented a<b<c enumeration must count each
