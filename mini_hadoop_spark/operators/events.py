@@ -89,7 +89,9 @@ WITH e AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+-- session_seq::BIGINT: DuckDB's windowed sum(int) is HUGEINT, which
+-- stringifies as '0.0' under full-precision hashing vs Spark's LongType '0'
+SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
        round((max(ts_us) - min(ts_us)) / 1000000.0, 6) AS duration_sec
 FROM sessions
 GROUP BY user_id, session_seq
@@ -134,10 +136,11 @@ WITH e AS (
   FROM e
 ), sessions AS (
   -- event_id tiebreak keeps the cumulative sum deterministic when a
-  -- user has duplicate timestamps (must match the lag() ordering above)
+  -- user has duplicate timestamps (must match the lag() ordering above).
+  -- ::BIGINT defends against HUGEINT leaking if session_seq is ever projected.
   SELECT user_id, ts_us,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
   FROM flagged
 )
 SELECT user_id,
