@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -47,15 +48,26 @@ EVENTS_STREAM_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
-    (The driver's events.parquet stores ts as TIMESTAMP(NANOS); a
-    streaming source needs the nanosAsLong conf just like the batch
-    catalog, then the same exact micros conversion.)"""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = StructType(
-        [f if f.name != "ts" else StructField("ts", LongType()) for f in EVENTS_STREAM_SCHEMA]
+    A streaming source must commit to a fixed read schema up front, so
+    the on-disk ``ts`` encoding (the data generator has shipped INT64
+    TIMESTAMP(NANOS) in some rounds and plain ``timestamp[us]`` in
+    others) is probed with a batch read of the same directory, then the
+    matching raw type + normalization expression is applied — identical
+    semantics to the batch catalog's ``load_table``."""
+    from mini_hadoop_spark.sources.catalog import events_ts_encoding, normalize_events_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    enc = events_ts_encoding(spark, events_dir)
+    raw_ts_type = {
+        "nanos": LongType(),
+        "ntz": TimestampNTZType(),
+        "ts": TimestampType(),
+    }[enc]
+    schema = StructType(
+        [f if f.name != "ts" else StructField("ts", raw_ts_type) for f in EVENTS_STREAM_SCHEMA]
     )
-    raw = spark.readStream.schema(nanos_schema).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    return raw.withColumn("ts", normalize_events_ts(enc))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
