@@ -84,14 +84,15 @@ WITH e AS (
               THEN 1 ELSE 0 END AS new_session
   FROM e
 ), sessions AS (
+  -- ::BIGINT inside the CTE (mirrors EVENTS_SESSION_WINDOW_SQL): DuckDB's
+  -- windowed sum(int) is HUGEINT, which stringifies as '0.0' under
+  -- full-precision hashing vs Spark's LongType '0'
   SELECT user_id, ts_us,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_seq
   FROM flagged
 )
--- session_seq::BIGINT: DuckDB's windowed sum(int) is HUGEINT, which
--- stringifies as '0.0' under full-precision hashing vs Spark's LongType '0'
-SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+SELECT user_id, session_seq, count(*) AS n_events,
        round((max(ts_us) - min(ts_us)) / 1000000.0, 6) AS duration_sec
 FROM sessions
 GROUP BY user_id, session_seq

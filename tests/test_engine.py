@@ -497,26 +497,139 @@ def test_distributed_writers_roundtrip(spark, tmp_path):
 
 
 def test_filestore_roundtrip(spark, tmp_path):
+    """Byte-identical round-trip in the default binary mode — including
+    a file with NO trailing newline (the old line-oriented store
+    invented one)."""
     from mini_hadoop_spark.sources.dfs import FileStore
 
     store = FileStore(spark, str(tmp_path / "warehouse"))
     src = tmp_path / "src.txt"
-    content = "line one\nline two\nline three"
-    src.write_text(content)
+    content = b"line one\nline two\nline three"
+    src.write_bytes(content)
 
-    assert store.store_file("f1", str(src)) == 3
+    n_blocks = store.store_file("f1", str(src), block_size=10)
+    assert n_blocks == (len(content) + 9) // 10
     assert store.exists("f1")
     assert store.list_files() == ["f1"]
     with pytest.raises(FileExistsError):
         store.store_file("f1", str(src))
 
     dest = tmp_path / "dest.txt"
-    assert store.retrieve_file("f1", str(dest)) == 3
-    assert dest.read_text() == content + "\n"
+    assert store.retrieve_file("f1", str(dest)) == len(content)
+    assert dest.read_bytes() == content
 
     assert store.delete_file("f1")
     assert not store.exists("f1")
     assert store.delete_file("f1") is False
+
+
+def test_filestore_binary_non_utf8_roundtrip(spark, tmp_path):
+    """The reference's DEFAULT store path chunks arbitrary binary at
+    block_size (file_operation.ex:185) — non-UTF-8 bytes must survive."""
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "blob.bin"
+    # every byte value, repeated — invalid UTF-8, embedded newlines/NULs
+    content = bytes(range(256)) * 300
+    src.write_bytes(content)
+
+    n_blocks = store.store_file("blob", str(src), block_size=1000)
+    assert n_blocks == (len(content) + 999) // 1000
+    dest = tmp_path / "blob_out.bin"
+    assert store.retrieve_file("blob", str(dest)) == len(content)
+    assert dest.read_bytes() == content
+
+
+def test_filestore_newline_mode_line_aligned(spark, tmp_path):
+    """split_on_newline=True accumulates whole lines per block
+    (file_operation.ex:159-183): no line straddles two blocks, an
+    oversized line becomes its own block, round-trip stays
+    byte-identical."""
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "lines.txt"
+    lines = [b"a" * 8 + b"\n", b"b" * 8 + b"\n", b"X" * 50 + b"\n", b"tail-no-newline"]
+    content = b"".join(lines)
+    src.write_bytes(content)
+
+    store.store_file("lf", str(src), split_on_newline=True, block_size=20)
+    rows = sorted(
+        spark.read.parquet(str(tmp_path / "warehouse" / "lf")).collect(),
+        key=lambda r: r.block_idx,
+    )
+    blocks = [bytes(r.data) for r in rows]
+    # each block is a concatenation of COMPLETE lines
+    for b in blocks[:-1]:
+        assert b.endswith(b"\n")
+    # the 51-byte line exceeds block_size yet is one unbroken block
+    assert any(b == b"X" * 50 + b"\n" for b in blocks)
+    dest = tmp_path / "lines_out.txt"
+    store.retrieve_file("lf", str(dest))
+    assert dest.read_bytes() == content
+    # text-mode line count: 3 newline-terminated + 1 unterminated tail
+    dest2 = tmp_path / "lines_out2.txt"
+    assert store.retrieve_text("lf", str(dest2)) == 4
+
+
+def test_filestore_empty_file(spark, tmp_path):
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "empty"
+    src.write_bytes(b"")
+    assert store.store_file("e", str(src)) == 0
+    dest = tmp_path / "empty_out"
+    assert store.retrieve_file("e", str(dest)) == 0
+    assert dest.read_bytes() == b""
+    assert store.file_info("e")["n_lines"] == 0
+
+
+def test_filestore_async_progress(spark, tmp_path):
+    """file_op_info parity (file_operation.ex:48-50, 91-118): an async
+    store exposes phase + processed/total MID-FLIGHT, then completes.
+    The phase callback is the deterministic observation point."""
+    import time
+
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "big.bin"
+    src.write_bytes(b"x" * (64 * 1024))
+
+    seen = []
+
+    def on_phase(p):
+        # called from the worker thread while the op is in flight
+        ops = [store.file_op_info(i) for i in range(1, store._next_op_id)]
+        mine = [o for o in ops if o["filename"] == "big" and o["kind"] == "store"]
+        seen.append((p, mine[-1]["state"], mine[-1]["phase"]))
+
+    op_id = store.store_file_async("big", str(src), block_size=1024, _on_phase=on_phase)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        info = store.file_op_info(op_id)
+        if info["state"] in ("completed", "failed"):
+            break
+        time.sleep(0.1)
+    assert info["state"] == "completed"
+    assert info["processed"] == info["total"] == 64
+    # in-progress observations: the op was pollable as "running" with a
+    # live phase before completion
+    assert ("calculating blocks", "running", "calculating blocks") in seen
+    assert ("storing blocks", "running", "storing blocks") in seen
+
+
+def test_filestore_store_failure_recorded(spark, tmp_path):
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    with pytest.raises(FileNotFoundError):
+        store.store_file("nope", str(tmp_path / "missing.txt"))
+    infos = [store.file_op_info(i) for i in range(1, store._next_op_id)]
+    mine = [o for o in infos if o["filename"] == "nope"]
+    assert mine and mine[-1]["state"] == "failed" and mine[-1]["error"]
 
 
 # ---------------------------------------------------------------------------
@@ -534,11 +647,22 @@ def test_filestore_file_info(spark, tmp_path):
     assert info["filename"] == "f"
     assert info["n_lines"] == 3
     assert info["n_blocks"] >= 1
+    assert info["content_bytes"] == len("one\ntwo\nthree\n")
     assert info["total_bytes"] > 0
     import pytest as _pytest
 
     with _pytest.raises(FileNotFoundError):
         fs.file_info("missing")
+
+
+def test_filestore_file_info_no_trailing_newline(spark, tmp_path):
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    src = tmp_path / "g.txt"
+    src.write_bytes(b"one\ntwo\nthree")  # unterminated final line
+    fs = FileStore(spark, str(tmp_path / "store"))
+    fs.store_file("g", str(src), block_size=5)
+    assert fs.file_info("g")["n_lines"] == 3
 
 
 def test_cluster_info_shape(spark):
