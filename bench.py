@@ -48,6 +48,41 @@ def main() -> int:
             load_table(spark, sf_dir, t).count()
         except Exception as exc:  # noqa: BLE001 — warmup is best-effort
             print(f"bench: warmup {t} failed: {exc}", file=sys.stderr)
+    # exercise whole-stage codegen + a shuffle once: a parquet count is
+    # metadata-only, so without this the alphabetically-first query would
+    # absorb the JVM's first codegen/janino compile into its timing
+    try:
+        from pyspark.sql import functions as F
+
+        (
+            load_table(spark, sf_dir, "documents")
+            .limit(256)
+            .select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"))
+            .groupBy("w")
+            .count()
+            .write.format("noop").mode("overwrite").save()
+        )
+        # join/union/agg shapes init broadcast machinery + shuffle codegen
+        a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 10).alias("v"))
+        b = spark.range(100).select(F.col("id").alias("k"), F.lit(1.0).alias("w"))
+        (
+            a.join(b, "k")
+            .select("k", "w")
+            .unionAll(a.select("k", (F.col("v") * 1.0).alias("w")))
+            .groupBy("k")
+            .agg(F.sum("w").alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        # pre-fork the Python worker pool: the first mapInPandas query
+        # otherwise pays ~0.1s x n_cores of daemon spawn inside its timing
+        n = spark.sparkContext.defaultParallelism
+        (
+            spark.range(0, n, 1, n)
+            .mapInPandas(lambda it: it, "id long")
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: codegen warmup failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}

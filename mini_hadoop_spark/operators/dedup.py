@@ -44,6 +44,7 @@ from mini_hadoop_spark.functions.text import (
     sql_round_half_up,
     tokens,
 )
+from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.functions.vectors import cosine
 from mini_hadoop_spark.sources.catalog import load_table
 
@@ -63,8 +64,13 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — one row per DISTINCT shingle per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingle) — one row per DISTINCT shingle per document.
+
+    The scan is spread across cores first: tokenize+explode is the
+    CPU-heavy step of every pipeline built on this, and a small-SF
+    single-file scan would otherwise run it on one core (see
+    functions/partitioning.py — no-op at scale)."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", tokens("text").alias("t"))
         .select("doc_id", F.explode(shingles("t")).alias("shingle"))
@@ -160,8 +166,12 @@ def _near_jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shared(a,b) = |S_a ∩ S_b| falls out of the index join; sizes join
     back in; jaccard = shared / (|S_a| + |S_b| - shared) is integer
-    arithmetic + one double division — bit-identical across engines."""
-    sh = _doc_shingles(spark, sf_dir)
+    arithmetic + one double division — bit-identical across engines.
+
+    The shingle index is referenced three times (both self-join sides +
+    the sizes agg); localCheckpoint materializes it once instead of
+    re-running tokenize+explode per reference."""
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -333,7 +343,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pigeonhole), so candidates come from 4 equality self-joins on
     (block_id, block_value) — never all-pairs.  Deterministic; rows-only
     driver check (no xxhash64 in DuckDB)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     toks = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
         .groupBy("doc_id", "token")
@@ -493,7 +503,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has no planted embedding dups (max pairwise cosine ≈ 0.51), so
     the result is empty at test SFs; tests/test_llm_pipeline.py plants
     duplicates and asserts parity with brute force."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     return embedding_dup_pairs(v)
 
@@ -585,16 +595,27 @@ def _cc_hashmin(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFram
     _wit = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = labels.agg(_wit).first()[0]
     converged = False
-    for it in range(max_iter):
+
+    def hashmin_step(lab: DataFrame) -> DataFrame:
         nbr_min = (
-            und.join(labels, und["a"] == labels["id"])
+            und.join(lab, und["a"] == lab["id"])
             .groupBy(F.col("b").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left").select(
+        return lab.join(nbr_min, lab["id"] == nbr_min["nid"], "left").select(
             "id",
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
+
+    # max_iter counts HOPS; each loop pass applies two hops before the
+    # convergence check: the witness agg is a full job (driver action),
+    # so halving the action count nearly halves the loop's fixed cost.
+    # The worst case is one redundant hop after the fixpoint, which is
+    # cheap (labels stable, the extra join changes nothing).  Correctness
+    # is unaffected — HashMin steps are idempotent at the fixpoint and
+    # the witness still observes exact convergence.
+    for it in range((max_iter + 1) // 2):
+        new_labels = hashmin_step(hashmin_step(labels))
         if (it + 1) % CC_CHECKPOINT_EVERY == 0:
             # lineage truncation: the plan otherwise nests all prior
             # iterations, and a lost cached partition would recompute
@@ -614,7 +635,7 @@ def _cc_hashmin(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFram
     if not converged:
         labels.unpersist()
         und.unpersist()
-        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+        raise RuntimeError(f"connected_components did not converge in {max_iter} hops")
     result = labels.localCheckpoint(eager=True)
     labels.unpersist()
     und.unpersist()

@@ -31,6 +31,7 @@ from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.sources.catalog import load_table
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -44,7 +45,7 @@ FEATURES_SCHEMA = "doc_id long, modality string, n_bytes long, features array<do
 def synth_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → (doc_id, modality, payload binary, meta) — the
     canonical multimodal input shape, synthesized deterministically."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
 from mini_hadoop_spark.functions.vectors import as_double, dot, norm
+from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.sources.catalog import load_table
 
 TOP_K = 5
@@ -57,7 +58,7 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dot / query-norm / vector-norm, the exact op order of the oracle's
     dot/sqrt/sqrt — identical IEEE results, ~3x less work on pair-heavy
     plans; the same hoist embedding_dup_pairs already uses)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     return emb.select("vec_id", "label", as_double("embedding").alias("e")).withColumn(
         "nv", norm(F.col("e"))
     )

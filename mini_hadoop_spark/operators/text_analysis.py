@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up, tokens
+from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.sources.catalog import load_table
 
 # Explicit whitespace class for every regex shared with the DuckDB
@@ -59,7 +60,9 @@ LANG_MARKERS = {
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # regex-heavy per-row expressions: spread a single-file scan across
+    # cores (no-op at scale — see functions/partitioning.py)
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
