@@ -53,9 +53,12 @@ import inspect
 import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
-from typing import Any
+from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    from mini_hadoop_spark.sources.dfs import FileStore
 
 VALID_SORT_OPTS = {
     ("key", "asc"),
@@ -63,6 +66,11 @@ VALID_SORT_OPTS = {
     ("value", "asc"),
     ("value", "desc"),
 }
+
+#: input_files scheme marking a FileStore-resident file — the reference's
+#: actual job flow (store_file → submit_job over the DFS filename,
+#: mini_hadoop.ex:18-32); pass the FileStore via run_job(store=...)
+STORE_SCHEME = "store://"
 
 _ALLOWED_KEYS = (
     "job_name",
@@ -188,7 +196,15 @@ class JobSpec:
         if check_files:
             import os
 
-            missing_files = [p for p in attrs["input_files"] if not os.path.exists(p)]
+            # store://name inputs are DFS-resident (the reference's
+            # submit_job reads files already ingested via store_file,
+            # mini_hadoop.ex:18-32); their existence is checked against
+            # the FileStore at run time, not the local filesystem
+            missing_files = [
+                p
+                for p in attrs["input_files"]
+                if not p.startswith(STORE_SCHEME) and not os.path.exists(p)
+            ]
             if missing_files:
                 raise JobSpecError(f"Input files do not exist: {', '.join(missing_files)}")
 
@@ -233,11 +249,18 @@ def run_job(
     spark: SparkSession,
     spec: JobSpec,
     combiner: Callable[[Any, Any], Any] | None = None,
+    store: "FileStore | None" = None,
 ) -> JobResult:
     """Execute a MapReduce job (submit_job analogue, mini_hadoop.ex:18-20).
 
     map phase   : one call per partition with the newline-joined block
                   (whole-block contract) -> validated [(k, v)].
+                  ``store://name`` inputs (requires ``store=``) map the
+                  reference's ACTUAL flow — store_file then submit_job
+                  over the DFS filename — with exactly one map call per
+                  stored BLOCK (task_executor.ex:141's whole-block-binary
+                  contract, sharper than the per-partition approximation
+                  used for plain local paths).
     shuffle     : Spark hash shuffle on the key (replaces SH1-SH3
                   sampling/ranging/pulling, all delegated — SURVEY §4);
                   ``reduce_mode="per_range"`` shuffles with a
@@ -258,7 +281,12 @@ def run_job(
     bc_map_ctx = sc.broadcast(dict(spec.map_context))
     bc_reduce_ctx = sc.broadcast(dict(spec.reduce_context))
 
-    rdd = sc.textFile(",".join(spec.input_files))
+    store_names = [p[len(STORE_SCHEME):] for p in spec.input_files if p.startswith(STORE_SCHEME)]
+    local_paths = [p for p in spec.input_files if not p.startswith(STORE_SCHEME)]
+    if store_names and store is None:
+        raise JobSpecError(
+            f"input_files reference the file store ({store_names}) but no store= was passed"
+        )
 
     def map_partition(lines):
         block = "\n".join(lines)
@@ -266,7 +294,22 @@ def run_job(
             return iter(())
         return iter(_validate_pairs(map_fn(block, bc_map_ctx.value), "map"))
 
-    mapped = rdd.mapPartitions(map_partition)
+    def map_block(row):
+        # one map call per stored block (task_executor.ex:141); blocks
+        # are raw bytes — text jobs should store with
+        # split_on_newline=True so no record straddles two blocks (the
+        # same caveat the reference's binary default carries)
+        block = bytes(row.data).decode("utf-8", "replace")
+        if not block:
+            return iter(())
+        return iter(_validate_pairs(map_fn(block, bc_map_ctx.value), "map"))
+
+    mapped_parts = []
+    if local_paths:
+        mapped_parts.append(sc.textFile(",".join(local_paths)).mapPartitions(map_partition))
+    for name in store_names:
+        mapped_parts.append(store.blocks(name).rdd.flatMap(map_block))
+    mapped = mapped_parts[0] if len(mapped_parts) == 1 else sc.union(mapped_parts)
 
     if spec.reduce_mode == "per_range":
         if combiner is not None:

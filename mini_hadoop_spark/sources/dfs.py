@@ -348,6 +348,15 @@ class FileStore:
             return 0
         return data.count(b"\n") + (0 if data.endswith(b"\n") else 1)
 
+    def blocks(self, filename: str):
+        """(block_idx, data) DataFrame over a stored file — the scan the
+        MapReduce engine runs jobs on (``store://name`` inputs): each row
+        is one block, matching the reference's one-map-call-per-block
+        contract (task_executor.ex:141)."""
+        if not self.exists(filename):
+            raise FileNotFoundError(f"not in store: {filename}")
+        return self.spark.read.parquet(self._path(filename)).select("block_idx", "data")
+
     def delete_file(self, filename: str) -> bool:
         if not self.exists(filename):
             return False

@@ -621,6 +621,88 @@ def test_filestore_async_progress(spark, tmp_path):
     assert ("storing blocks", "running", "storing blocks") in seen
 
 
+def test_run_job_over_store_file(spark, tmp_path):
+    """The reference's ACTUAL job flow: store_file → submit_job over the
+    DFS filename (mini_hadoop.ex:18-32).  store://name inputs read the
+    block table, one map call per BLOCK (task_executor.ex:141)."""
+    from mini_hadoop_spark.engine.examples import word_count_mapper, word_count_reducer
+    from mini_hadoop_spark.engine.mapreduce import JobSpec, run_job
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "input.txt"
+    text = "spark shuffles the hash join\nthe join the shuffle\nhash HASH\n"
+    src.write_text(text)
+    store.store_file("wc_in", str(src), split_on_newline=True, block_size=30)
+    assert store.file_info("wc_in")["n_blocks"] > 1  # actually multi-block
+
+    spec = JobSpec.create(
+        job_name="wc_store",
+        input_files=["store://wc_in"],
+        map_function=word_count_mapper,
+        reduce_function=word_count_reducer,
+    )
+    result = run_job(spark, spec, store=store)
+    got = dict(result.collect_pairs())
+    assert got == {"spark": 1, "shuffles": 1, "the": 3, "hash": 3, "join": 2, "shuffle": 1}
+
+
+def test_run_job_store_block_granularity(spark, tmp_path):
+    """Exactly one map call per stored block — the whole-block contract
+    the per-partition local-path approximation can't guarantee."""
+    from mini_hadoop_spark.engine.mapreduce import JobSpec, run_job
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "in.txt"
+    src.write_bytes(b"a\n" * 50)
+    n_blocks = store.store_file("g", str(src), split_on_newline=True, block_size=10)
+
+    spec = JobSpec.create(
+        job_name="block_count",
+        input_files=["store://g"],
+        map_function=lambda block, ctx: [("map_calls", 1)],
+        reduce_function=lambda key, values, ctx: sum(values),
+    )
+    got = dict(run_job(spark, spec, store=store).collect_pairs())
+    assert got == {"map_calls": n_blocks}
+
+
+def test_run_job_mixed_store_and_local(spark, tmp_path):
+    from mini_hadoop_spark.engine.examples import word_count_mapper, word_count_reducer
+    from mini_hadoop_spark.engine.mapreduce import JobSpec, run_job
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    s1 = tmp_path / "a.txt"
+    s1.write_text("alpha beta\n")
+    store.store_file("a", str(s1), split_on_newline=True)
+    local = tmp_path / "b.txt"
+    local.write_text("beta gamma\n")
+
+    spec = JobSpec.create(
+        job_name="wc_mixed",
+        input_files=["store://a", str(local)],
+        map_function=word_count_mapper,
+        reduce_function=word_count_reducer,
+    )
+    got = dict(run_job(spark, spec, store=store).collect_pairs())
+    assert got == {"alpha": 1, "beta": 2, "gamma": 1}
+
+
+def test_run_job_store_input_requires_store(spark, tmp_path):
+    from mini_hadoop_spark.engine.mapreduce import JobSpec, JobSpecError, run_job
+
+    spec = JobSpec.create(
+        job_name="no_store",
+        input_files=["store://missing"],
+        map_function=lambda b, c: [],
+        reduce_function=lambda k, v, c: 0,
+    )
+    with pytest.raises(JobSpecError, match="no store"):
+        run_job(spark, spec)
+
+
 def test_filestore_store_failure_recorded(spark, tmp_path):
     from mini_hadoop_spark.sources.dfs import FileStore
 
