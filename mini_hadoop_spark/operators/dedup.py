@@ -101,6 +101,34 @@ GROUP BY sha256(text)
 """
 
 
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on NORMALIZED text: lowercase, collapse every
+    non-alphanumeric run to one space, trim — so case, whitespace and
+    punctuation variants of the same content hash together.  The first
+    rung between exact dedup (misses a doubled space) and Jaccard (pays
+    a shingle index for what is really the same string; real pipelines
+    run this cheap pass first and reserve similarity for what remains).
+
+    Same scale shape as ``dedup_exact``: normalization is a per-row
+    projection, the shuffle key is the 64-hex digest, never the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    return (
+        docs.select(F.sha2(norm, 256).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+DEDUP_EXACT_NORMALIZED_SQL = """
+SELECT sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Shared near-dup pair pipeline.
 #
@@ -837,6 +865,7 @@ GROUP BY l.cluster_id
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -848,6 +877,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

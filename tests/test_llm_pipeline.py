@@ -132,6 +132,37 @@ def test_exact_dedup_counts_duplicates(spark):
     assert by_keep == {1: 2, 3: 1}
 
 
+def test_normalized_dedup_collapses_variants(spark, tmp_path):
+    """Case/whitespace/punctuation variants hash together under the
+    normalized pass; genuinely different content does not (the sf tables
+    have no planted variants, so build the input here)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mini_hadoop_spark.operators.dedup import dedup_exact_normalized
+
+    docs = [
+        (1, "Hello,  World!", "a", "en"),
+        (2, "hello world", "a", "en"),
+        (3, "HELLO ... world", "a", "en"),
+        (4, "hello worlds", "a", "en"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs]),
+                "source": pa.array([d[2] for d in docs]),
+                "lang": pa.array([d[3] for d in docs]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = dedup_exact_normalized(spark, str(tmp_path)).collect()
+    by_keep = {r.keep_doc_id: r.n_copies for r in out}
+    assert by_keep == {1: 3, 4: 1}
+
+
 def test_embedding_dup_pairs_matches_brute_force(spark):
     """Grid-blocked exact cosine dedup must find EXACTLY the brute-force
     pairs (zero false negatives by the lossless-blocking argument, zero
