@@ -52,7 +52,18 @@ def pagerank(
         # would stay None (AttributeError below) after edges/out_deg had
         # already been pinned in the block manager
         raise ValueError(f"pagerank requires iterations >= 1, got {iterations}")
-    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # cache pre-partitioned on the per-iteration join key: the edge
+    # shuffle happens ONCE here — the cached hashpartitioning satisfies
+    # every iteration's join distribution (and the out_deg groupBy), so
+    # each iteration shuffles only the |sources|-row rate side, not the
+    # |edges|-row fact side (the same one-time-shuffle trick the CC loop
+    # uses; at 100 TB this is the difference between shuffling the edge
+    # corpus once vs once per iteration)
+    edges = (
+        edges.select("src", "dst")
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
