@@ -52,64 +52,114 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # away from the DuckDB oracle, which treats the naive timestamps
     # as-is.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        return _load_events(spark, table_path(sf_dir, name))
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _load_adaptive(spark, table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Load the events table, adapting to whichever on-disk encoding of
-    ``ts`` the data generator used.  Three encodings have been observed:
+def _load_adaptive(spark: SparkSession, path: str) -> DataFrame:
+    """Load a parquet table, adapting EVERY timestamp column to whatever
+    on-disk encoding the data generator used this round (the encoding of
+    ``events.ts`` has already changed once between rounds; nothing says
+    it is the last column to change).  Encodings handled, per column:
 
     - INT64 TIMESTAMP(NANOS): Spark's reader rejects this outright
-      (PARQUET_TYPE_ILLEGAL) unless ``nanosAsLong`` is set, in which case
-      ``ts`` reads as LongType nanos → truncate to micros with integer
-      DIV, exactly like DuckDB reading the same file.
-    - plain ``timestamp[us]`` (no isAdjustedToUTC): reads as
-      TIMESTAMP_NTZ → cast to session-zone timestamp (UTC is pinned
-      above, so wall-clock values are preserved bit-for-bit).
-    - UTC-adjusted ``timestamp[us]``: reads as TimestampType → as-is.
+      (PARQUET_TYPE_ILLEGAL) unless ``nanosAsLong`` is set, in which
+      case the column reads as LongType nanos → truncate to micros with
+      integer DIV, exactly like DuckDB reading the same file.
+    - plain ``timestamp[us]``/``[ms]`` (no isAdjustedToUTC): reads as
+      TIMESTAMP_NTZ → cast to session-zone timestamp (UTC is pinned by
+      ``load_table``, so wall-clock values are preserved bit-for-bit).
+    - UTC-adjusted timestamps: TimestampType → as-is.
 
-    ``nanosAsLong`` is only set when the plain read actually fails, so a
-    session that never sees a nanos file never has the conf flipped."""
-    df, enc = _probe_events(spark, path)
-    return df.withColumn("ts", normalize_events_ts(enc))
+    ``nanosAsLong`` is only set when the file actually contains a nanos
+    column, so a session that never sees one never has the conf flipped."""
+    encodings = _probe_encodings(spark, path)
+    if any(enc == "nanos" for enc in encodings.values()):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col, enc in encodings.items():
+        if enc != "ts":
+            df = df.withColumn(col, normalize_ts_column(col, enc))
+    return df
 
 
-def _probe_events(spark: SparkSession, path: str):
-    """Batch-read the events data and classify the on-disk ``ts``
-    encoding: ``"nanos"`` (LongType after nanosAsLong), ``"ntz"``
-    (TIMESTAMP_NTZ), or ``"ts"`` (TimestampType, pass-through)."""
+def _probe_encodings(spark: SparkSession, path: str) -> dict[str, str]:
+    """Classify every timestamp-ish column of ``path``: ``"nanos"``
+    (INT64 TIMESTAMP(NANOS) → LongType under nanosAsLong), ``"ntz"``
+    (TIMESTAMP_NTZ), or ``"ts"`` (TimestampType, pass-through).
+
+    Probes the parquet footer with pyarrow (a metadata-only read); falls
+    back to a Spark schema read when pyarrow can't open the path (e.g. a
+    non-local URI)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out: dict[str, str] = {}
+        schema = pq.read_schema(_first_parquet_file(path))
+        for field in schema:
+            if pa.types.is_timestamp(field.type):
+                if field.type.unit == "ns" and field.type.tz is None:
+                    out[field.name] = "nanos"
+                elif field.type.tz is None:
+                    out[field.name] = "ntz"
+                else:
+                    out[field.name] = "ts"
+        return out
+    except Exception:
+        pass
+    # Fallback: let Spark read the schema (setting nanosAsLong only if
+    # the plain read fails with the nanos analysis error).
     try:
         df = spark.read.parquet(path)
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    dt = df.schema["ts"].dataType
-    if isinstance(dt, T.LongType):
-        return df, "nanos"
-    if isinstance(dt, T.TimestampNTZType):
-        return df, "ntz"
-    return df, "ts"
+    out = {}
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            out[field.name] = "ntz"
+        elif isinstance(field.dataType, T.TimestampType):
+            out[field.name] = "ts"
+        # LongType is ambiguous in the fallback (no parquet logical-type
+        # info): only the known nanos column is converted
+        elif field.name == "ts" and isinstance(field.dataType, T.LongType):
+            out[field.name] = "nanos"
+    return out
+
+
+def _first_parquet_file(path: str) -> str:
+    """pyarrow needs a file, not a directory-of-parts; any part's footer
+    carries the shared schema."""
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if entry.endswith(".parquet"):
+                return os.path.join(path, entry)
+    return path
 
 
 def events_ts_encoding(spark: SparkSession, path: str) -> str:
-    """Classify how ``path`` stores ``ts`` (see ``_probe_events``).
+    """Classify how ``path`` stores ``ts`` (see ``_probe_encodings``).
     Used by the streaming source, which must commit to a fixed read
-    schema up front and so probes with a batch read first."""
-    return _probe_events(spark, path)[1]
+    schema up front and so probes the footer first."""
+    return _probe_encodings(spark, path).get("ts", "ts")
+
+
+def normalize_ts_column(col: str, encoding: str):
+    """Column expression converting a raw timestamp column in the given
+    encoding to microsecond TimestampType (the driver/DuckDB view of the
+    data).  Nanos truncate with integer DIV exactly like DuckDB reading
+    the same file; NTZ values are wall-clock-preserved under the pinned
+    UTC zone."""
+    if encoding == "nanos":
+        return F.timestamp_micros(F.expr(f"`{col}` DIV 1000"))
+    if encoding == "ntz":
+        return F.col(col).cast("timestamp")
+    return F.col(col)
 
 
 def normalize_events_ts(encoding: str):
-    """Column expression converting a raw ``ts`` in the given encoding to
-    microsecond TimestampType (the driver/DuckDB view of the data).
-    Nanos truncate with integer DIV exactly like DuckDB reading the same
-    file; NTZ values are wall-clock-preserved under the pinned UTC zone."""
-    if encoding == "nanos":
-        return F.timestamp_micros(F.expr("ts DIV 1000"))
-    if encoding == "ntz":
-        return F.col("ts").cast("timestamp")
-    return F.col("ts")
+    """Back-compat alias for the events ``ts`` column."""
+    return normalize_ts_column("ts", encoding)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -80,6 +80,33 @@ def test_events_nanos_truncates_like_duckdb(spark, tmp_path):
     assert _load_ts_micros(spark, d) == [base]
 
 
+def test_adaptive_loader_handles_mixed_encodings_any_table(spark, tmp_path):
+    """The adaptive path is not events-specific: a table with nanos, NTZ
+    and UTC-adjusted timestamp columns side by side loads every one as
+    microsecond TimestampType with identical wall-clock values."""
+    t = _TS_US[0]
+    us = _micros(t)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "c_nanos": pa.array([us * 1000], pa.timestamp("ns")),
+                "c_ntz": pa.array([t], pa.timestamp("us")),
+                "c_utc": pa.array([t], pa.timestamp("us", tz="UTC")),
+            }
+        ),
+        str(tmp_path / "mixed.parquet"),
+    )
+    from mini_hadoop_spark.sources.catalog import _load_adaptive
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _load_adaptive(spark, str(tmp_path / "mixed.parquet"))
+    for c in ("c_nanos", "c_ntz", "c_utc"):
+        assert df.schema[c].dataType.typeName() == "timestamp", c
+    row = df.collect()[0]
+    assert _micros(row.c_nanos) == _micros(row.c_ntz) == _micros(row.c_utc) == us
+
+
 def test_driver_events_loads(spark):
     """Whatever encoding the driver's current testdata uses, it loads."""
     df = catalog.load_table(spark, "/root/testdata/sf0.001", "events")
