@@ -34,7 +34,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up, tokens
+from mini_hadoop_spark.functions.text import (
+    TOKEN_PATTERN,
+    round_half_up,
+    sql_round_half_up,
+    tokens,
+)
 from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.sources.catalog import load_table
 
@@ -414,6 +419,105 @@ FROM t
 """
 
 
+PII_EMAIL = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+PII_URL = r"https?://[^\s]+"
+PII_DIGITS = r"\d{7,}"  # long digit runs: phone/account/card fragments
+
+SEQ_TOKEN_BUDGET = 2048  # tokens per packed training sequence
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — the redaction step a training-data pipeline
+    runs before anything else ships: emails, URLs and long digit runs
+    replaced by typed placeholder tags, with per-document match counts
+    so the pipeline can audit (and threshold) redaction density.
+
+    Pure regexp expressions, whole-stage codegen, no shuffle: at 100 TB
+    this is a map-only pass that rewrites the corpus in place.  Order
+    matters — emails are redacted before URLs so ``mailto``-ish strings
+    can't double-count — and both engines apply the same order."""
+    d = _docs(spark, sf_dir)
+    n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
+    red1 = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
+    n_url = F.size(F.regexp_extract_all(red1, F.lit(PII_URL), F.lit(0)))
+    red2 = F.regexp_replace(red1, PII_URL, "<URL>")
+    n_num = F.size(F.regexp_extract_all(red2, F.lit(PII_DIGITS), F.lit(0)))
+    red3 = F.regexp_replace(red2, PII_DIGITS, "<NUMBER>")
+    return d.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_url.alias("n_urls"),
+        n_num.alias("n_numbers"),
+        F.sha2(red3, 256).alias("redacted_hash"),
+    )
+
+
+TEXT_REDACT_SQL = f"""
+WITH r1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM documents
+), r2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '{PII_URL}')) AS n_urls,
+         regexp_replace(t, '{PII_URL}', '<URL>', 'g') AS t
+  FROM r1
+)
+SELECT doc_id, n_emails, n_urls,
+       len(regexp_extract_all(t, '{PII_DIGITS}')) AS n_numbers,
+       sha256(regexp_replace(t, '{PII_DIGITS}', '<NUMBER>', 'g')) AS redacted_hash
+FROM r2
+"""
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing — concatenate documents in stable order
+    and cut at a token budget, the way LLM training shards pack many
+    short documents into fixed context windows.  Deterministic contract:
+    per language, documents concatenate in doc_id order; a document
+    belongs to the sequence its FIRST token lands in
+    (seq_id = (cumulative_tokens - own_tokens) DIV budget).
+
+    One window pass over (lang, doc_id) + one hash aggregate.  At
+    100 TB: the window partitions by lang (bounded cardinality), so each
+    language's running sum is a single sorted pass; skewed languages
+    would shard the key (lang, doc_id range) first — the output contract
+    is unchanged because packing is defined per contiguous run."""
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_PATTERN), F.lit(0)))
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = (
+        d.select("doc_id", "lang", toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        # integer DIV (not double division) — bit-exact at any corpus size
+        .withColumn("seq_id", F.expr(f"(cum - n_tokens) DIV {SEQ_TOKEN_BUDGET}"))
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+TEXT_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '{{token_pattern}}')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens) // {SEQ_TOKEN_BUDGET} AS seq_id
+  FROM t
+)
+SELECT lang, seq_id::BIGINT AS seq_id, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS seq_tokens, min(doc_id) AS first_doc_id
+FROM c GROUP BY lang, seq_id
+""".format(token_pattern=TOKEN_PATTERN)
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -423,9 +527,13 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "text_lang_stats": text_lang_stats,
     "pipeline_clean_corpus": pipeline_clean_corpus,
+    "text_redact_pii": text_redact_pii,
+    "text_pack_sequences": text_pack_sequences,
 }
 
 ORACLES = {
+    "text_redact_pii": TEXT_REDACT_SQL,
+    "text_pack_sequences": TEXT_PACK_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "lang_id_ngram": LANG_ID_SQL,

@@ -163,6 +163,69 @@ def test_normalized_dedup_collapses_variants(spark, tmp_path):
     assert by_keep == {1: 3, 4: 1}
 
 
+def _write_docs(tmp_path, texts, langs=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(texts)
+    langs = langs or ["en"] * n
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(1, n + 1), pa.int64()),
+                "text": pa.array(texts),
+                "source": pa.array(["t"] * n),
+                "lang": pa.array(langs),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_redact_pii_planted(spark, tmp_path):
+    """Planted PII must be counted and scrubbed; clean text untouched
+    (the sf corpus has no planted PII, so build the input here)."""
+    import hashlib
+
+    from mini_hadoop_spark.operators.text_analysis import text_redact_pii
+
+    d = _write_docs(
+        tmp_path,
+        [
+            "contact alice@example.com or bob@test.org today",
+            "see https://example.com/x?id=9 and call 5551234567",
+            "clean document with short 123 number",
+        ],
+    )
+    rows = {r.doc_id: r for r in text_redact_pii(spark, d).collect()}
+    assert (rows[1].n_emails, rows[1].n_urls, rows[1].n_numbers) == (2, 0, 0)
+    assert (rows[2].n_emails, rows[2].n_urls, rows[2].n_numbers) == (0, 1, 1)
+    assert (rows[3].n_emails, rows[3].n_urls, rows[3].n_numbers) == (0, 0, 0)
+    assert rows[1].redacted_hash == hashlib.sha256(
+        b"contact <EMAIL> or <EMAIL> today"
+    ).hexdigest()
+    assert rows[3].redacted_hash == hashlib.sha256(
+        b"clean document with short 123 number"
+    ).hexdigest()
+
+
+def test_pack_sequences_planted(spark, tmp_path):
+    """Packing contract: concatenate in doc_id order per lang, cut at
+    the budget; a doc belongs to the sequence its first token lands in."""
+    from mini_hadoop_spark.operators import text_analysis as ta
+
+    # 3 docs x 1500 tokens (budget 2048): doc1 starts at 0 -> seq 0;
+    # doc2 starts at 1500 -> seq 0; doc3 starts at 3000 -> seq 1
+    word = "tok "
+    d = _write_docs(tmp_path, [word * 1500, word * 1500, word * 1500])
+    rows = {
+        (r.lang, r.seq_id): r for r in ta.text_pack_sequences(spark, d).collect()
+    }
+    assert rows[("en", 0)].n_docs == 2 and rows[("en", 0)].seq_tokens == 3000
+    assert rows[("en", 1)].n_docs == 1 and rows[("en", 1)].first_doc_id == 3
+
+
 def test_embedding_dup_pairs_matches_brute_force(spark):
     """Grid-blocked exact cosine dedup must find EXACTLY the brute-force
     pairs (zero false negatives by the lossless-blocking argument, zero
