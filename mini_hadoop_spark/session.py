@@ -33,9 +33,9 @@ def get_spark(app_name: str = "mini_hadoop_spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's
-        # reader rejects by default; read as long and convert in the catalog.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is NOT set here: the catalog probes each file's
+        # actual timestamp encoding and flips the conf only when a nanos
+        # column is really present (sources/catalog.py).
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
