@@ -138,9 +138,18 @@ class JobSpec:
 
     @classmethod
     def create(
-        cls, check_files: bool = True, reduce_mode: str = "per_key", **attrs: Any
+        cls,
+        check_files: bool = True,
+        reduce_mode: str = "per_key",
+        store: "FileStore | None" = None,
+        **attrs: Any,
     ) -> "JobSpec":
         """Validated construction mirroring job_spec.ex:35-51.
+
+        Pass ``store=`` to also validate ``store://name`` inputs against
+        the file store at SPEC time (the reference checks DFS filenames
+        when the spec is built, job_spec.ex:61-69); without it, store
+        inputs are validated when the job runs.
 
         ``reduce_mode`` selects the reduce calling convention and is a
         keyword (not a spec attr) so the attrs/error surface stays
@@ -205,6 +214,13 @@ class JobSpec:
                 for p in attrs["input_files"]
                 if not p.startswith(STORE_SCHEME) and not os.path.exists(p)
             ]
+            if store is not None:
+                missing_files += [
+                    p
+                    for p in attrs["input_files"]
+                    if p.startswith(STORE_SCHEME)
+                    and not store.exists(p[len(STORE_SCHEME):])
+                ]
             if missing_files:
                 raise JobSpecError(f"Input files do not exist: {', '.join(missing_files)}")
 

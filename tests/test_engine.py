@@ -703,6 +703,35 @@ def test_run_job_store_input_requires_store(spark, tmp_path):
         run_job(spark, spec)
 
 
+def test_jobspec_validates_store_inputs_at_spec_time(spark, tmp_path):
+    """With store= the spec check mirrors the reference's DFS filename
+    validation (job_spec.ex:61-69): unknown store files fail create()."""
+    from mini_hadoop_spark.engine.mapreduce import JobSpec, JobSpecError
+    from mini_hadoop_spark.sources.dfs import FileStore
+
+    store = FileStore(spark, str(tmp_path / "warehouse"))
+    src = tmp_path / "x.txt"
+    src.write_text("data\n")
+    store.store_file("present", str(src))
+
+    spec = JobSpec.create(
+        job_name="ok",
+        input_files=["store://present"],
+        map_function=lambda b, c: [],
+        reduce_function=lambda k, v, c: 0,
+        store=store,
+    )
+    assert spec.input_files == ["store://present"]
+    with pytest.raises(JobSpecError, match="do not exist"):
+        JobSpec.create(
+            job_name="bad",
+            input_files=["store://absent"],
+            map_function=lambda b, c: [],
+            reduce_function=lambda k, v, c: 0,
+            store=store,
+        )
+
+
 def test_filestore_store_failure_recorded(spark, tmp_path):
     from mini_hadoop_spark.sources.dfs import FileStore
 
