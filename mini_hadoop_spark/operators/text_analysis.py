@@ -426,17 +426,15 @@ PII_DIGITS = r"\d{7,}"  # long digit runs: phone/account/card fragments
 SEQ_TOKEN_BUDGET = 2048  # tokens per packed training sequence
 
 
-def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing pass — the redaction step a training-data pipeline
-    runs before anything else ships: emails, URLs and long digit runs
-    replaced by typed placeholder tags, with per-document match counts
-    so the pipeline can audit (and threshold) redaction density.
+def redact_pii_frame(d: DataFrame) -> DataFrame:
+    """Core redaction projection over any (doc_id, text, ...) frame —
+    shared by the batch query and the streaming ingest pipeline
+    (streaming/documents.py) so the two can never drift.  Emits match
+    counts plus BOTH the redacted text and its digest.
 
-    Pure regexp expressions, whole-stage codegen, no shuffle: at 100 TB
-    this is a map-only pass that rewrites the corpus in place.  Order
-    matters — emails are redacted before URLs so ``mailto``-ish strings
-    can't double-count — and both engines apply the same order."""
-    d = _docs(spark, sf_dir)
+    Order matters — emails are redacted before URLs so ``mailto``-ish
+    strings can't double-count — and the DuckDB oracle applies the same
+    order."""
     n_email = F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0)))
     red1 = F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>")
     n_url = F.size(F.regexp_extract_all(red1, F.lit(PII_URL), F.lit(0)))
@@ -448,8 +446,23 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_email.alias("n_emails"),
         n_url.alias("n_urls"),
         n_num.alias("n_numbers"),
+        red3.alias("redacted_text"),
         F.sha2(red3, 256).alias("redacted_hash"),
     )
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass — the redaction step a training-data pipeline
+    runs before anything else ships: emails, URLs and long digit runs
+    replaced by typed placeholder tags, with per-document match counts
+    so the pipeline can audit (and threshold) redaction density.
+
+    Pure regexp expressions, whole-stage codegen, no shuffle: at 100 TB
+    this is a map-only pass that rewrites the corpus in place.  The
+    registered query projects the digest rather than the rewritten body
+    (hash-comparable across engines); the streaming twin keeps the
+    body."""
+    return redact_pii_frame(_docs(spark, sf_dir)).drop("redacted_text")
 
 
 TEXT_REDACT_SQL = f"""

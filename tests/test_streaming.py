@@ -238,6 +238,77 @@ def test_stream_interval_join_boundaries(spark, tmp_path):
     assert sorted(r.error_id for r in out.collect()) == [10, 11]
 
 
+@pytest.fixture
+def docs_dir(tmp_path):
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_redact_matches_batch(spark, docs_dir):
+    """Incremental PII redaction over a staged documents directory must
+    equal the batch operator on the same data (shared expression
+    builder — this is the no-drift guarantee under test)."""
+    from mini_hadoop_spark.operators.text_analysis import redact_pii_frame
+    from mini_hadoop_spark.sources.catalog import load_table
+    from mini_hadoop_spark.streaming.documents import (
+        read_documents_stream,
+        streaming_redact_pii,
+    )
+    from mini_hadoop_spark.streaming.windowed import run_stream_to_memory
+
+    table = f"docs_red_{uuid.uuid4().hex[:8]}"
+    stream = streaming_redact_pii(read_documents_stream(spark, docs_dir)).drop("redacted_text")
+    run_stream_to_memory(stream, table, output_mode="append")
+    got = {r.doc_id: (r.n_emails, r.n_urls, r.n_numbers, r.redacted_hash)
+           for r in spark.table(table).collect()}
+
+    batch = redact_pii_frame(load_table(spark, SF_DIR, "documents")).drop("redacted_text")
+    want = {r.doc_id: (r.n_emails, r.n_urls, r.n_numbers, r.redacted_hash)
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_clean_pipeline_matches_batch(spark, docs_dir):
+    """redact → quality-score → filter incrementally == the same batch
+    composition (score computed on the redacted text in both)."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.functions.text import round_half_up
+    from mini_hadoop_spark.operators.text_analysis import (
+        _quality_parts,
+        QUALITY_KEEP_THRESHOLD,
+        redact_pii_frame,
+    )
+    from mini_hadoop_spark.sources.catalog import load_table
+    from mini_hadoop_spark.streaming.documents import (
+        read_documents_stream,
+        streaming_clean_pipeline,
+    )
+    from mini_hadoop_spark.streaming.windowed import run_stream_to_memory
+
+    table = f"docs_clean_{uuid.uuid4().hex[:8]}"
+    stream = streaming_clean_pipeline(read_documents_stream(spark, docs_dir))
+    run_stream_to_memory(stream, table, output_mode="append")
+    got = {r.doc_id: (r.n_emails, r.n_urls, r.n_numbers, r.quality_score)
+           for r in spark.table(table).collect()}
+
+    red = redact_pii_frame(load_table(spark, SF_DIR, "documents")).select(
+        "doc_id", "n_emails", "n_urls", "n_numbers",
+        F.col("redacted_text").alias("text"),
+    )
+    *_, score = _quality_parts()
+    batch = (
+        red.withColumn("quality_score", round_half_up(score, 6))
+        .filter(F.col("quality_score") >= QUALITY_KEEP_THRESHOLD)
+        .select("doc_id", "n_emails", "n_urls", "n_numbers", "quality_score")
+    )
+    want = {r.doc_id: (r.n_emails, r.n_urls, r.n_numbers, r.quality_score)
+            for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_stream_static_enrich_matches_batch(spark, events_dir):
     """Stream enriched with a static dimension (events ⟕ customer
     segment) must equal the batch join over the same closed input;
