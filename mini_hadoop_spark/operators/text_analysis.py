@@ -531,6 +531,41 @@ FROM c GROUP BY lang, seq_id
 """.format(token_pattern=TOKEN_PATTERN)
 
 
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health profile — the stats a pipeline checks
+    before training: row/null counts, distinct languages and sources,
+    text-length distribution, duplicate-text count.  Everything folds
+    into a single hash aggregate (count-distincts expand to partial
+    aggs); at 100 TB swap the exact count-distincts for
+    approx_count_distinct and the shape is unchanged."""
+    d = _docs(spark, sf_dir)
+    return d.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)).alias(
+            "n_empty_text"
+        ),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.min(F.length("text")).alias("min_len"),
+        F.max(F.length("text")).alias("max_len"),
+        round_half_up(F.avg(F.length("text")), 4).alias("avg_len"),
+    )
+
+
+CORPUS_PROFILE_SQL = f"""
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) AS n_empty_text,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT text) AS n_distinct_texts,
+       min(len(text)) AS min_len,
+       max(len(text)) AS max_len,
+       {sql_round_half_up('avg(len(text))', 4)} AS avg_len
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality_score": text_quality_score,
@@ -542,11 +577,13 @@ QUERIES = {
     "pipeline_clean_corpus": pipeline_clean_corpus,
     "text_redact_pii": text_redact_pii,
     "text_pack_sequences": text_pack_sequences,
+    "corpus_profile": corpus_profile,
 }
 
 ORACLES = {
     "text_redact_pii": TEXT_REDACT_SQL,
     "text_pack_sequences": TEXT_PACK_SQL,
+    "corpus_profile": CORPUS_PROFILE_SQL,
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "lang_id_ngram": LANG_ID_SQL,

@@ -111,6 +111,48 @@ def write_tsv_headered(
     return count
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a parquet directory's small files — the operational pass
+    every long-lived 100 TB table needs: streaming/micro-batch writers
+    leave thousands of KB-scale part files, and scan throughput dies on
+    per-file open overhead and starved row-groups.
+
+    Strategy: size the rewrite by the directory's ACTUAL bytes
+    (ceil(total/target)), write to a temp sibling, then atomically swap
+    via two renames.  The rewrite is one shuffle-free coalesce when
+    shrinking; data content is unchanged (same rows, no ordering
+    contract — parquet directories never had one).
+
+    Returns {files_before, files_after, bytes}.  At real scale this maps
+    onto table-format compaction (Iceberg/Delta rewrite-data-files); on
+    a plain directory the rename swap is the best available atomicity
+    (single-filesystem metadata ops)."""
+    import math
+    import shutil as _shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and os.path.isfile(os.path.join(path, f))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # coalesce, not repartition: merging never needs a shuffle
+    df.coalesce(n_out).write.parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    _shutil.rmtree(old)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
 def write_json_distributed(df: DataFrame, path: str) -> None:
     """Scalable JSON-lines sink: one file per partition, Spark committer
     semantics — what the object-shaped sink cannot be at 100 TB."""

@@ -732,6 +732,29 @@ def test_jobspec_validates_store_inputs_at_spec_time(spark, tmp_path):
         )
 
 
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Many tiny part files compact to the byte-sized target count with
+    identical data; the swap leaves no temp/old directories behind."""
+    import os
+
+    from mini_hadoop_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 32
+
+    stats = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 2 * sum(range(10_000))
+    assert not os.path.exists(path + "._compact_tmp")
+    assert not os.path.exists(path + "._compact_old")
+
+
 def test_filestore_store_failure_recorded(spark, tmp_path):
     from mini_hadoop_spark.sources.dfs import FileStore
 
