@@ -581,10 +581,41 @@ def connected_components(
       propagation would need hundreds of keyed shuffles.
     """
     if algorithm == "two-phase":
-        return _cc_two_phase(edges, src, dst, max_iter)
+        return _with_adaptive_shuffle(edges, _cc_two_phase, src, dst, max_iter)
     if algorithm != "hashmin":
         raise ValueError(f"unknown CC algorithm {algorithm!r}; expected 'hashmin' or 'two-phase'")
-    return _cc_hashmin(edges, src, dst, max_iter)
+    return _with_adaptive_shuffle(edges, _cc_hashmin, src, dst, max_iter)
+
+
+# One shuffle partition per this many edges, clamped to the session
+# setting.  Near-dup graphs are FILTERED pair sets — often thousands of
+# rows against a session conf sized for full-table shuffles — and the
+# iterative loop pays per-task scheduling overhead EVERY hop, so sizing
+# the loop's shuffles to the graph (measured 2-3x on the small end)
+# matters more here than anywhere else.  A billion-edge graph hits the
+# session clamp and behaves exactly as before.
+_CC_EDGES_PER_PARTITION = 200_000
+
+
+def _with_adaptive_shuffle(edges: DataFrame, fn, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Run a CC loop with shuffle partitions sized to the edge count.
+
+    The conf is session-global, so it is set only for the duration of
+    the loop (every action inside — witness aggs, the eager final
+    checkpoint — plans under the scaled setting) and restored in a
+    finally.  Sequential-query sessions (the driver, bench, tests) see
+    no cross-talk; a concurrently-planning query in the same session
+    could pick up the scaled value for one plan — acceptable for a
+    correctness-neutral knob."""
+    spark = edges.sparkSession
+    n_edges = edges.count()  # pair inputs are memoized/checkpointed; cheap
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    target = max(1, min(int(prev), n_edges // _CC_EDGES_PER_PARTITION + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        return fn(edges, src, dst, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _cc_hashmin(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
