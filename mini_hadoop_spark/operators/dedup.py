@@ -270,6 +270,30 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     return wide.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_signature_column(shingles_col: str, num_hashes: int = NUM_HASHES) -> Column:
+    """Per-ROW MinHash signature expression over a shingle-ARRAY column —
+    no explode, no shuffle: sig[i] = min over shingles of
+    xxhash64(i, xxhash64(shingle)).
+
+    Identical values to ``minhash_signatures`` (same base hash h0, same
+    per-function remix, min over the same distinct-shingle set — the
+    groupBy form aggregates the exploded rows, this folds the array), so
+    batch and streaming signatures can never drift; a parity test holds
+    the two forms equal.  This is the STREAMING form: a document arrives
+    whole in one row, so its signature is a map-only projection —
+    the per-micro-batch plan needs no stateful aggregation."""
+    # hash each distinct shingle string once (h0), then remix per hash
+    # function — the same two-level scheme as the groupBy form.  The i
+    # index comes from sequence(), whose INT elements hash identically
+    # to the groupBy form's int literals (xxhash64 is type-sensitive;
+    # a long index here would silently change every signature).
+    hs = f"transform(array_distinct({shingles_col}), s -> xxhash64(s))"
+    return F.expr(
+        f"transform(sequence(0, {num_hashes - 1}), i -> "
+        f"array_min(transform({hs}, h -> xxhash64(i, h))))"
+    )
+
+
 def _minhash_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup — the 100 TB path.
 

@@ -132,6 +132,30 @@ def test_exact_dedup_counts_duplicates(spark):
     assert by_keep == {1: 2, 3: 1}
 
 
+def test_per_row_minhash_signature_matches_groupby_form(spark):
+    """The streaming per-row signature expression and the batch groupBy
+    aggregation must produce IDENTICAL signatures for every document —
+    the no-drift guarantee the incremental LSH operator depends on."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.functions.text import shingles, tokens
+    from mini_hadoop_spark.operators import dedup
+
+    sh = dedup._doc_shingles(spark, SF_DIR)
+    groupby_form = dedup.minhash_signatures(sh)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_row = (
+        docs.select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", shingles("t").alias("shg"))
+        .filter(F.size("shg") > 0)
+        .select("doc_id", dedup.minhash_signature_column("shg").alias("sig"))
+    )
+    j = groupby_form.alias("a").join(per_row.alias("b"), "doc_id")
+    n = j.count()
+    assert n == per_row.count()  # same doc coverage
+    assert j.filter(F.expr("a.sig = b.sig")).count() == n
+
+
 def test_normalized_dedup_collapses_variants(spark, tmp_path):
     """Case/whitespace/punctuation variants hash together under the
     normalized pass; genuinely different content does not (the sf tables

@@ -309,6 +309,55 @@ def test_stream_clean_pipeline_matches_batch(spark, docs_dir):
     assert got == want and len(got) > 0
 
 
+def test_streaming_lsh_near_dup_matches_batch(spark, tmp_path):
+    """Incremental MinHash-LSH near-dup: the streamed candidate-pair set
+    (after consumer-side dedupe) must EQUAL the batch LSH operator's
+    pairs on the same corpus — including across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 forces per-file batches, so cross-batch pairs
+    only exist if bucket state persists)."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators import dedup
+    from mini_hadoop_spark.streaming.documents import DOCS_STREAM_SCHEMA
+    from mini_hadoop_spark.streaming.lsh_dedup import streaming_near_dup_pairs
+    from mini_hadoop_spark.streaming.windowed import run_stream_to_memory
+
+    # split the corpus into two file shards: near-dup pairs at sf0.001
+    # span doc_ids, so some pairs cross the shard boundary
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = tmp_path / "shards"
+    d.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(str(d / "s0"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(str(d / "s1"))
+    staged = tmp_path / "in"
+    staged.mkdir()
+    import glob as _glob
+
+    for i, part in enumerate(
+        sorted(_glob.glob(str(d / "s*" / "*.parquet")))
+    ):
+        shutil.copy(part, staged / f"shard-{i}.parquet")
+
+    stream = (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(staged))
+    )
+    table = f"lsh_pairs_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(streaming_near_dup_pairs(stream), table, output_mode="append")
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in spark.table(table).dropDuplicates(["doc_a", "doc_b"]).collect()
+    }
+
+    dedup.clear_memo()
+    want = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in dedup.near_dup_pairs(spark, SF_DIR, "minhash").collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stream_static_enrich_matches_batch(spark, events_dir):
     """Stream enriched with a static dimension (events ⟕ customer
     segment) must equal the batch join over the same closed input;
