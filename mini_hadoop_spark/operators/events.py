@@ -173,14 +173,58 @@ FROM events GROUP BY event_type
 """
 
 
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: per calendar week, how many users were
+    active, and how many of them were also active the PREVIOUS week —
+    the canonical cohort-health metric.
+
+    Plan: distinct (user_id, week) — one shuffle — then a self-join on
+    (user, week-1) counted per week.  Week = Monday-aligned date_trunc,
+    identical in both engines under the pinned UTC zone.  At 100 TB the
+    distinct activity table is tiny relative to raw events (bounded by
+    users x weeks), so the retention join costs nothing next to the
+    dedup scan it rides on."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    prev = weekly.select(
+        "user_id", F.date_add(F.col("week"), 7).alias("week")
+    )
+    return (
+        weekly.join(prev.withColumn("retained", F.lit(1)), ["user_id", "week"], "left")
+        .groupBy("week")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.coalesce(F.sum("retained"), F.lit(0)).alias("n_retained"),
+        )
+        .withColumn("week", F.date_format("week", "yyyy-MM-dd"))
+    )
+
+
+EVENTS_RETENTION_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+)
+SELECT strftime(w.week, '%Y-%m-%d') AS week,
+       count(*) AS n_active,
+       coalesce(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 END), 0) AS n_retained
+FROM weekly w
+LEFT JOIN weekly p ON p.user_id = w.user_id AND p.week + INTERVAL 7 DAY = w.week
+GROUP BY w.week
+"""
+
+
 QUERIES = {
     "events_hourly_window": events_hourly_window,
     "events_sessionization": events_sessionization,
     "events_session_window": events_session_window,
     "events_type_value_stats": events_type_value_stats,
+    "events_weekly_retention": events_weekly_retention,
 }
 
 ORACLES = {
+    "events_weekly_retention": EVENTS_RETENTION_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,
