@@ -918,9 +918,86 @@ GROUP BY l.cluster_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: which TRAIN documents share exact word
+# n-grams with an EVAL/benchmark document?  The canonical pre-training
+# decontamination pass (n-gram overlap against held-out eval sets).
+# ---------------------------------------------------------------------------
+
+CONTAM_K = 5  # word n-gram length for the overlap test
+CONTAM_EVAL_MODULUS = 10  # doc_id % 10 == 0 plays the held-out eval set
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination: (train_doc_id, eval_doc_id, n_shared,
+    contam_frac) for every train document sharing >= 1 exact word
+    5-gram with an eval document; ``contam_frac`` = shared / train's
+    distinct 5-grams (integer division → bit-identical cross-engine).
+
+    Scale shape: the eval set is BROADCAST — benchmark suites are a few
+    thousand documents against a 100 TB train corpus, so the eval
+    shingle table (eval_docs x shingles rows) ships to every executor
+    and the train side streams through a broadcast hash join with NO
+    shuffle of train shingles; the only shuffle is the per-pair count
+    aggregation over matched rows.  (With a huge eval set, drop the
+    broadcast hint and Catalyst falls back to a sort-merge join on the
+    shingle key — same semantics.)"""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", F.explode(shingles("t", CONTAM_K)).alias("shingle")
+    )
+    is_eval = F.col("doc_id") % CONTAM_EVAL_MODULUS == 0
+    train = sh.filter(~is_eval)
+    eval_sh = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_train_shingles"))
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        hits.join(
+            sizes.select(F.col("doc_id").alias("train_doc_id"), "n_train_shingles"),
+            "train_doc_id",
+        )
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            "n_shared",
+            round_half_up(F.col("n_shared") / F.col("n_train_shingles"), 6).alias("contam_frac"),
+        )
+    )
+
+
+_CONTAM_JOINED = " || ' ' || ".join(f"t[i+{j}]" for j in range(CONTAM_K))
+
+CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, {_CONTAM_JOINED} AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-{CONTAM_K - 1}, 0))) AS i) g
+), sizes AS (
+  SELECT doc_id, count(*) AS n_train_shingles FROM sh
+  WHERE doc_id % {CONTAM_EVAL_MODULUS} <> 0 GROUP BY doc_id
+), hits AS (
+  SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id, count(*) AS n_shared
+  FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+  WHERE tr.doc_id % {CONTAM_EVAL_MODULUS} <> 0 AND ev.doc_id % {CONTAM_EVAL_MODULUS} = 0
+  GROUP BY 1, 2
+)
+SELECT train_doc_id, eval_doc_id, n_shared,
+       {sql_round_half_up('n_shared * 1.0 / s.n_train_shingles', 6)} AS contam_frac
+FROM hits h JOIN sizes s ON h.train_doc_id = s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
+    "contamination_ngram": contamination_ngram,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -933,6 +1010,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
+    "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

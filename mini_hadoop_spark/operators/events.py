@@ -215,8 +215,68 @@ GROUP BY w.week
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered conversion funnel view → click → purchase: a user
+    converts stage N only with an event STRICTLY AFTER their stage-N-1
+    conversion time (first view, then first click after that view, then
+    first purchase after that click).  Output: one row per stage with
+    the surviving user count and conversion rate vs stage 1.
+
+    Plan shape: a cascade of filtered min-aggregations — each stage is
+    ``events[type=stage] ⋈ previous-stage times`` on user_id, then a
+    min().  The event_type filters push into the parquet scan, every
+    join is an equi-join on user_id, and each stage's input shrinks
+    monotonically; at 100 TB this is 3 pushdown scans + 3 user_id
+    shuffles, no windows over the full event stream."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_times(stage: str, prev: DataFrame | None) -> DataFrame:
+        s = e.filter(F.col("event_type") == stage)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    counts = []
+    prev = None
+    for stage in FUNNEL_STAGES:
+        prev = stage_times(stage, prev)
+        counts.append(prev.agg(F.count("*").alias("n_users")).select(F.lit(stage).alias("stage"), "n_users"))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    first = out.agg(F.max(F.when(F.col("stage") == FUNNEL_STAGES[0], F.col("n_users"))).alias("n_first"))
+    return out.crossJoin(F.broadcast(first)).select(
+        "stage", "n_users", F.round(F.col("n_users") / F.col("n_first"), 6).alias("conv_rate")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+), stages AS (
+  SELECT 'view' AS stage, count(*) AS n_users FROM v
+  UNION ALL SELECT 'click', count(*) FROM c
+  UNION ALL SELECT 'purchase', count(*) FROM p
+), first AS (
+  SELECT n_users AS n_first FROM stages WHERE stage = 'view'
+)
+SELECT stage, n_users, round(n_users * 1.0 / n_first, 6) AS conv_rate
+FROM stages, first
+"""
+
+
 QUERIES = {
     "events_hourly_window": events_hourly_window,
+    "events_funnel": events_funnel,
     "events_sessionization": events_sessionization,
     "events_session_window": events_session_window,
     "events_type_value_stats": events_type_value_stats,
@@ -224,6 +284,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "events_weekly_retention": EVENTS_RETENTION_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,

@@ -566,8 +566,58 @@ FROM documents
 """
 
 
+def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source domain-mixing stats for training-data curation:
+    document/token counts, each source's share of total tokens, and the
+    ``rebalance_factor`` a sampler would apply to equalize sources
+    (target = 1/n_sources of the corpus; factor > 1 → oversample).
+
+    All arithmetic is rational over exact integer sums (no sqrt/log in
+    the output), so both engines produce bit-identical doubles.  Scale
+    shape: one map-side-combined hash shuffle to (source) — domain
+    cardinality is tiny (thousands at most), so the per-source frame
+    and the broadcast totals row are negligible at any corpus size."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    target = F.col("tot_tokens") / F.col("n_sources")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round_half_up(share, 6).alias("token_share"),
+            round_half_up(target / F.col("n_tokens"), 6).alias("rebalance_factor"),
+        )
+    )
+
+
+MIX_DOMAIN_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot_tokens, count(*) AS n_sources FROM per
+)
+SELECT source, n_docs, n_tokens,
+       {sql_round_half_up('n_tokens * 1.0 / tot_tokens', 6)} AS token_share,
+       {sql_round_half_up('(tot_tokens * 1.0 / n_sources) / n_tokens', 6)} AS rebalance_factor
+FROM per, tot
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "mix_domain_weights": mix_domain_weights,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
     "tfidf_top_terms": tfidf_top_terms,
@@ -581,6 +631,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mix_domain_weights": MIX_DOMAIN_SQL,
     "text_redact_pii": TEXT_REDACT_SQL,
     "text_pack_sequences": TEXT_PACK_SQL,
     "corpus_profile": CORPUS_PROFILE_SQL,

@@ -28,11 +28,16 @@ from tests.conftest import SF_DIR
 #   bounded constant build side (the IVF coarse quantizer).
 # - scalar_subquery_uncorrelated: crossJoin(broadcast(<1-row aggregate>))
 #   — the same canonical scalar-attach as tfidf_top_terms.
+# - mix_domain_weights / events_funnel: crossJoin(broadcast(<1-row
+#   aggregate>)) — the same canonical scalar-attach (corpus totals /
+#   first-stage user count).
 BNLJ_ALLOWED = {
     "similarity_topk_brute",
     "tfidf_top_terms",
     "similarity_ann_ivf",
     "scalar_subquery_uncorrelated",
+    "mix_domain_weights",
+    "events_funnel",
 }
 
 
