@@ -110,25 +110,37 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
-def srp_bucket(e: Column, table: int) -> Column:
-    """LSH_BITS-bit sign-random-projection bucket id for hash table
-    ``table``.
+def _srp_bucket_sql(e_col: str, table: int) -> str:
+    """SQL text for the LSH_BITS-bit sign-random-projection bucket id of
+    hash table ``table``: bit j = (sum_i sign(table,j,i) * e[i]) > 0,
+    each per-plane dot a zip_with fold against a LITERAL ±1 array.
 
-    bit j = (sum_i sign(table,j,i) * e[i]) > 0; the per-plane dot
-    product is a zip_with against a LITERAL ±1 array — constant-folded
-    JVM-side, no shuffle, no UDF.  (Measured alternative: expanding the
-    ±1 dots into 2048 scalar add/sub expressions is 5-8x SLOWER — the
-    giant Catalyst tree overwhelms analysis and falls out of codegen —
-    so the compact array fold is the right form.)"""
-    bucket = F.lit(0).cast("long")
+    Emitted as ONE SQL string parsed JVM-side: building the same tree
+    through the Column API costs thousands of py4j round trips (64 lits
+    x 8 planes x tables, measured ~2.6s of driver time per query build);
+    parsing a ~3 KB string is milliseconds and yields the identical
+    constant-folded plan.  (Also-measured alternative: expanding the ±1
+    dots into 2048 scalar add/sub expressions is 5-8x slower still —
+    the giant tree overwhelms analysis and falls out of codegen.)"""
+    bits = []
     for j in range(LSH_BITS):
         plane = table * LSH_BITS + j
-        signs = F.array(*[F.lit(_hyperplane_sign(plane, i)) for i in range(EMBEDDING_DIM)])
-        proj = dot(e, signs)
-        bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+        signs = ",".join(
+            "1.0D" if _hyperplane_sign(plane, i) > 0 else "-1.0D" for i in range(EMBEDDING_DIM)
         )
-    return bucket
+        proj = (
+            f"aggregate(zip_with({e_col}, array({signs}), (x, y) -> x * y),"
+            f" 0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0.0D THEN {1 << j}L ELSE 0L END)")
+    return " | ".join(bits)
+
+
+def srp_bucket(e: Column | str, table: int) -> Column:
+    """Column form of ``_srp_bucket_sql`` (column name input only — the
+    expression is parsed from SQL text, see there for why)."""
+    e_col = e if isinstance(e, str) else "e"
+    return F.expr(_srp_bucket_sql(e_col, table))
 
 
 def _bucketed(v: DataFrame) -> DataFrame:
@@ -137,7 +149,7 @@ def _bucketed(v: DataFrame) -> DataFrame:
     linearly more shuffle rows, never all-pairs."""
     entries = F.array(
         *[
-            F.struct(F.lit(t).alias("table_id"), srp_bucket(F.col("e"), t).alias("bucket"))
+            F.struct(F.lit(t).alias("table_id"), srp_bucket("e", t).alias("bucket"))
             for t in range(LSH_TABLES)
         ]
     )
@@ -153,7 +165,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (query_id, neighbor_id, rnk, cos_sim) — approximate, recall
     vs the brute-force baseline asserted in tests."""
     v = _vectors(spark, sf_dir)
-    keyed = _bucketed(v)
+    # Materialize the bucketed index ONCE (localCheckpoint) — the
+    # standard "build the LSH index" step: both self-join sides read the
+    # materialized (vec_id, table_id, bucket) rows instead of each
+    # recomputing the 32 projection folds over every vector.
+    keyed = _bucketed(v).localCheckpoint(eager=False)
     queries = keyed.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nv").alias("nq"), "table_id", "bucket",
