@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Reference-parity benchmark — times the TWO workloads the reference
+repo itself ships benchmark inputs for (BASELINE.md "Reference-parity
+workloads to time"):
+
+* WordCount over generated random-word text at 4 MB / 16 MB
+  (file_gen.py-style inputs; 256 MB with SPARK_GRAFT_PARITY_LARGE=1),
+  through BOTH the DataFrame path (workloads/wordcount.py) and the
+  reference-shaped MapReduce shim (engine/mapreduce.py) at 4 MB.
+* PageRank x2 iterations, d=0.85, over the reference's own
+  41,332-node / 100,000-edge adjacency TSV (the exact input and config
+  of its published run — mini_hadoop.ex:42-47; skipped gracefully if
+  the file is absent).
+
+Prints ONE JSON line:
+    {"metric": "parity_wall_sec", "value": N, "unit": "sec",
+     "workloads": {"wordcount_df_4mb": sec, ...}}
+
+The reference publishes no timings for these inputs (BASELINE.md), so
+this harness records OUR single-node numbers for the same data scale —
+the comparison artifact its missing numbers would have filled.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import string
+import sys
+import tempfile
+import time
+
+REF_ADJACENCY = os.environ.get(
+    "SPARK_GRAFT_REF_ADJACENCY",
+    "/root/reference/test_file/adjacency_41332_nodes_100000_edges.tsv",
+)
+REF_TOTAL_PAGES = 41332  # the reference's published run config (mini_hadoop.ex:42-47)
+
+
+def generate_words_file(path: str, size_mb: int, seed: int = 7) -> None:
+    """Deterministic random-word text, file_gen.py-STYLE (random
+    lowercase words, space-separated, newline-terminated lines) — same
+    data shape, original generator."""
+    rng = random.Random(seed * 1000 + size_mb)
+    target = size_mb * 1024 * 1024
+    written = 0
+    with open(path, "w") as f:
+        while written < target:
+            words = (
+                "".join(rng.choices(string.ascii_lowercase, k=rng.randint(3, 10)))
+                for _ in range(100)
+            )
+            line = " ".join(words) + "\n"
+            f.write(line)
+            written += len(line)
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.session import get_spark
+    from mini_hadoop_spark.workloads.pagerank import adjacency_edges, pagerank
+    from mini_hadoop_spark.workloads.wordcount import word_count
+
+    spark = get_spark("mini_hadoop_spark-parity-bench")
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        try:
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — record and keep benching
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"parity: {name} FAILED: {failures[name]}", file=sys.stderr)
+
+    # warm up codegen/scheduler once so workload timings exclude JVM startup
+    spark.range(1000).select(F.sum("id")).write.format("noop").mode("overwrite").save()
+
+    sizes = [4, 16]
+    if os.environ.get("SPARK_GRAFT_PARITY_LARGE") == "1":
+        sizes.append(256)
+    with tempfile.TemporaryDirectory(prefix="parity_wc_") as tmp:
+        for mb in sizes:
+            path = os.path.join(tmp, f"words_{mb}mb.txt")
+            generate_words_file(path, mb)
+            docs = spark.read.text(path).withColumnRenamed("value", "text")
+            timed(
+                f"wordcount_df_{mb}mb",
+                lambda d=docs: word_count(d).write.format("noop").mode("overwrite").save(),
+            )
+
+        # the reference-shaped generic-MapReduce path (engine shim) on the
+        # 4 MB input: arbitrary-Python map/reduce closures over blocks —
+        # the slow-by-design compatibility surface, timed for honesty
+        from mini_hadoop_spark.engine.mapreduce import JobSpec, run_job
+
+        def wc_map(block: str, _ctx):
+            out = {}
+            for w in block.lower().split():
+                w = "".join(c for c in w if c.isalnum() or c == "_")
+                if w:
+                    out[w] = out.get(w, 0) + 1
+            return list(out.items())
+
+        def wc_reduce(_key, values, _ctx):
+            return sum(values)
+
+        spec = JobSpec(
+            job_name="parity_wc",
+            input_files=[os.path.join(tmp, "words_4mb.txt")],
+            map_function=wc_map,
+            reduce_function=wc_reduce,
+        )
+        timed(
+            "wordcount_shim_4mb",
+            lambda: run_job(spark, spec).pairs.write.format("noop").mode("overwrite").save(),
+        )
+
+    if os.path.exists(REF_ADJACENCY):
+        edges = adjacency_edges(spark, REF_ADJACENCY)
+        timed(
+            "pagerank_2iter_ref_graph",
+            lambda: pagerank(
+                edges, iterations=2, damping=0.85, total_pages=REF_TOTAL_PAGES
+            ).write.format("noop").mode("overwrite").save(),
+        )
+    else:
+        print(f"parity: reference adjacency not found at {REF_ADJACENCY}; skipped", file=sys.stderr)
+
+    out = {
+        "metric": "parity_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "workloads": timings,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    spark.stop()
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

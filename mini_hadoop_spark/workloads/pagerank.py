@@ -145,6 +145,27 @@ def pagerank(
     return result
 
 
+def adjacency_edges(spark, path: str) -> DataFrame:
+    """Parse the reference's adjacency-TSV format into an (src, dst)
+    edge frame: one line per source, ``src\\tt1 t2 ...`` with
+    space-separated targets (the format page_rank.ex:126-144 consumes
+    and test_file/adjacency_*.tsv ships).
+
+    Distributed text scan + split/explode — the file parallelizes by
+    line ranges like any Spark text read; no driver-side parsing."""
+    parts = F.split(F.col("value"), "\t")
+    return (
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            parts.getItem(0).cast("long").alias("src"),
+            F.explode(F.split(F.trim(parts.getItem(1)), " +")).alias("_dst"),
+        )
+        .filter(F.col("_dst") != "")
+        .select("src", F.col("_dst").cast("long").alias("dst"))
+    )
+
+
 def converged(old: DataFrame, new: DataFrame, tolerance: float = 1e-4) -> bool:
     """README.md:843-854 convergence helper: max |Δrank| < tolerance."""
     delta = (

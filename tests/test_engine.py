@@ -306,6 +306,18 @@ def test_pagerank_mapper_contributions():
     assert sum(1 for k, _ in out if k == "c") == 3  # baseline + 2 contribs
 
 
+def test_adjacency_edges_parsing(spark, tmp_path):
+    """adjacency_edges parses the reference's TSV shape (``src\\tt1 t2
+    ...``): space-separated targets explode to one edge each; blank
+    lines and stray spacing are ignored."""
+    from mini_hadoop_spark.workloads.pagerank import adjacency_edges
+
+    p = tmp_path / "adj.tsv"
+    p.write_text("0\t2\n10\t11 12  13\n\n7\t8\n")
+    edges = sorted(map(tuple, adjacency_edges(spark, str(p)).collect()))
+    assert edges == [(0, 2), (7, 8), (10, 11), (10, 12), (10, 13)]
+
+
 def test_pagerank_shim_matches_dataframe(spark, tmp_path):
     """Two shim iterations == two DataFrame iterations on the same
     graph (threading ranks via the context, mini_hadoop.ex:53-73)."""
