@@ -120,10 +120,50 @@ SELECT event_type, count(*) AS n,
 FROM events GROUP BY event_type
 """
 
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise ``salted_join`` on a genuinely spiked key: lineitem's
+    3-value l_returnflag (≈N/3 rows per key — the whale-key shape).
+    The small side is each flag's price midpoint (min+max)/2 — min/max
+    are order-independent and the single division is one IEEE op, so
+    the threshold is bit-identical cross-engine (no float-sum drift in
+    the comparison).  Joined back salted, then a conditional count of
+    rows above their flag's midpoint.
+
+    Result must be IDENTICAL to the unsalted plain-join plan (the
+    oracle is that plain join): salting is a physical rewrite only."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_extendedprice"
+    )
+    mid = l.groupBy("l_returnflag").agg(
+        ((F.min("l_extendedprice") + F.max("l_extendedprice")) / 2).alias("mid")
+    )
+    joined = salted_join(l, mid, key="l_returnflag", salt_on="l_orderkey")
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("l_extendedprice") > F.col("mid"), 1).otherwise(0)).alias(
+            "n_above_mid"
+        ),
+    )
+
+
+JOIN_SALTED_SQL = """
+WITH mid AS (
+  SELECT l_returnflag, (min(l_extendedprice) + max(l_extendedprice)) / 2 AS mid
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, count(*) AS n_total,
+       sum(CASE WHEN l.l_extendedprice > m.mid THEN 1 ELSE 0 END) AS n_above_mid
+FROM lineitem l JOIN mid m ON l.l_returnflag = m.l_returnflag
+GROUP BY l.l_returnflag
+"""
+
+
 QUERIES = {
     "agg_salted_skew": agg_salted_skew,
+    "join_salted_skew": join_salted_skew,
 }
 
 ORACLES = {
     "agg_salted_skew": AGG_SALTED_SQL,
+    "join_salted_skew": JOIN_SALTED_SQL,
 }
