@@ -19,6 +19,9 @@ operator pipelines; ``write_any`` is the sink twin.  Format notes:
   columns in file order.
 * text — one row per line as column ``value`` (record-aligned splits,
   arbitrarily scalable).
+* orc — columnar like parquet (predicate pushdown, column pruning,
+  stripe-parallel splits); same scale posture, second-class only in
+  that the driver tables are parquet.
 """
 
 from __future__ import annotations
@@ -36,9 +39,10 @@ _EXT_FORMATS = {
     ".tsv": "tsv",
     ".txt": "text",
     ".text": "text",
+    ".orc": "orc",
 }
 
-FORMATS = ("parquet", "jsonl", "csv", "tsv", "text")
+FORMATS = ("parquet", "jsonl", "csv", "tsv", "text", "orc")
 
 
 def infer_format(path: str) -> str:
@@ -85,6 +89,8 @@ def read_any(
         return r.csv(path)
     if fmt == "text":
         return spark.read.text(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
 
 
@@ -102,5 +108,7 @@ def write_any(df: DataFrame, path: str, fmt: str | None = None, mode: str = "err
         w.options(header=True, quote='"', escape='"', sep="\t" if fmt == "tsv" else ",").csv(path)
     elif fmt == "text":
         w.text(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")

@@ -31,6 +31,15 @@ def test_jsonl_roundtrip_matches_parquet(spark, docs, tmp_path):
     assert _as_set(back) == _as_set(docs)
 
 
+def test_orc_roundtrip_matches_parquet(spark, docs, tmp_path):
+    from mini_hadoop_spark.sources.formats import read_any, write_any
+
+    p = str(tmp_path / "docs.orc")
+    write_any(docs, p, fmt="orc")
+    back = read_any(spark, p)  # .orc extension infers
+    assert _as_set(back) == _as_set(docs)
+
+
 def test_csv_roundtrip_matches_parquet(spark, docs, tmp_path):
     """CSV with RFC-4180 quoting: document bodies with embedded commas,
     quotes and newlines survive.  (CSV schema maps POSITIONALLY — write
