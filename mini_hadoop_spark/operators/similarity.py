@@ -267,6 +267,20 @@ def ivf_quantizer(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> D
     return _quantizers[key]
 
 
+def ivf_lists(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> DataFrame:
+    """The memoized inverted lists (vec_id, e, nv, cid) — like the
+    quantizer, a build-once index artifact: the full-corpus assignment
+    pass (score x K centroids + argmax window) runs once per
+    (session, sf_dir), not once per query call."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), k, "lists")
+    if key not in _quantizers:
+        v = _vectors(spark, sf_dir).select("vec_id", "e", "nv")
+        _quantizers[key] = _assign(v, ivf_quantizer(spark, sf_dir, k), 1, "cid").localCheckpoint(
+            eager=True
+        )
+    return _quantizers[key]
+
+
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 per query via IVF: vectors live in their nearest
     centroid's inverted list; each query probes its IVF_NPROBE nearest
@@ -283,7 +297,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-executes, neither across the assignment passes below nor across
     # repeated query calls
     centroids = ivf_quantizer(spark, sf_dir)
-    lists = _assign(v, centroids, 1, "cid")
+    lists = ivf_lists(spark, sf_dir)
     probes = _assign(
         v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, IVF_NPROBE, "cid"
     ).select(
