@@ -396,10 +396,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block_id, block_value) — never all-pairs.  Deterministic; rows-only
     driver check (no xxhash64 in DuckDB)."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    # token INSTANCES with cnt=1, not a pre-counted (doc, token) frame:
+    # sum_instances(±1) == sum_distinct(cnt·±1), so skipping the
+    # (doc_id, token) count drops a full shuffle of the token stream —
+    # the 64 weight aggregates partial-combine map-side either way, and
+    # the one remaining shuffle carries docs x 65 partial rows only.
     toks = (
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("cnt"))
+        .withColumn("cnt", F.lit(1).cast("long"))
     )
     fp = simhash(toks)
     block_width = SIMHASH_BITS // SIMHASH_BLOCKS
