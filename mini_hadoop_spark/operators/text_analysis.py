@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from mini_hadoop_spark.functions.text import (
     TOKEN_PATTERN,
     round_half_up,
+    shingles,
     sql_round_half_up,
     tokens,
 )
@@ -615,9 +616,120 @@ FROM per, tot
 """
 
 
+def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining curation pipeline as ONE declarative
+    plan — the composition every individual operator in this family
+    exists for:
+
+      1. quality filter + exact dedup (content-hash survivor pick, the
+         ``pipeline_clean_corpus`` predicate);
+      2. decontamination: drop the eval partition itself AND every train
+         doc sharing an exact 5-gram with an eval doc (broadcast
+         anti-join against the contaminated-id set — eval/benchmark
+         shingle sets are tiny next to a 100 TB corpus);
+      3. domain mixing: per-source rebalance factors computed over the
+         SURVIVING corpus (exact rational arithmetic).
+
+    Output: one manifest row per kept document —
+    (doc_id, source, lang, n_tokens, quality_score, rebalance_factor).
+    Catalyst fuses 1 into scan → project → one hash-window shuffle; 2 is
+    a shingle equi-join vs a broadcast eval index + a broadcast
+    anti-join; 3 adds one map-combined source aggregate and two
+    broadcast attaches.  Nothing collects; every join's build side is
+    bounded (eval index, contaminated ids, per-source weights)."""
+    from mini_hadoop_spark.operators.dedup import CONTAM_EVAL_MODULUS, CONTAM_K
+
+    d = _docs(spark, sf_dir)
+    _, _, _, _, score = _quality_parts()
+    scored = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.sha2("text", 256).alias("h"),
+        F.size(tokens("text")).alias("n_tokens"),
+        round_half_up(score, 6).alias("quality_score"),
+    )
+    w = W.partitionBy("h").orderBy("doc_id")
+    clean = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("quality_score") >= QUALITY_KEEP_THRESHOLD))
+        .drop("_rn", "h")
+    )
+
+    sh = d.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", F.explode(shingles("t", CONTAM_K)).alias("shingle")
+    )
+    is_eval = F.col("doc_id") % CONTAM_EVAL_MODULUS == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_eval).join(F.broadcast(eval_sh), "shingle").select("doc_id").distinct()
+    )
+    kept = clean.filter(~is_eval).join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+    per = kept.groupBy("source").agg(F.sum("n_tokens").alias("_src_tokens"))
+    tot = per.agg(F.sum("_src_tokens").alias("_tot"), F.count("*").alias("_ns"))
+    weights = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        round_half_up((F.col("_tot") / F.col("_ns")) / F.col("_src_tokens"), 6).alias(
+            "rebalance_factor"
+        ),
+    )
+    return kept.join(F.broadcast(weights), "source").select(
+        "doc_id", "source", "lang", "n_tokens", "quality_score", "rebalance_factor"
+    )
+
+
+def _pretrain_manifest_sql() -> str:
+    from mini_hadoop_spark.operators.dedup import CONTAM_EVAL_MODULUS, CONTAM_K
+
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(CONTAM_K))
+    score = (
+        f"(CASE WHEN len(toks) > 0"
+        f" THEN len(list_filter(toks, x -> x IN ({_STOP_IN}))) * 1.0 / len(toks)"
+        f" ELSE 0.0 END) * 2.0"
+        f" + (1.0 - CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END)"
+        f" + (1.0 - CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END)"
+    )
+    return f"""
+WITH t AS (
+  {_sql_quality_inputs(", lang, source, sha256(text) AS h")}
+), r AS (
+  SELECT doc_id, lang, source, len(toks) AS n_tokens, {score} AS score,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM t
+), clean AS (
+  SELECT doc_id, source, lang, n_tokens, {sql_round_half_up('score', 6)} AS quality_score
+  FROM r WHERE rn = 1 AND {sql_round_half_up('score', 6)} >= {QUALITY_KEEP_THRESHOLD}
+), toksrc AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, {joined} AS shingle
+  FROM toksrc, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-{CONTAM_K - 1}, 0))) AS i) g
+), contaminated AS (
+  SELECT DISTINCT tr.doc_id
+  FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+  WHERE tr.doc_id % {CONTAM_EVAL_MODULUS} <> 0 AND ev.doc_id % {CONTAM_EVAL_MODULUS} = 0
+), kept AS (
+  SELECT * FROM clean
+  WHERE doc_id % {CONTAM_EVAL_MODULUS} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), per AS (
+  SELECT source, sum(n_tokens) AS src_tokens FROM kept GROUP BY source
+), tot AS (
+  SELECT sum(src_tokens) AS tot, count(*) AS ns FROM per
+), wts AS (
+  SELECT source, {sql_round_half_up('(tot * 1.0 / ns) / src_tokens', 6)} AS rebalance_factor
+  FROM per, tot
+)
+SELECT k.doc_id, k.source, k.lang, k.n_tokens, k.quality_score, w.rebalance_factor
+FROM kept k JOIN wts w ON k.source = w.source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "mix_domain_weights": mix_domain_weights,
+    "pipeline_pretrain_manifest": pipeline_pretrain_manifest,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
     "tfidf_top_terms": tfidf_top_terms,
@@ -632,6 +744,7 @@ QUERIES = {
 
 ORACLES = {
     "mix_domain_weights": MIX_DOMAIN_SQL,
+    "pipeline_pretrain_manifest": _pretrain_manifest_sql(),
     "text_redact_pii": TEXT_REDACT_SQL,
     "text_pack_sequences": TEXT_PACK_SQL,
     "corpus_profile": CORPUS_PROFILE_SQL,

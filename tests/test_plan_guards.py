@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "scalar_subquery_uncorrelated",
     "mix_domain_weights",
     "events_funnel",
+    "pipeline_pretrain_manifest",
 }
 
 
