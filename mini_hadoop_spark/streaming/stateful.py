@@ -153,3 +153,22 @@ def streaming_dedup_first_seen(df: DataFrame, key_col: str, watermark: str = "1 
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_dedup_native(df: DataFrame, key_col: str, watermark: str = "1 hour") -> DataFrame:
+    """Built-in-first streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps the first row per key and lets the engine own the state store
+    and watermark-driven eviction — ZERO custom state code.
+
+    Use this when "first row per key, state retained for the watermark
+    horizon" is the whole requirement; reach for
+    ``streaming_dedup_first_seen`` only when you need its extras (the
+    suppressed-repeat count, an eviction TTL decoupled from the
+    watermark).  Both shuffle once on the key and hold O(active keys)
+    state; the built-in's state rows are smaller (no user struct)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .select(F.col(key_col).alias("key"), "ts")
+        .dropDuplicatesWithinWatermark(["key"])
+        .withColumnRenamed("ts", "first_ts")
+    )

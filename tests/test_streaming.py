@@ -479,3 +479,72 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     assert set(rows2) == {"1", "2", "3"}
     assert rows2["1"] == rows1["1"]  # unchanged: no re-emission
     assert rows2["3"][0] == pd.Timestamp("2026-01-01 10:11:00")
+
+
+def test_streaming_dedup_native_matches_custom_keys(spark, tmp_path):
+    """The built-in dropDuplicatesWithinWatermark variant emits the same
+    KEY SET with the same first-sighting timestamps as the custom
+    applyInPandasWithState operator across micro-batches."""
+    import pandas as pd
+
+    from mini_hadoop_spark.streaming.stateful import streaming_dedup_native
+    from mini_hadoop_spark.streaming.windowed import EVENTS_STREAM_SCHEMA
+
+    d = tmp_path / "ndedup_stream"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / name))
+
+    write_batch(
+        "b1",
+        [
+            (1, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2026-01-01 10:01:00", 2, "click", 1.0, "{}"),
+            (3, "2026-01-01 10:02:00", 1, "view", 1.0, "{}"),  # dup key user 1
+        ],
+    )
+
+    sink = str(tmp_path / "ndedup_out")
+    ckpt = str(tmp_path / "ndedup_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(d / "*"))
+        out = streaming_dedup_native(src.withColumn("key", src.user_id.cast("string")), "key")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.key: r.first_ts for r in spark.read.parquet(sink).collect()}
+
+    rows1 = drain()
+    assert rows1 == {
+        "1": pd.Timestamp("2026-01-01 10:00:00"),
+        "2": pd.Timestamp("2026-01-01 10:01:00"),
+    }
+
+    # cross-batch: key 1 repeats (suppressed via state), key 3 is new
+    write_batch(
+        "b2",
+        [
+            (4, "2026-01-01 10:10:00", 1, "click", 1.0, "{}"),
+            (5, "2026-01-01 10:11:00", 3, "click", 1.0, "{}"),
+        ],
+    )
+    rows2 = drain()
+    assert rows2 == {
+        "1": pd.Timestamp("2026-01-01 10:00:00"),
+        "2": pd.Timestamp("2026-01-01 10:01:00"),
+        "3": pd.Timestamp("2026-01-01 10:11:00"),
+    }
