@@ -464,7 +464,68 @@ GROUP BY n_name, year(o_orderdate)
 """
 
 
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag (multiset) difference, preserving multiplicity:
+    each custkey survives (orders-count − events-count) times.  The bag
+    semantics are the shape the distinct battery entry (`set_except`)
+    deliberately collapses; both engines implement the same multiset
+    rule, so raw duplicate rows hash-compare.  Plan: one hash shuffle
+    per side + a counted merge — no sort, no explosion."""
+    o = _t(spark, sf_dir, "orders")
+    e = _t(spark, sf_dir, "events")
+    return o.select(F.col("o_custkey").alias("custkey")).exceptAll(
+        e.select(F.col("user_id").alias("custkey"))
+    )
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT ALL
+SELECT user_id AS custkey FROM events
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window — the VALUE-based frame the rows-frame battery
+    entries don't cover: per customer, each order's trailing-30-day
+    order count and spend (RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    over epoch-day).  Range frames include ALL peers of the current
+    row's order value, so ties (same-day orders) contribute identically
+    regardless of engine row order — deterministic by construction.
+    Plan: one window shuffle on the customer key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("ed"),
+        "o_totalprice",
+    )
+    w = W.partitionBy("o_custkey").orderBy("ed").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_orders_30d"),
+        round_half_up(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         (o_orderdate::DATE - DATE '1970-01-01') AS ed,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       count(*) OVER w AS n_orders_30d,
+       {sql_round_half_up("sum(o_totalprice) OVER w", 2)} AS spend_30d
+FROM o
+WINDOW w AS (PARTITION BY o_custkey ORDER BY ed RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "set_except_all": set_except_all,
+    "window_range_frame": window_range_frame,
     "agg_global_no_group": agg_global_no_group,
     "subquery_exists_priority": subquery_exists_priority,
     "set_union_all": set_union_all,
@@ -480,6 +541,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "set_except_all": SET_EXCEPT_ALL_SQL,
+    "window_range_frame": WINDOW_RANGE_FRAME_SQL,
     "agg_global_no_group": AGG_GLOBAL_SQL,
     "subquery_exists_priority": SUBQUERY_EXISTS_SQL,
     "set_union_all": SET_UNION_ALL_SQL,
