@@ -313,12 +313,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     log differs in the last ulp across implementations).  Deterministic
     rank tiebreak on the term string."""
     d = _docs(spark, sf_dir)
+    # the (doc, term) index feeds BOTH the df aggregation and the score
+    # join: materialize it once (the standard inverted-index build, same
+    # pattern as the shingle index) instead of re-running
+    # tokenize+explode+groupBy per reference
     term_counts = (
         d.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    df_counts = term_counts.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # doc_id is unique per term AFTER the (doc_id, term) groupBy, so
+    # df = plain count — no countDistinct expand needed
+    df_counts = term_counts.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         term_counts.join(df_counts, "term")
