@@ -103,3 +103,92 @@ def test_run_job_wordcount_matches_python_reference(spark, texts):
     # Python reference on the SAME newline semantics textFile sees
     want = Counter(re.findall(r"[a-z]+", text.lower()))
     assert got == dict(want)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """The distributed HashMin loop labels every vertex with its
+    component's minimum id — exactly what a driver-side union-find
+    computes on the same random edge list (self-loops and duplicate
+    edges included)."""
+    from mini_hadoop_spark.operators.dedup import connected_components
+
+    # pure-Python reference: union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {v: find(v) for v in parent}
+    # canonicalize: label = min id of the component
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in parent}
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.label
+        for r in connected_components(df, src="src", dst="dst").collect()
+    }
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "hot"]),
+            st.integers(0, 10**6),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_salted_agg_matches_plain_agg(spark, rows):
+    """salted_agg is a physical rewrite only: on arbitrary data
+    (nulls, hot keys, integer values so sums are exact) it returns
+    EXACTLY the single-stage aggregation's rows."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k string, id long, v long")
+    got = {
+        tuple(r)
+        for r in salted_agg(df, key="k", value="v", salt_on="id", buckets=4).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+            F.round(F.sum("v") / F.count("v"), 4).alias("avg_v"),
+        )
+        .collect()
+    }
+    assert got == plain
