@@ -16,6 +16,7 @@ from mini_hadoop_spark.operators import (
     temporal,
     text_analysis,
 )
+from mini_hadoop_spark.streaming import windowed as streaming_windowed
 from mini_hadoop_spark.workloads import parity
 
 # Order matters: the driver's correctness artifact records only the first 50
@@ -26,7 +27,7 @@ from mini_hadoop_spark.workloads import parity
 # remaining rows.
 _MODULES = [
     dedup, similarity, text_analysis, multimodal, events, skew, temporal,
-    sampling, parity, relational, relational_ext,
+    sampling, streaming_windowed, parity, relational, relational_ext,
 ]
 
 

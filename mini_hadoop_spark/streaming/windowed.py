@@ -105,3 +105,59 @@ def run_stream_to_memory(
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(f"stream drain into {table_name!r} exceeded {timeout_sec}s")
+
+
+def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query: run the watermarked hourly window
+    aggregation END-TO-END through the streaming engine (file source →
+    incremental state → availableNow drain) and return the final
+    result — so the external driver verifies the STREAMING path against
+    the same DuckDB oracle as the batch twin (events_hourly_window),
+    not just our in-repo parity tests.
+
+    The driver ships events as a single parquet file and Spark's file
+    stream source requires a directory, so the file is HARDLINKED (no
+    data copy; falls back to a real copy cross-device) into a per-call
+    tmp dir.  The memory-sink table name is unique per call; 'complete'
+    mode emits the full final state, which for a drained bounded input
+    equals the batch aggregation exactly."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mini_hadoop_spark.sources.catalog import table_path
+
+    src = table_path(sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_hourly_")
+    dst = os.path.join(stage, "part-000.parquet")
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy(src, dst)
+    table = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(windowed_event_counts(read_events_stream(spark, stage)), table)
+    return spark.table(table).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+QUERIES = {
+    "streaming_hourly_drain": streaming_hourly_drain,
+}
+
+
+def _hourly_oracle() -> str:
+    from mini_hadoop_spark.operators.events import EVENTS_HOURLY_SQL
+
+    return EVENTS_HOURLY_SQL
+
+
+ORACLES = {
+    # the batch twin's oracle verbatim: the streaming drain must land on
+    # the identical rows
+    "streaming_hourly_drain": _hourly_oracle(),
+}
