@@ -405,7 +405,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(tokens("text")).alias("token"))
         .withColumn("cnt", F.lit(1).cast("long"))
     )
-    fp = simhash(toks)
+    # materialize the (doc_id, simhash) table before the block self-join:
+    # both join sides otherwise re-run the whole tokenize+64-weight
+    # fingerprint pipeline (the same build-the-index-once pattern as the
+    # LSH/IVF/shingle indexes; |docs| rows of 2 longs)
+    fp = simhash(toks).localCheckpoint(eager=False)
     block_width = SIMHASH_BITS // SIMHASH_BLOCKS
     blocks = F.array(
         *[
