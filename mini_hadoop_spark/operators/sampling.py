@@ -111,12 +111,79 @@ SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= {SAMPLE_K}
 """
 
 
+def sample_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED downsampling — the execution step of the
+    domain-mixing weights (text_analysis.mix_domain_weights): each
+    source is down-sampled to the SMALLEST source's token budget, so
+    the sampled corpus approaches uniform source shares.
+
+    Acceptance is a pure hash test: accept a doc iff the high 32 bits
+    of md5(text ‖ ':' ‖ doc_id) fall below rate·2³², where
+    rate(source) = min_source_tokens / source_tokens (one exact-integer
+    division — bit-identical cross-engine).  Hash-threshold sampling is
+    reproducible across runs/engines AND composable: a different salt
+    (the ':' tag) decorrelates it from the content-hash split buckets.
+
+    Output: per-source summary (n_docs, n_sampled, target_rate).
+    Scale: one token-count aggregate, a broadcast rate attach, one
+    map-combined summary aggregate — the accept flag itself is a pure
+    projection, so at 100 TB the sampled corpus is written by the same
+    scan that computes the flag (no second pass)."""
+    from mini_hadoop_spark.functions.text import round_half_up, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.sum(F.size(tokens("text"))).alias("n_tokens"))
+    mn = per.agg(F.min("n_tokens").alias("min_tokens"))
+    rates = per.crossJoin(F.broadcast(mn)).select(
+        "source", (F.col("min_tokens") / F.col("n_tokens")).alias("rate")
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.col("text"), F.lit(":"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long")
+    flagged = d.select("source", hv.alias("hv")).join(F.broadcast(rates), "source")
+    return (
+        flagged.groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("hv") < F.col("rate") * F.lit(4294967296.0), 1).otherwise(0)
+            ).alias("n_sampled"),
+        )
+        .select("source", "n_docs", "n_sampled", round_half_up(F.col("rate"), 6).alias("target_rate"))
+    )
+
+
+def _weighted_mix_sql() -> str:
+    from mini_hadoop_spark.functions.text import sql_round_half_up
+
+    return f"""
+WITH per AS (
+  SELECT source, sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_tokens
+  FROM documents GROUP BY source
+), mn AS (
+  SELECT min(n_tokens) AS min_tokens FROM per
+), rates AS (
+  SELECT source, min_tokens * 1.0 / n_tokens AS rate FROM per, mn
+), h AS (
+  SELECT d.source, r.rate,
+         ('0x' || substr(md5(d.text || ':' || d.doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+  FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN hv < rate * 4294967296.0 THEN 1 ELSE 0 END) AS n_sampled,
+       {sql_round_half_up('rate', 6)} AS target_rate
+FROM h GROUP BY source, rate
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "sample_stratified_per_lang": sample_stratified_per_lang,
+    "sample_weighted_mix": sample_weighted_mix,
 }
 
 ORACLES = {
     "split_train_val_test": SPLIT_SQL,
     "sample_stratified_per_lang": SAMPLE_STRATIFIED_SQL,
+    "sample_weighted_mix": _weighted_mix_sql(),
 }

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "mix_domain_weights",
     "events_funnel",
     "pipeline_pretrain_manifest",
+    "sample_weighted_mix",
 }
 
 
