@@ -41,15 +41,21 @@ def asof_join(
     build_payload: list[str],
     tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each probe row, attach the build row with the greatest
-    ``build_ts <= probe_ts`` within the same ``key``.
+    ``build_ts <= probe_ts`` (``direction="backward"``, the default) or
+    the smallest ``build_ts >= probe_ts`` (``direction="forward"`` —
+    "next reading after the trade") within the same ``key``.  Forward is
+    the identical one-shuffle merge on a reversed sort order.
 
     Returns all probe columns plus ``asof_<build_ts>`` and
     ``asof_<c>`` for each payload column (null / dropped per ``how``
-    when no build row precedes the probe row)."""
+    when no build row precedes/follows the probe row)."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
 
     # SQL join semantics: NULL keys never match (NULL != NULL), and a
     # build row with a NULL build_ts can never satisfy build_ts <=
@@ -84,9 +90,18 @@ def asof_join(
         *[F.col(c).alias(f"_p_{c}") for c in probe.columns],
     )
     merged = b.unionByName(p)
+    # backward: ascending ts — the running `last` build seen is the
+    # greatest build_ts <= probe_ts.  forward: DESCENDING ts — the
+    # running `last` build seen is the smallest build_ts >= probe_ts.
+    # Either way build rows (_tag 0) sort before probe rows at equal ts,
+    # so an exactly-simultaneous build row matches.
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_tag").asc(), F.col("_tb").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_tag").asc(), F.col("_tb").desc()]
     w = (
         W.partitionBy("_k")
-        .orderBy(F.col("_t"), F.col("_tag"), F.col("_tb"))
+        .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (
@@ -219,12 +234,48 @@ FROM events e
 ASOF JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
 """
 
+def join_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: enrich every event with its user's NEXT order at
+    or after the event ("did the event lead to an order?").  Same
+    one-shuffle merge as the backward query on a reversed sort;
+    tie-insensitive output (the matched date only) so DuckDB's native
+    forward ASOF JOIN is an exact oracle."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    j = asof_join(
+        e,
+        o,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="o_orderdate",
+        build_payload=["o_orderkey"],
+        how="inner",
+        direction="forward",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("next_order_date"),
+    )
+
+
+JOIN_ASOF_FWD_SQL = """
+SELECT e.event_id, e.user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS next_order_date
+FROM events e
+ASOF JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
+"""
+
 QUERIES = {
     "join_asof_latest_order": join_asof_latest_order,
+    "join_asof_next_order": join_asof_next_order,
     "join_range_event_followups": join_range_event_followups,
 }
 
 ORACLES = {
     "join_asof_latest_order": JOIN_ASOF_SQL,
+    "join_asof_next_order": JOIN_ASOF_FWD_SQL,
     "join_range_event_followups": JOIN_RANGE_SQL,
 }

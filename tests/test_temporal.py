@@ -57,6 +57,35 @@ def test_asof_left_keeps_unmatched(spark, frames):
     assert got == {1: 10, 2: 11, 3: None, 4: 12}
 
 
+def test_asof_forward_matches_next(spark, frames):
+    """direction='forward': each probe matches the SMALLEST build_ts >=
+    probe_ts; equal-ts builds match; probes after every build drop
+    (inner) or null (left)."""
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    probe, build = frames
+    out = asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                    build_payload=["bid"], how="inner", direction="forward")
+    got = {r.pid: r.asof_bid for r in out.collect()}
+    # pid1@10:00 -> bid11@11:00; pid2@12:00 has no later build (dropped);
+    # pid3@08:00 -> bid10@09:00; pid4@10:30 -> bid12 (equal ts matches)
+    assert got == {1: 11, 3: 10, 4: 12}
+
+    left = asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                     build_payload=["bid"], how="left", direction="forward")
+    got_left = {r.pid: r.asof_bid for r in left.collect()}
+    assert got_left == {1: 11, 2: None, 3: 10, 4: 12}
+
+
+def test_asof_rejects_bad_direction(spark, frames):
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    probe, build = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                  build_payload=["bid"], direction="sideways")
+
+
 def test_asof_tiebreak_deterministic(spark):
     """Two build rows at the SAME ts: the larger tiebreak wins, always."""
     from mini_hadoop_spark.operators.temporal import asof_join
