@@ -274,9 +274,55 @@ FROM stages, first
 """
 
 
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily actives, trailing-7-day weekly
+    actives, and their ratio — the engagement metric next to retention.
+
+    The sliding distinct-count is the EXPLODE-CONTRIBUTION form: each
+    (day, user) active-pair contributes itself to the 7 days it is
+    inside the window of (one `sequence` explode, ×7 rows), then a
+    plain countDistinct per day — an equi-shuffle, never a non-equi
+    days×activity join (which would plan a nested loop).  Scale: rows
+    after the first distinct are (days × users-active), tiny next to
+    raw events; the ×7 explode stays proportional to that."""
+    from mini_hadoop_spark.functions.text import round_half_up
+
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = du.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"), "user_id"
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        round_half_up(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )
+
+
+def _dau_wau_sql() -> str:
+    from mini_hadoop_spark.functions.text import sql_round_half_up
+
+    return f"""
+WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+contrib AS (
+  SELECT unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))::DATE AS day, user_id
+  FROM du
+),
+wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY day)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       {sql_round_half_up('d.dau * 1.0 / w.wau', 6)} AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+"""
+
+
 QUERIES = {
     "events_hourly_window": events_hourly_window,
     "events_funnel": events_funnel,
+    "events_dau_wau": events_dau_wau,
     "events_sessionization": events_sessionization,
     "events_session_window": events_session_window,
     "events_type_value_stats": events_type_value_stats,
@@ -285,6 +331,7 @@ QUERIES = {
 
 ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
+    "events_dau_wau": _dau_wau_sql(),
     "events_weekly_retention": EVENTS_RETENTION_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,
