@@ -10,6 +10,7 @@ from mini_hadoop_spark.operators import (
     multimodal,
     relational,
     relational_ext,
+    relational_tpch,
     sampling,
     similarity,
     skew,
@@ -31,6 +32,7 @@ from mini_hadoop_spark.workloads import parity
 _MODULES = [
     dedup, similarity, text_analysis, multimodal, events, skew, temporal,
     sampling, streaming_windowed, parity, relational, relational_ext,
+    relational_tpch,
 ]
 
 

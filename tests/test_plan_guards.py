@@ -40,6 +40,9 @@ BNLJ_ALLOWED = {
     "events_funnel",
     "pipeline_pretrain_manifest",
     "sample_weighted_mix",
+    # q22_idle_rich_customers: crossJoin(broadcast(<1-row aggregate>)) —
+    # the canonical scalar-attach (global avg balance), build side 1 row.
+    "q22_idle_rich_customers",
 }
 
 
