@@ -1,0 +1,327 @@
+"""Document-quality scoring operators — LLM-pipeline family #3 (cont.).
+
+Three pre-training corpus filters from the published playbooks, each a
+pure-Catalyst plan with a DuckDB oracle twin:
+
+* ``quality_gopher_rules``    — the Gopher/MassiveText rule filter
+                                (Rae et al. 2021 §A1.1): word count,
+                                mean word length, symbol-to-word ratio,
+                                bullet-line / ellipsis-line fractions,
+                                stopword presence — each as a flag plus
+                                the conjunctive ``keep``.
+* ``text_repetition_ratio``   — repetition signals (same paper §A1.1):
+                                top-bigram mass fraction + duplicate-
+                                line fraction per document.
+* ``text_char_bigram_novelty`` — gibberish/outlier detection: fraction
+                                of a doc's char bigrams that are RARE in
+                                the corpus-wide bigram table (the
+                                integer-exact stand-in for a char-LM
+                                perplexity filter à la CCNet — rare-
+                                event counting needs no transcendental
+                                log, so both engines agree bit-for-bit).
+
+Every ratio is an integer-count division (exact on both engines) and
+every rounding is the shared floor-half-up idiom — no float-sum
+order-dependence anywhere.
+
+Scale posture: gopher rules are a zero-shuffle projection.  Repetition
+is one explode + a doc_id-keyed agg + a doc_id join (both AQE-planned).
+Novelty builds the corpus bigram table (bounded by |charset|² — a few
+thousand rows regardless of corpus size), broadcasts it back over the
+doc bigram stream, and aggregates per doc: the canonical
+"broadcast-the-model" shape that survives 100 TB because the model side
+is corpus-size-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_hadoop_spark.functions.partitioning import spread_small_scan
+from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up, tokens
+from mini_hadoop_spark.operators.text_analysis import STOPWORDS, WS
+from mini_hadoop_spark.sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+# Gopher-style thresholds, adapted to the synthetic corpus's scale
+# (docs average ~300 chars, so the word-count floor is 10, not 50).
+GOPHER_MIN_WORDS = 10
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_STOP_HITS = 1
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule filter: one boolean flag per rule + conjunctive keep.
+
+    Zero shuffles — a single codegen'd projection over the scan; at
+    100 TB this is embarrassingly parallel and reads only (doc_id,
+    text).  Ratios are exact integer divisions; the mean word length is
+    rounded with the shared half-up idiom before the range test so the
+    flag itself is engine-stable."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    ws_words = F.regexp_extract_all(F.col("text"), F.lit(rf"[^{WS}]+"), F.lit(0))
+    n_words = F.size(ws_words)
+    tok_len_sum = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_wl = round_half_up(
+        F.when(F.size(toks) > 0, tok_len_sum.cast("double") / F.size(toks)).otherwise(F.lit(0.0)), 6
+    )
+    n_hash = F.length(F.regexp_replace(F.col("text"), r"[^#]", ""))
+    n_ellipsis = (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))) / 3
+    symbol_ratio = round_half_up(
+        F.when(n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words).otherwise(F.lit(0.0)), 6
+    )
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*")))
+    n_ell_end = F.size(F.filter(lines, lambda x: F.rtrim(x).endswith("...")))
+    bullet_frac = round_half_up(
+        F.when(n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
+    )
+    ellipsis_frac = round_half_up(
+        F.when(n_lines > 0, n_ell_end.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
+    )
+    stop_hits = F.size(F.filter(F.array_distinct(toks), lambda x: x.isin(*STOPWORDS)))
+
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_wl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+    f_sym = symbol_ratio < GOPHER_MAX_SYMBOL_RATIO
+    f_bullet = bullet_frac < GOPHER_MAX_BULLET_FRAC
+    f_ell = ellipsis_frac < GOPHER_MAX_ELLIPSIS_FRAC
+    f_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        stop_hits.alias("stop_hits"),
+        f_words.alias("ok_words"),
+        f_wl.alias("ok_word_len"),
+        f_sym.alias("ok_symbols"),
+        f_bullet.alias("ok_bullets"),
+        f_ell.alias("ok_ellipsis"),
+        f_stop.alias("ok_stopwords"),
+        (f_words & f_wl & f_sym & f_bullet & f_ell & f_stop).alias("keep"),
+    )
+
+
+QUALITY_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         len(regexp_extract_all(text, '[^{WS}]+')) AS n_words,
+         length(regexp_replace(text, '[^#]', '', 'g')) AS n_hash,
+         (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3 AS n_ellipsis,
+         list_filter(str_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+  FROM documents
+), r AS (
+  SELECT doc_id, n_words,
+         {sql_round_half_up("CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, x -> strlen(x))) * 1.0 / len(toks) ELSE 0.0 END", 6)} AS mean_word_len,
+         {sql_round_half_up("CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1.0 / n_words ELSE 0.0 END", 6)} AS symbol_ratio,
+         {sql_round_half_up("CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> left(ltrim(x), 1) IN ('-', '*'))) * 1.0 / len(lines) ELSE 0.0 END", 6)} AS bullet_frac,
+         {sql_round_half_up("CASE WHEN len(lines) > 0 THEN len(list_filter(lines, x -> right(rtrim(x), 3) = '...')) * 1.0 / len(lines) ELSE 0.0 END", 6)} AS ellipsis_frac,
+         len(list_filter(list_distinct(toks), x -> x IN ({_STOP_IN}))) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac, stop_hits,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})        AS ok_words,
+       (mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}) AS ok_word_len,
+       (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO})                               AS ok_symbols,
+       (bullet_frac < {GOPHER_MAX_BULLET_FRAC})                                 AS ok_bullets,
+       (ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC})                             AS ok_ellipsis,
+       (stop_hits >= {GOPHER_MIN_STOP_HITS})                                    AS ok_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN} AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_frac < {GOPHER_MAX_BULLET_FRAC}
+        AND ellipsis_frac < {GOPHER_MAX_ELLIPSIS_FRAC}
+        AND stop_hits >= {GOPHER_MIN_STOP_HITS})                                AS keep
+FROM r
+"""
+
+
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals per document: the fraction of bigram mass
+    taken by the single most frequent bigram, and the fraction of
+    duplicated (non-empty) lines.
+
+    Plan: line stats are a pure projection; bigram stats are one
+    explode + (doc_id, bigram) count + doc_id re-agg, joined back on
+    doc_id so token-poor docs still appear (zeros).  All shuffles are
+    doc_id-keyed — partitions bounded by document length, never by
+    corpus size."""
+    d = _docs(spark, sf_dir)
+    toks = tokens("text")
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(F.trim(x)) > 0)
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.array_distinct(lines)).alias("n_distinct_lines"),
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams")
+    )
+    dup_frac = F.when(
+        F.col("n_lines") > 0,
+        (F.col("n_lines") - F.col("n_distinct_lines")).cast("double") / F.col("n_lines"),
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(
+        F.col("n_bigrams").isNotNull() & (F.col("n_bigrams") > 0),
+        F.col("top_cnt").cast("double") / F.col("n_bigrams"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.drop("toks")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            round_half_up(top_frac, 6).alias("top_bigram_frac"),
+            round_half_up(dup_frac, 6).alias("dup_line_frac"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         list_filter(str_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM base
+  WHERE len(toks) >= 2
+), per_bigram AS (
+  SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY doc_id, bigram
+), per_doc AS (
+  SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_bigrams
+  FROM per_bigram GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       {sql_round_half_up("CASE WHEN COALESCE(p.n_bigrams, 0) > 0 THEN p.top_cnt * 1.0 / p.n_bigrams ELSE 0.0 END", 6)} AS top_bigram_frac,
+       {sql_round_half_up("CASE WHEN len(b.lines) > 0 THEN (len(b.lines) - len(list_distinct(b.lines))) * 1.0 / len(b.lines) ELSE 0.0 END", 6)} AS dup_line_frac
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+"""
+
+
+# rare-bigram test: corpus_count * RARE_SCALE < corpus_total (integers —
+# an exact, SF-relative rarity threshold of 1/RARE_SCALE of all mass).
+# 200 ≈ the 5th-percentile mass cut on the synthetic corpus (the charset
+# is ~114 bigram types, so per-type shares are large); real text with a
+# big charset would use a higher scale.
+NOVELTY_RARE_SCALE = 200
+NOVELTY_PREFIX_CHARS = 256
+
+
+def text_char_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's character bigrams that are corpus-
+    rare — the integer-exact form of a char-LM perplexity filter
+    (gibberish and encoding junk score high).
+
+    Plan: the corpus bigram table is bounded by |charset|² no matter the
+    corpus size, so it broadcasts back over the doc-bigram stream (the
+    model is small; the data never re-shuffles on the model key).  The
+    1-row total attaches by scalar crossJoin.  Docs are capped at the
+    first NOVELTY_PREFIX_CHARS chars — scoring cost is O(docs), not
+    O(corpus text)."""
+    d = _docs(spark, sf_dir)
+    s = F.substring(F.lower(F.col("text")), 1, NOVELTY_PREFIX_CHARS)
+    pairs = F.when(
+        F.length(s) >= 2,
+        F.expr(
+            f"transform(sequence(1, length(substring(lower(text), 1, {NOVELTY_PREFIX_CHARS})) - 1),"
+            f" i -> substring(substring(lower(text), 1, {NOVELTY_PREFIX_CHARS}), i, 2))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_pairs = d.select("doc_id", F.explode(pairs).alias("pair"))
+    pair_counts = doc_pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
+    total = pair_counts.agg(F.sum("cnt").alias("total"))
+    flagged = pair_counts.crossJoin(F.broadcast(total)).select(
+        "pair", (F.col("cnt") * NOVELTY_RARE_SCALE < F.col("total")).alias("is_rare")
+    )
+    per_doc = (
+        doc_pairs.join(F.broadcast(flagged), "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("is_rare"), 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    rare_frac = F.when(
+        F.col("n_pairs").isNotNull() & (F.col("n_pairs") > 0),
+        F.col("n_rare").cast("double") / F.col("n_pairs"),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+            round_half_up(rare_frac, 6).alias("rare_frac"),
+        )
+    )
+
+
+TEXT_NOVELTY_SQL = f"""
+WITH s AS (
+  SELECT doc_id, substr(lower(text), 1, {NOVELTY_PREFIX_CHARS}) AS s FROM documents
+), dp AS (
+  SELECT doc_id, unnest(list_transform(range(1, strlen(s)), i -> substr(s, i, 2))) AS pair
+  FROM s WHERE strlen(s) >= 2
+), pc AS (
+  SELECT pair, count(*) AS cnt FROM dp GROUP BY pair
+), tot AS (
+  SELECT sum(cnt) AS total FROM pc
+), flagged AS (
+  SELECT pair, (cnt * {NOVELTY_RARE_SCALE} < total) AS is_rare FROM pc, tot
+), per_doc AS (
+  SELECT dp.doc_id,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN f.is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM dp JOIN flagged f ON dp.pair = f.pair
+  GROUP BY dp.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_pairs, 0) AS n_pairs,
+       COALESCE(p.n_rare, 0) AS n_rare,
+       {sql_round_half_up("CASE WHEN COALESCE(p.n_pairs, 0) > 0 THEN p.n_rare * 1.0 / p.n_pairs ELSE 0.0 END", 6)} AS rare_frac
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+QUERIES = {
+    "quality_gopher_rules": quality_gopher_rules,
+    "text_repetition_ratio": text_repetition_ratio,
+    "text_char_bigram_novelty": text_char_bigram_novelty,
+}
+
+ORACLES = {
+    "quality_gopher_rules": QUALITY_GOPHER_SQL,
+    "text_repetition_ratio": TEXT_REPETITION_SQL,
+    "text_char_bigram_novelty": TEXT_NOVELTY_SQL,
+}

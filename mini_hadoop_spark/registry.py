@@ -16,6 +16,7 @@ from mini_hadoop_spark.operators import (
     skew,
     temporal,
     text_analysis,
+    text_scoring,
 )
 from mini_hadoop_spark.streaming import windowed as streaming_windowed
 from mini_hadoop_spark.workloads import parity
@@ -31,8 +32,8 @@ from mini_hadoop_spark.workloads import parity
 # and sf0.1) every round, so out-of-window regressions cannot hide.
 _MODULES = [
     dedup, similarity, text_analysis, multimodal, events, skew, temporal,
-    sampling, streaming_windowed, parity, relational, relational_ext,
-    relational_tpch,
+    sampling, streaming_windowed, parity, text_scoring, relational,
+    relational_ext, relational_tpch,
 ]
 
 

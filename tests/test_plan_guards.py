@@ -43,6 +43,9 @@ BNLJ_ALLOWED = {
     # q22_idle_rich_customers: crossJoin(broadcast(<1-row aggregate>)) —
     # the canonical scalar-attach (global avg balance), build side 1 row.
     "q22_idle_rich_customers",
+    # text_char_bigram_novelty: crossJoin(broadcast(<1-row total>)) onto
+    # the bounded (|charset|²) bigram table — scalar-attach again.
+    "text_char_bigram_novelty",
 }
 
 
