@@ -257,6 +257,13 @@ def text_char_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> substring(substring(lower(text), 1, {NOVELTY_PREFIX_CHARS}), i, 2))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # the explode is deliberately recomputed on both branches: each
+    # branch immediately partial-aggregates map-side (pair: ≤|charset|²
+    # partials; doc_id: |docs| partials), so both shuffles stay tiny.
+    # Pre-grouping to (doc_id, pair) to share one exchange was measured
+    # SLOWER at sf0.1 (2.4s vs 1.6s min-of-3): it shuffles |docs|×|doc
+    # charset²| rows where the recompute shuffles almost nothing —
+    # recompute-then-combine beats materialize-then-share here.
     doc_pairs = d.select("doc_id", F.explode(pairs).alias("pair"))
     pair_counts = doc_pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
     total = pair_counts.agg(F.sum("cnt").alias("total"))
