@@ -1,0 +1,82 @@
+"""Embedding clustering — topic/cluster structure over the corpus's
+vector space, built on the memoized IVF machinery
+(operators/similarity.py::ivf_quantizer / ivf_lists).
+
+``cluster_kmeans_topics`` is the training-data-pipeline use of k-means
+(vs. the ANN use in similarity_ann_ivf): cluster the corpus embeddings,
+then report per-cluster size, label purity, and cohesion — the report a
+curation pipeline reads to balance topic mix or drop degenerate
+clusters.  No DuckDB oracle (iterative float k-means has no reasonable
+SQL twin) — the driver applies a rows-only check; determinism, full
+assignment, and purity bounds are pinned in tests/test_llm_pipeline.py.
+
+Determinism contract: seeds are the first K vectors by vec_id (no RNG),
+assignment tiebreaks on cid, majority labels tiebreak on label, and the
+cohesion mean is an exact DECIMAL sum of per-row rounded cosines — so
+repeated runs (and runs at different parallelism) emit identical rows.
+
+At 100 TB: the quantizer is a K-row broadcast artifact; assignment is
+one broadcast-join pass over the vectors (built once per session and
+shared with the ANN queries); the stats are one K-key aggregate.  The
+label-majority window runs over K x |labels| rows — constant-sized."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mini_hadoop_spark.functions.text import round_half_up
+from mini_hadoop_spark.functions.vectors import dot, norm
+from mini_hadoop_spark.operators.similarity import ivf_lists, ivf_quantizer
+from mini_hadoop_spark.sources.catalog import load_table
+
+
+def cluster_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster corpus report: size, majority label + purity,
+    cohesion (mean cosine of members to their centroid)."""
+    lists = ivf_lists(spark, sf_dir)  # (vec_id, e, nv, cid) — memoized
+    cent = ivf_quantizer(spark, sf_dir).withColumn("nce", norm(F.col("ce")))
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+
+    member_cos = (
+        lists.join(F.broadcast(cent), "cid")
+        .select(
+            "cid",
+            "vec_id",
+            # per-row rounding BEFORE the exact decimal sum: the mean is
+            # then order-independent (same trick as the TPC-H money sums)
+            round_half_up(dot(F.col("e"), F.col("ce")) / F.col("nv") / F.col("nce"), 9)
+            .cast("decimal(18,9)")
+            .alias("cos"),
+        )
+        .join(labels, "vec_id")
+    )
+    per_label = member_cos.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    w = W.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label"))
+    majority = (
+        per_label.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    stats = member_cos.groupBy("cid").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum("cos").cast("double") / F.count("*")).alias("_cohesion"),
+    )
+    return (
+        stats.join(majority, "cid")
+        .select(
+            "cid",
+            "n_vecs",
+            "top_label",
+            round_half_up(F.col("top_n").cast("double") / F.col("n_vecs"), 6).alias(
+                "top_label_frac"
+            ),
+            round_half_up(F.col("_cohesion"), 6).alias("cohesion"),
+        )
+    )
+
+
+QUERIES = {
+    "cluster_kmeans_topics": cluster_kmeans_topics,
+}
+
+ORACLES: dict[str, str] = {}

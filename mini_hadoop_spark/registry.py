@@ -5,6 +5,7 @@ unique across modules."""
 from __future__ import annotations
 
 from mini_hadoop_spark.operators import (
+    clustering,
     dedup,
     events,
     multimodal,
@@ -32,8 +33,8 @@ from mini_hadoop_spark.workloads import parity
 # and sf0.1) every round, so out-of-window regressions cannot hide.
 _MODULES = [
     dedup, similarity, text_analysis, multimodal, events, skew, temporal,
-    sampling, streaming_windowed, parity, text_scoring, relational,
-    relational_ext, relational_tpch,
+    sampling, streaming_windowed, parity, text_scoring, clustering,
+    relational, relational_ext, relational_tpch,
 ]
 
 

@@ -566,3 +566,28 @@ def test_triangle_enumeration_on_planted_graphs(spark):
     assert count_triangles(k4) == 4
     chain = [(1, 2), (2, 3), (3, 4)]
     assert count_triangles(chain) == 0
+
+
+def test_cluster_kmeans_topics_contract(spark):
+    """Clustering report: every vector is assigned exactly once (sizes
+    sum to the corpus), ≤ IVF_CENTROIDS clusters, fractions/cohesions in
+    range, majority label is real, and repeated runs are row-identical
+    (the determinism contract in the module docstring)."""
+    from mini_hadoop_spark.operators.clustering import cluster_kmeans_topics
+    from mini_hadoop_spark.operators.similarity import IVF_CENTROIDS
+    from mini_hadoop_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    rows = cluster_kmeans_topics(spark, SF_DIR).collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert 0 < len(rows) <= IVF_CENTROIDS
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    labels = {
+        r.label for r in load_table(spark, SF_DIR, "embeddings").select("label").distinct().collect()
+    }
+    for r in rows:
+        assert 0.0 < r.top_label_frac <= 1.0
+        assert -1.0 <= r.cohesion <= 1.0
+        assert r.top_label in labels
+    again = cluster_kmeans_topics(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
