@@ -42,10 +42,22 @@ FEATURE_DIM = 8
 FEATURES_SCHEMA = "doc_id long, modality string, n_bytes long, features array<double>"
 
 
-def synth_binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_binary_docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """documents.text → (doc_id, modality, payload binary, meta) — the
-    canonical multimodal input shape, synthesized deterministically."""
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    canonical multimodal input shape, synthesized deterministically.
+
+    ``spread=False`` keeps the scan's NATURAL split count instead of
+    fanning out to all cores.  Python-seam consumers (mapInPandas) want
+    this: each extra partition costs a Python worker, and Spark's
+    worker factory reaps idle workers after ~1 minute (hard-coded in
+    PythonWorkerFactory), so any Python stage that runs more than a
+    minute after the last one re-pays worker spawn (fork + pandas/
+    pyarrow import) PER PARTITION.  On a small local input that spawn
+    storm dominates the query several-fold; at 100 TB the scan has
+    hundreds of natural splits and either setting is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    if spread:
+        d = spread_small_scan(d)
     return d.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -242,8 +254,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over the synthetic video payloads.  The projected
     output (indices + sizes, not the binary frames) IS SQL-expressible,
     so this mapInPandas path gets a full DuckDB oracle — the strongest
-    check available for a Python-batch operator."""
-    vids = synth_binary_docs(spark, sf_dir).filter(F.col("modality") == "video")
+    check available for a Python-batch operator.
+
+    ``spread=False``: Python-seam parallelism follows the scan's natural
+    splits (see ``synth_binary_docs``) — per-partition worker spawn
+    dominates a small input, and at scale the splits are already
+    plentiful."""
+    vids = synth_binary_docs(spark, sf_dir, spread=False).filter(F.col("modality") == "video")
     frames = sample_frames(vids)
     return frames.select(
         "doc_id",

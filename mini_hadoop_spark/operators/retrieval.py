@@ -1,0 +1,233 @@
+"""Lexical retrieval + cross-document duplication coverage —
+LLM-pipeline additions beyond the reference surface (the reference has
+no search or corpus-dedup layer at all; its closest relative is the
+WordCount example's token pipeline, word_count.ex — these operators
+reuse that tokenizer family via functions/text.py).
+
+* ``bm25_search``       — BM25 top-k document retrieval for a fixed
+                          query-term set: the standard lexical-search
+                          complement to the vector family in
+                          operators/similarity.py (brute/LSH/IVF give
+                          dense retrieval; BM25 gives sparse).  The idf
+                          is the RATIONAL BM25 idf (N - df + .5)/(df +
+                          .5) — no transcendental log — so Spark and
+                          DuckDB compute bit-identical doubles (same
+                          trick as tfidf_top_terms).
+* ``dup_span_coverage`` — per-document fraction of word-3-gram shingles
+                          that also occur in at least one OTHER
+                          document: the cross-corpus companion to the
+                          WITHIN-doc repetition signals in
+                          text_scoring.py, and the coverage-style
+                          stand-in for exact-substring dedup
+                          (RefinedWeb/Lee et al. "Deduplicating
+                          Training Data..." measure spans shared across
+                          documents; the shingle approximation keeps it
+                          purely relational).
+
+Scale posture:
+
+* bm25: the token stream is filtered to the query terms BEFORE any
+  shuffle, so the tf table is |terms| x |matching docs|, not the full
+  posting list; df (<= |terms| rows) and the 1-row corpus stats attach
+  by broadcast.  The final top-k is a per-term window — with a bounded
+  query-term set the partition count is bounded, and each partition
+  ranks only that term's matching docs.
+* dup_span_coverage: (doc_id, shingle) is exploded once per branch and
+  each branch immediately partial-aggregates map-side (the same
+  recompute-then-combine shape measured faster than materialize-and-
+  share for text_char_bigram_novelty).  The shingle->count join is a
+  plain equi-join keyed on the shingle hash — NOT broadcast (the
+  shingle table grows with the corpus); AQE's skew handling covers hot
+  shingles.  Nothing collects; output is one row per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from mini_hadoop_spark.functions.partitioning import spread_small_scan
+from mini_hadoop_spark.functions.text import (
+    round_half_up,
+    shingles,
+    sql_round_half_up,
+    tokens,
+)
+from mini_hadoop_spark.sources.catalog import load_table
+
+# Fixed query-term set: frequent corpus tokens so every term has a
+# non-trivial posting list at every SF.  A user-supplied query would be
+# parameterized the same way (small bounded term list -> broadcast).
+BM25_QUERY_TERMS = ("hash", "join", "filter", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+# Constants pre-folded in Python and interpolated into BOTH engines'
+# expressions as the same decimal literal, so each parses to the same
+# IEEE double and the arithmetic stays bit-identical.
+_K1_PLUS_1 = repr(BM25_K1 + 1.0)
+_ONE_MINUS_B = repr(1.0 - BM25_B)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread_small_scan(load_table(spark, sf_dir, "documents"))
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOP_K`` documents per query term by BM25 score.
+
+    score = idf(term) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)),
+    idf = (N - df + 0.5) / (df + 0.5)  (rational — see module doc).
+
+    Output: (term, rnk, doc_id, score) — rnk is 1-based, ties on the
+    ROUNDED score break by doc_id so ranking is engine-stable."""
+    base = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).alias("dl"), tokens("text").alias("toks")
+    )
+    # 1-row corpus stats (N, sum of doc lengths) — scalar broadcast attach.
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # Filter the exploded token stream to the query terms BEFORE the
+    # shuffle: tf is |terms| x |docs containing term| rows.
+    tf = (
+        base.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tf_norm = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("term", "doc_id", round_half_up(idf * tf_norm, 6).alias("score"))
+    )
+    w = W.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= BM25_TOP_K)
+        .select("term", "rnk", "doc_id", "score")
+    )
+
+
+_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+BM25_SEARCH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+), docs AS (
+  SELECT doc_id, len(toks) AS dl, toks FROM base
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM docs
+), tf AS (
+  SELECT term, doc_id, dl, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM docs)
+  WHERE term IN ({_TERMS_IN})
+  GROUP BY term, doc_id, dl
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.term, t.doc_id,
+         {sql_round_half_up(
+             "((n_docs - df + 0.5) / (df + 0.5))"
+             f" * ((tf * {_K1_PLUS_1}) / (tf + {BM25_K1!r} * ({_ONE_MINUS_B}"
+             f" + {BM25_B!r} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))))",
+             6,
+         )} AS score
+  FROM tf t JOIN dfreq USING (term), stats
+), ranked AS (
+  SELECT term, doc_id, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT term, rnk, doc_id, score FROM ranked WHERE rnk <= {BM25_TOP_K}
+"""
+
+
+# Flag threshold on the ROUNDED fraction (engine-stable comparisons).
+DUP_SPAN_FLAG = 0.6
+
+
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-corpus duplication coverage: the fraction of a
+    doc's DISTINCT word-3-gram shingles that appear in >= 2 documents,
+    plus a ``near_dup_suspect`` flag at ``DUP_SPAN_FLAG``.
+
+    Docs with zero shingles (< 3 tokens) report 0 coverage."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", F.explode(shingles("t")).alias("shingle")
+    )
+    counts = sh.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
+    per_doc = (
+        sh.join(counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles").isNotNull() & (F.col("n_shingles") > 0),
+        F.col("n_shared").cast("double") / F.col("n_shingles"),
+    ).otherwise(F.lit(0.0))
+    rounded = round_half_up(frac, 6)
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            rounded.alias("shared_frac"),
+            (rounded >= DUP_SPAN_FLAG).alias("near_dup_suspect"),
+        )
+    )
+
+
+DUP_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) g
+), counts AS (
+  SELECT shingle, count(*) AS n_docs_with FROM sh GROUP BY shingle
+), per_doc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN c.n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM sh s JOIN counts c USING (shingle)
+  GROUP BY s.doc_id
+), frac AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_shingles, 0) AS n_shingles,
+         COALESCE(p.n_shared, 0) AS n_shared,
+         {sql_round_half_up(
+             "CASE WHEN COALESCE(p.n_shingles, 0) > 0"
+             " THEN COALESCE(p.n_shared, 0) * 1.0 / p.n_shingles ELSE 0.0 END",
+             6,
+         )} AS shared_frac
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+)
+SELECT doc_id, n_shingles, n_shared, shared_frac,
+       (shared_frac >= {DUP_SPAN_FLAG}) AS near_dup_suspect
+FROM frac
+"""
+
+
+QUERIES = {
+    "bm25_search": bm25_search,
+    "dup_span_coverage": dup_span_coverage,
+}
+
+ORACLES = {
+    "bm25_search": BM25_SEARCH_SQL,
+    "dup_span_coverage": DUP_SPAN_SQL,
+}

@@ -12,6 +12,7 @@ from mini_hadoop_spark.operators import (
     relational,
     relational_ext,
     relational_tpch,
+    retrieval,
     sampling,
     similarity,
     skew,
@@ -34,6 +35,7 @@ from mini_hadoop_spark.workloads import parity
 _MODULES = [
     dedup, similarity, text_analysis, multimodal, events, skew, temporal,
     sampling, streaming_windowed, parity, text_scoring, clustering,
+    retrieval,
     relational, relational_ext, relational_tpch,
 ]
 

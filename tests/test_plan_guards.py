@@ -31,7 +31,10 @@ from tests.conftest import SF_DIR
 # - mix_domain_weights / events_funnel: crossJoin(broadcast(<1-row
 #   aggregate>)) — the same canonical scalar-attach (corpus totals /
 #   first-stage user count).
+# - bm25_search: crossJoin(broadcast(<1-row aggregate>)) — scalar-attach
+#   of the corpus (N, sum_dl) stats.
 BNLJ_ALLOWED = {
+    "bm25_search",
     "similarity_topk_brute",
     "tfidf_top_terms",
     "similarity_ann_ivf",
