@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from mini_hadoop_spark.operators import (
     clustering,
+    compression,
     dedup,
     events,
     multimodal,
@@ -35,7 +36,7 @@ from mini_hadoop_spark.workloads import parity
 _MODULES = [
     dedup, similarity, text_analysis, multimodal, events, skew, temporal,
     sampling, streaming_windowed, parity, text_scoring, clustering,
-    retrieval,
+    retrieval, compression,
     relational, relational_ext, relational_tpch,
 ]
 
