@@ -1,0 +1,169 @@
+"""Pipeline health checks — data-quality expectations and recency-
+weighted aggregates (the reporting layer a production ingest pipeline
+runs before/after the reference's store+job flows; the reference itself
+has no audit surface — closest is the job-status API, info.ex, whose
+Spark-side twin is engine/info.py).
+
+* ``dq_expectations``        — Deequ/Great-Expectations-style rule audit
+                               over ``orders``: one row per rule with
+                               (n_rows, n_violations, pass).  Rules
+                               cover null, uniqueness, value-range,
+                               categorical-domain, and referential-
+                               integrity (FK into ``customer``) — the
+                               canonical expectation classes.
+* ``events_decayed_engagement`` — per-event-type recency-weighted value
+                               sum with EXACT half-life decay: weight =
+                               2^-(age in days).  Powers of two are
+                               exactly representable doubles and the
+                               per-row terms are rounded before an
+                               exact DECIMAL accumulation, so the sum
+                               is order-independent and bit-identical
+                               cross-engine (same trick as the TPC-H
+                               money sums) — no transcendental exp().
+
+Scale posture: the rule audit is ONE conditional-aggregate pass over the
+scan (a distinct-count adds the usual expand) plus one equi-join against
+the distinct FK keys — no row ever leaves the executor except the
+7-row report.  The decayed aggregate is one scalar broadcast (corpus max
+date) + one map-side-combined hash agg keyed by event_type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
+from mini_hadoop_spark.sources.catalog import load_table
+
+ORDER_STATUS_DOMAIN = ("O", "F", "P")
+
+# age cap keeps 1<<age inside a BIGINT (and 2^-age is exactly 0 beyond
+# double range anyway)
+DECAY_MAX_AGE_DAYS = 62
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule audit over ``orders``: (rule, n_rows, n_violations, pass).
+
+    Single-pass conditional aggregates for the scalar rules; the FK rule
+    is a left join against the DISTINCT customer keys whose null-probe
+    count gives violations and total in the same aggregate (no second
+    scan, no anti-join pass)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+
+    def _viol(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    base = o.agg(
+        F.count("*").alias("n"),
+        _viol(F.col("o_orderkey").isNull()).alias("v_nn"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("v_uniq"),
+        _viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 0)).alias("v_price"),
+        _viol(
+            F.col("o_orderstatus").isNull()
+            | ~F.col("o_orderstatus").isin(*ORDER_STATUS_DOMAIN)
+        ).alias("v_status"),
+        _viol(F.col("o_orderdate").isNull()).alias("v_date"),
+    )
+    rules = base.select(
+        F.expr(
+            "stack(5,"
+            " 'not_null_orderkey', v_nn,"
+            " 'unique_orderkey', v_uniq,"
+            " 'nonneg_totalprice', v_price,"
+            " 'status_in_domain', v_status,"
+            " 'not_null_orderdate', v_date) as (rule, n_violations)"
+        ),
+        F.col("n").alias("n_rows"),
+    )
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .agg(
+            F.count("*").alias("n_rows"),
+            _viol(F.col("c_custkey").isNull()).alias("n_violations"),
+        )
+        .select(F.lit("fk_custkey_exists").alias("rule"), "n_rows", "n_violations")
+    )
+    return rules.select("rule", "n_rows", "n_violations").unionAll(fk).select(
+        "rule", "n_rows", "n_violations", (F.col("n_violations") == 0).alias("pass")
+    )
+
+
+_STATUS_IN = ", ".join(f"'{s}'" for s in ORDER_STATUS_DOMAIN)
+
+DQ_EXPECTATIONS_SQL = f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+         CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ({_STATUS_IN}) THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+  FROM orders
+), fk AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+), rows_out AS (
+  SELECT 'not_null_orderkey' AS rule, n AS n_rows, v_nn AS n_violations FROM base
+  UNION ALL SELECT 'unique_orderkey', n, v_uniq FROM base
+  UNION ALL SELECT 'nonneg_totalprice', n, v_price FROM base
+  UNION ALL SELECT 'status_in_domain', n, v_status FROM base
+  UNION ALL SELECT 'not_null_orderdate', n, v_date FROM base
+  UNION ALL SELECT 'fk_custkey_exists', n, v FROM fk
+)
+SELECT rule, n_rows, n_violations, (n_violations = 0) AS pass FROM rows_out
+"""
+
+
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type recency-weighted value: sum of
+    value * 2^-(days before the corpus's latest event).
+
+    Output: (event_type, n_events, decayed_sum)."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    latest = e.agg(F.max(F.to_date("ts")).alias("max_d"))
+    # weight = 2^-age as an exact double: 1 << age is an exact BIGINT,
+    # its double cast is exact, and the division is one IEEE op — no pow()
+    weight_denom = F.expr(
+        f"cast(shiftleft(1L, least(datediff(max_d, to_date(ts)), {DECAY_MAX_AGE_DAYS})) as double)"
+    )
+    term = round_half_up(F.col("value") / weight_denom, 9).cast("decimal(38,12)")
+    return (
+        e.crossJoin(F.broadcast(latest))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum(term).cast("double"), 6).alias("decayed_sum"),
+        )
+    )
+
+
+EVENTS_DECAYED_SQL = f"""
+WITH latest AS (
+  SELECT max(CAST(ts AS DATE)) AS max_d FROM events
+), terms AS (
+  SELECT event_type,
+         CAST({sql_round_half_up(
+             f"value / CAST((CAST(1 AS BIGINT) << least(date_diff('day', CAST(ts AS DATE), max_d), {DECAY_MAX_AGE_DAYS})) AS DOUBLE)",
+             9,
+         )} AS DECIMAL(38,12)) AS term
+  FROM events, latest
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       {sql_round_half_up("CAST(sum(term) AS DOUBLE)", 6)} AS decayed_sum
+FROM terms GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "dq_expectations": dq_expectations,
+    "events_decayed_engagement": events_decayed_engagement,
+}
+
+ORACLES = {
+    "dq_expectations": DQ_EXPECTATIONS_SQL,
+    "events_decayed_engagement": EVENTS_DECAYED_SQL,
+}

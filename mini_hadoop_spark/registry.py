@@ -8,6 +8,7 @@ from mini_hadoop_spark.operators import (
     clustering,
     compression,
     dedup,
+    dq,
     events,
     multimodal,
     relational,
@@ -36,7 +37,7 @@ from mini_hadoop_spark.workloads import parity
 _MODULES = [
     dedup, similarity, text_analysis, multimodal, events, skew, temporal,
     sampling, streaming_windowed, parity, text_scoring, clustering,
-    retrieval, compression,
+    retrieval, compression, dq,
     relational, relational_ext, relational_tpch,
 ]
 

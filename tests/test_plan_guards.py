@@ -33,8 +33,11 @@ from tests.conftest import SF_DIR
 #   first-stage user count).
 # - bm25_search: crossJoin(broadcast(<1-row aggregate>)) — scalar-attach
 #   of the corpus (N, sum_dl) stats.
+# - events_decayed_engagement: crossJoin(broadcast(<1-row aggregate>)) —
+#   scalar-attach of the corpus max event date.
 BNLJ_ALLOWED = {
     "bm25_search",
+    "events_decayed_engagement",
     "similarity_topk_brute",
     "tfidf_top_terms",
     "similarity_ann_ivf",
