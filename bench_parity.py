@@ -119,6 +119,30 @@ def main() -> int:
             lambda: run_job(spark, spec).pairs.write.format("noop").mode("overwrite").save(),
         )
 
+        # the reference's split benchmark (benchmark_split.exs:4-58):
+        # binary-split vs newline-split store throughput, 64 KB blocks.
+        # Reference ran 100 MB; default here is the largest generated
+        # words file (16 MB), 100 MB under SPARK_GRAFT_PARITY_LARGE=1.
+        from mini_hadoop_spark.sources.dfs import FileStore
+
+        split_mb = 100 if os.environ.get("SPARK_GRAFT_PARITY_LARGE") == "1" else max(sizes)
+        split_src = os.path.join(tmp, f"words_{split_mb}mb.txt")
+        if not os.path.exists(split_src):
+            generate_words_file(split_src, split_mb)
+        store = FileStore(spark, os.path.join(tmp, "split_store"))
+        timed(
+            f"split_binary_{split_mb}mb",
+            lambda: store.store_file(
+                f"bin_{split_mb}", split_src, split_on_newline=False, block_size=64 * 1024
+            ),
+        )
+        timed(
+            f"split_newline_{split_mb}mb",
+            lambda: store.store_file(
+                f"nl_{split_mb}", split_src, split_on_newline=True, block_size=64 * 1024
+            ),
+        )
+
     if os.path.exists(REF_ADJACENCY):
         edges = adjacency_edges(spark, REF_ADJACENCY)
         timed(
