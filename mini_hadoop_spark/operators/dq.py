@@ -20,6 +20,11 @@ Spark-side twin is engine/info.py).
                                is order-independent and bit-identical
                                cross-engine (same trick as the TPC-H
                                money sums) — no transcendental exp().
+* ``events_hourly_anomalies`` — volume-spike detection: top hours per
+                               event type with z-scores built from
+                               EXACT integer sums (no order-dependent
+                               float accumulation) — the monitoring
+                               query a pipeline pages on.
 
 Scale posture: the rule audit is ONE conditional-aggregate pass over the
 scan (a distinct-count adds the usual expand) plus one equi-join against
@@ -30,7 +35,7 @@ date) + one map-side-combined hash agg keyed by event_type.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
 from mini_hadoop_spark.sources.catalog import load_table
@@ -158,12 +163,103 @@ FROM terms GROUP BY event_type
 """
 
 
+ANOMALY_TOP_PER_TYPE = 3
+ANOMALY_Z = 3.0
+
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly volume outliers: the ``ANOMALY_TOP_PER_TYPE``
+    highest-count hours of each type with their z-score against that
+    type's hourly distribution, flagged at |z| >= ``ANOMALY_Z``.
+
+    Exactness: counts are integers, so mean and variance come from the
+    EXACT integer sums (var = (n*Σc² - (Σc)²) / n²) — the only float ops
+    are two divisions and one IEEE-correctly-rounded sqrt, identical on
+    both engines (no Welford pass, no order-dependent float
+    accumulation).  z is rounded before the flag comparison so the
+    boolean is engine-stable.
+
+    Scale: hourly counts = one low-cardinality hash agg; the stats
+    re-agg runs over |types| x |hours| rows; the top-k window partitions
+    by type — bounded.  Σc² needs BIGINT headroom: fine until a single
+    (type, hour) cell approaches ~3e9 events, then widen to DECIMAL."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        F.col("n") * F.col("n")
+    ).cast("double")
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("c") - mean) / std).otherwise(F.lit(0.0))
+    scored = hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour_start",
+        F.col("c").alias("n_events"),
+        round_half_up(z, 6).alias("z_r"),
+    )
+    w = W.partitionBy("event_type").orderBy(F.col("n_events").desc(), "hour_start")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= ANOMALY_TOP_PER_TYPE)
+        .select(
+            "event_type",
+            "rnk",
+            "hour_start",
+            "n_events",
+            "z_r",
+            (F.abs(F.col("z_r")) >= ANOMALY_Z).alias("is_anomaly"),
+        )
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM hourly GROUP BY event_type
+), scored AS (
+  SELECT h.event_type, h.hour_start, h.c AS n_events,
+         {sql_round_half_up(
+             "CASE WHEN sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) > 0"
+             " THEN (h.c - CAST(s1 AS DOUBLE) / n)"
+             "      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE))"
+             " ELSE 0.0 END",
+             6,
+         )} AS z_r
+  FROM hourly h JOIN stats USING (event_type)
+), ranked AS (
+  SELECT event_type, hour_start, n_events, z_r,
+         row_number() OVER (PARTITION BY event_type ORDER BY n_events DESC, hour_start) AS rnk
+  FROM scored
+)
+SELECT event_type, rnk, hour_start, n_events, z_r, (abs(z_r) >= {ANOMALY_Z}) AS is_anomaly
+FROM ranked WHERE rnk <= {ANOMALY_TOP_PER_TYPE}
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "events_decayed_engagement": events_decayed_engagement,
+    "events_hourly_anomalies": events_hourly_anomalies,
 }
 
 ORACLES = {
     "dq_expectations": DQ_EXPECTATIONS_SQL,
     "events_decayed_engagement": EVENTS_DECAYED_SQL,
+    "events_hourly_anomalies": EVENTS_ANOMALY_SQL,
 }

@@ -96,3 +96,22 @@ def test_decayed_engagement_halves_per_day(spark, tmp_path):
     assert rows["click"]["n_events"] == 3
     assert rows["click"]["decayed_sum"] == 13.0
     assert rows["view"]["decayed_sum"] == 2.5
+
+
+def test_hourly_anomalies_flags_planted_spike(spark, tmp_path):
+    base = dt.datetime(2024, 3, 1, 0, 30, 0)
+    rows = []
+    # 9 quiet hours with 1 click each, then a 50-event spike hour
+    for h in range(9):
+        rows.append((base + dt.timedelta(hours=h), "click", 1.0))
+    for i in range(50):
+        rows.append((base + dt.timedelta(hours=9, seconds=i), "click", 1.0))
+    path = _write_events(tmp_path, rows)
+    from mini_hadoop_spark.operators.dq import events_hourly_anomalies
+
+    out = sorted(events_hourly_anomalies(spark, path).collect(), key=lambda r: r["rnk"])
+    assert len(out) == 3
+    assert out[0]["n_events"] == 50 and out[0]["is_anomaly"]
+    # the quiet hours are all identical -> z < 0 and not anomalous
+    assert out[1]["n_events"] == 1 and not out[1]["is_anomaly"]
+    assert out[0]["z_r"] > 2.9
