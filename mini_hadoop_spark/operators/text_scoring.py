@@ -35,7 +35,7 @@ is corpus-size-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up, tokens
@@ -321,14 +321,120 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+#: minimum corpus frequency for a bigram to be scored (rare pairs have
+#: unstable PMI; the classic Church & Hanks 1990 guard)
+PMI_MIN_COUNT = 10
+#: collocations reported
+PMI_TOP = 100
+
+
+def ngram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI lift — the classic phrase-mining /
+    tokenizer-vocabulary signal (Church & Hanks 1990; word2vec's
+    phrase pass uses the same count ratio).
+
+    ``lift = P(w1 w2) / (P(w1)·P(w2)) = (c_ab·N²) / (NB·c_a·c_b)`` —
+    PMI is ``log lift``; since log is monotone, ranking by the raw
+    ratio avoids transcendental functions entirely, so both engines
+    compute bit-identical doubles (exact BIGINT products, two exact-int
+    divisions, one multiply, in the same order).
+
+    Scale posture: unigram/bigram tables are vocabulary-bounded
+    (map-side partial agg collapses each partition before the shuffle);
+    the two probability attachments are token-keyed equi-joins
+    (AQE-planned — vocab tables grow with corpus richness, not size, so
+    no broadcast assumption); corpus totals are 1-row broadcasts; the
+    top-k is a TakeOrdered (per-partition heaps, no global sort), and
+    the rank window runs over ≤``PMI_TOP`` rows post-limit."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("cnt_w"))
+    bg = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("t") >= 2,
+                    F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt_ab"))
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("cnt_w").alias("n_tok")).crossJoin(bg.agg(F.sum("cnt_ab").alias("n_bg")))
+    )
+    cand = (
+        bg.filter(F.col("cnt_ab") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.element_at(F.split("bigram", " "), 1))
+        .withColumn("w2", F.element_at(F.split("bigram", " "), 2))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cnt_w").alias("cnt_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cnt_w").alias("cnt_b"))
+    scored = (
+        cand.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(totals)
+        .withColumn(
+            "lift_raw",
+            (F.col("cnt_ab") * F.col("n_tok")).cast("double")
+            / (F.col("cnt_a") * F.col("cnt_b")).cast("double")
+            * (F.col("n_tok").cast("double") / F.col("n_bg").cast("double")),
+        )
+    )
+    top = scored.orderBy(F.desc("lift_raw"), "bigram").limit(PMI_TOP)
+    rnk = F.row_number().over(W.orderBy(F.desc("lift_raw"), "bigram"))
+    return top.select(
+        "bigram",
+        "cnt_ab",
+        round_half_up(F.col("lift_raw"), 6).alias("lift"),
+        rnk.alias("rnk"),
+    )
+
+
+NGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), uni AS (
+  SELECT w, count(*) AS cnt_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), bg AS (
+  SELECT bigram, count(*) AS cnt_ab
+  FROM (
+    SELECT t[i] || ' ' || t[i+1] AS bigram
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-1, 0))) AS i) g
+  ) GROUP BY bigram
+), tot AS (
+  SELECT (SELECT sum(cnt_w) FROM uni) AS n_tok, (SELECT sum(cnt_ab) FROM bg) AS n_bg
+), scored AS (
+  SELECT b.bigram, b.cnt_ab,
+         CAST(b.cnt_ab * t.n_tok AS DOUBLE) / CAST(u1.cnt_w * u2.cnt_w AS DOUBLE)
+           * (CAST(t.n_tok AS DOUBLE) / CAST(t.n_bg AS DOUBLE)) AS lift_raw
+  FROM bg b
+  JOIN uni u1 ON u1.w = split_part(b.bigram, ' ', 1)
+  JOIN uni u2 ON u2.w = split_part(b.bigram, ' ', 2)
+  CROSS JOIN tot t
+  WHERE b.cnt_ab >= {PMI_MIN_COUNT}
+), top AS (
+  SELECT * FROM scored ORDER BY lift_raw DESC, bigram LIMIT {PMI_TOP}
+)
+SELECT bigram, cnt_ab,
+       {sql_round_half_up('lift_raw', 6)} AS lift,
+       row_number() OVER (ORDER BY lift_raw DESC, bigram) AS rnk
+FROM top
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "text_repetition_ratio": text_repetition_ratio,
     "text_char_bigram_novelty": text_char_bigram_novelty,
+    "ngram_pmi_top": ngram_pmi_top,
 }
 
 ORACLES = {
     "quality_gopher_rules": QUALITY_GOPHER_SQL,
     "text_repetition_ratio": TEXT_REPETITION_SQL,
     "text_char_bigram_novelty": TEXT_NOVELTY_SQL,
+    "ngram_pmi_top": NGRAM_PMI_SQL,
 }
