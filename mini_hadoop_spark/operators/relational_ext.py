@@ -523,7 +523,95 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY ed RANGE BETWEEN 30 PRECEDING AND C
 """
 
 
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank windows — ``percent_rank`` and ``cume_dist``
+    over l_quantity within each return flag (the "where does this row
+    sit in its cohort's distribution" shape; quantile normalization of
+    a quality score uses exactly this).
+
+    Both functions are value-determined: ties share a rank and a
+    cume_dist, so engine row order can't leak into results, and each is
+    ONE exact-integer division ((rank-1)/(n-1), n_le/n) — identical
+    doubles on both engines with no float accumulation.  Plan: one
+    window shuffle on the flag; each cohort sorts in one task, so the
+    cohort key is the parallelism knob (same trade as ntile)."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+WINDOW_CUME_DIST_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+       {sql_round_half_up("percent_rank() OVER w", 6)} AS pct_rank,
+       {sql_round_half_up("cume_dist() OVER w", 6)} AS cum_dist
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+"""
+
+
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention — the classic product-analytics matrix:
+    customers grouped by the month of their FIRST order (the cohort),
+    counted again in each later month they ordered (the offset).
+
+    All integer arithmetic: a month index ``year*12 + (month-1)`` is
+    monotone in the date, so ``min(month_index)`` IS the first order's
+    month — one groupBy finds each customer's cohort without a sort.
+
+    Plan: one hash agg on custkey (map-side combined) + one custkey
+    equi-join back to orders (co-partitioned after AQE) + a tiny final
+    agg (|months|² rows).  At 100 TB the join is the standard
+    fact⋈derived-dimension shuffle; nothing collects."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mi"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    joined = o.join(first, "o_custkey")
+    cohort_month = F.date_format(
+        F.make_date(
+            F.expr("cohort_mi DIV 12"), F.col("cohort_mi") % 12 + 1, F.lit(1)
+        ),
+        "yyyy-MM",
+    )
+    return (
+        joined.groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("month_offset"))
+        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+        .select(
+            cohort_month.alias("cohort_month"),
+            "month_offset",
+            "n_customers",
+        )
+    )
+
+
+ORDERS_COHORT_SQL = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS mi
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(mi) AS cohort_mi FROM o GROUP BY o_custkey
+)
+SELECT strftime(make_date(cohort_mi // 12, cohort_mi % 12 + 1, 1), '%Y-%m') AS cohort_month,
+       o.mi - f.cohort_mi AS month_offset,
+       count(DISTINCT o.o_custkey) AS n_customers
+FROM o JOIN first f ON o.o_custkey = f.o_custkey
+GROUP BY cohort_mi, month_offset
+"""
+
+
 QUERIES = {
+    "window_cume_dist": window_cume_dist,
+    "orders_cohort_retention": orders_cohort_retention,
     "set_except_all": set_except_all,
     "window_range_frame": window_range_frame,
     "agg_global_no_group": agg_global_no_group,
@@ -541,6 +629,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "window_cume_dist": WINDOW_CUME_DIST_SQL,
+    "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
     "agg_global_no_group": AGG_GLOBAL_SQL,
