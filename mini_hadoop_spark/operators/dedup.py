@@ -129,6 +129,64 @@ GROUP BY 1
 """
 
 
+#: deterministic batch split for the incremental-dedup query: docs whose
+#: doc_id-hash bucket is >= this are the "incoming batch", the rest the
+#: "existing corpus" (id-hash, NOT content-hash, so duplicate texts can
+#: straddle the boundary — the case the query exists to catch)
+INCR_EXISTING_BUCKETS = 8
+INCR_TOTAL_BUCKETS = 10
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the production shape for an ongoing
+    crawl: a new batch is deduped (a) against the EXISTING corpus's
+    fingerprint set and (b) within itself, without ever rescanning
+    existing document bodies.  Output: one row per surviving new
+    fingerprint with its keeper and the batch-internal copy count.
+
+    The batch boundary is a deterministic doc_id-hash split (80/20) so
+    both engines carve identical "existing" and "incoming" sets from
+    the driver's one corpus.
+
+    Plan: every shuffle — the existing-side distinct, the batch
+    aggregate, and the anti join — is keyed on the 64-hex digest, never
+    text; at 100 TB the existing side is a fingerprint INDEX you
+    materialize once and maintain across batches (here derived in-query
+    because the driver provides one static table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(INCR_TOTAL_BUCKETS),
+    )
+    d = docs.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("content_hash"), bucket.alias("b")
+    )
+    existing_fp = d.filter(F.col("b") < INCR_EXISTING_BUCKETS).select("content_hash").distinct()
+    batch = (
+        d.filter(F.col("b") >= INCR_EXISTING_BUCKETS)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_batch_copies"))
+    )
+    return batch.join(existing_fp, "content_hash", "left_anti")
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, sha256(text) AS content_hash,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {INCR_TOTAL_BUCKETS} AS b
+  FROM documents
+), existing AS (
+  SELECT DISTINCT content_hash FROM d WHERE b < {INCR_EXISTING_BUCKETS}
+), batch AS (
+  SELECT content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_batch_copies
+  FROM d WHERE b >= {INCR_EXISTING_BUCKETS} GROUP BY content_hash
+)
+SELECT b.content_hash, b.keep_doc_id, b.n_batch_copies
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.content_hash = b.content_hash)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Shared near-dup pair pipeline.
 #
@@ -1005,6 +1063,7 @@ FROM hits h JOIN sizes s ON h.train_doc_id = s.doc_id
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
+    "dedup_incremental": dedup_incremental,
     "contamination_ngram": contamination_ngram,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1018,6 +1077,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,

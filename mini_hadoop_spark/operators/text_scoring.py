@@ -425,11 +425,82 @@ FROM top
 """
 
 
+#: vocabulary size for the OOV-coverage audit (top-K corpus tokens)
+VOCAB_K = 1000
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: build a top-``VOCAB_K``
+    frequency vocabulary from the corpus, then report each document's
+    out-of-vocabulary token fraction — the go/no-go check run before
+    committing a fixed vocab (high OOV docs are the ones a tokenizer
+    will shred into bytes).
+
+    Deterministic end to end: the vocab cut is a total order
+    (count desc, token) and the rate is one exact-integer division.
+
+    Plan: token counts are vocabulary-bounded (map-side combine); the
+    vocab cut is a TakeOrdered (per-partition heaps, K rows); membership
+    attaches by BROADCAST left join (the vocab is K rows by
+    construction — the legitimate broadcast); the per-doc agg is one
+    doc_id shuffle with map-side combine.  Empty docs come back via a
+    final doc_id left join instead of an outer explode."""
+    d = _docs(spark, sf_dir)
+    toks_tbl = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    cnts = toks_tbl.groupBy("w").agg(F.count("*").alias("cnt"))
+    vocab = (
+        cnts.orderBy(F.desc("cnt"), "w").limit(VOCAB_K).select("w", F.lit(1).alias("iv"))
+    )
+    per = (
+        toks_tbl.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        round_half_up(
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("n_oov").cast("double") / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+VOCAB_OOV_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+), cnts AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+), vocab AS (
+  SELECT w FROM cnts ORDER BY cnt DESC, w LIMIT {VOCAB_K}
+), per AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.n_oov, 0) AS n_oov,
+       {sql_round_half_up("CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN p.n_oov * 1.0 / p.n_tokens ELSE 0.0 END", 6)} AS oov_rate
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "text_repetition_ratio": text_repetition_ratio,
     "text_char_bigram_novelty": text_char_bigram_novelty,
     "ngram_pmi_top": ngram_pmi_top,
+    "vocab_oov_rate": vocab_oov_rate,
 }
 
 ORACLES = {
@@ -437,4 +508,5 @@ ORACLES = {
     "text_repetition_ratio": TEXT_REPETITION_SQL,
     "text_char_bigram_novelty": TEXT_NOVELTY_SQL,
     "ngram_pmi_top": NGRAM_PMI_SQL,
+    "vocab_oov_rate": VOCAB_OOV_SQL,
 }
