@@ -52,6 +52,9 @@ BNLJ_ALLOWED = {
     # text_char_bigram_novelty: crossJoin(broadcast(<1-row total>)) onto
     # the bounded (|charset|²) bigram table — scalar-attach again.
     "text_char_bigram_novelty",
+    # ngram_pmi_top: crossJoin(broadcast(<1-row (n_tok, n_bg) totals>))
+    # — the same canonical scalar-attach (corpus token/bigram totals).
+    "ngram_pmi_top",
 }
 
 
