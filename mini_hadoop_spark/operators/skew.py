@@ -33,7 +33,7 @@ aggregation — same oracle SQL as ``events_type_value_stats``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.sources.catalog import load_table
 
@@ -158,12 +158,71 @@ GROUP BY l.l_returnflag
 """
 
 
+#: heavy-hitter keys reported by the skew diagnostic
+HH_TOP = 20
+
+
+def skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-histogram diagnostic — "measure before you salt": the top
+    keys by row count with each key's share and cumulative share of the
+    table.  This is the report that decides whether a join/agg key needs
+    salting (one key at 30% → salt; flat top-20 → don't bother).
+
+    Plan: one map-side-combined count per key (shuffle ≤ |keys| rows), a
+    TakeOrdered top-k (per-partition heaps), a 1-row broadcast total,
+    and rank/cumulative windows over the ≤``HH_TOP`` surviving rows.
+    Shares are exact-integer divisions — bit-identical cross-engine."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    total = F.broadcast(counts.agg(F.sum("cnt").alias("total")))
+    top = counts.orderBy(F.desc("cnt"), "user_id").limit(HH_TOP)
+    order = [F.desc("cnt"), F.asc("user_id")]
+    w_run = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.crossJoin(total)
+        .select(
+            "user_id",
+            "cnt",
+            F.row_number().over(W.orderBy(*order)).alias("rnk"),
+            _round6(F.col("cnt").cast("double") / F.col("total").cast("double")).alias("share"),
+            _round6(
+                F.sum("cnt").over(w_run).cast("double") / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )
+
+
+def _round6(col: Column) -> Column:
+    """floor-half-up at 6 dp — identical IEEE ops on both engines (the
+    shared idiom from functions/text.py, local to avoid a text import
+    in the skew module)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+SKEW_HH_SQL = f"""
+WITH c AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), t AS (
+  SELECT sum(cnt) AS total FROM c
+), top AS (
+  SELECT * FROM c ORDER BY cnt DESC, user_id LIMIT {HH_TOP}
+)
+SELECT user_id, cnt,
+       row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk,
+       CAST(floor(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS share,
+       CAST(floor(CAST(sum(cnt) OVER (ORDER BY cnt DESC, user_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(total AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS cum_share
+FROM top, t
+"""
+
+
 QUERIES = {
     "agg_salted_skew": agg_salted_skew,
     "join_salted_skew": join_salted_skew,
+    "skew_heavy_hitters": skew_heavy_hitters,
 }
 
 ORACLES = {
     "agg_salted_skew": AGG_SALTED_SQL,
     "join_salted_skew": JOIN_SALTED_SQL,
+    "skew_heavy_hitters": SKEW_HH_SQL,
 }

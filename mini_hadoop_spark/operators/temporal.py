@@ -268,14 +268,65 @@ FROM events e
 ASOF JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts
 """
 
+#: staleness bound for the tolerance-bounded as-of query.  The synthetic
+#: timelines sit ~22 years apart (events 2024, orders 1995-2001), so the
+#: observed match ages span 8190-9799 days; 9000 lands inside that band,
+#: keeping a real subset while actually filtering (a production bound
+#: would be days, not decades — the mechanics are identical).
+ASOF_TOLERANCE_DAYS = 9000
+
+
+def join_asof_recent_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: the latest prior order, but only if it
+    is FRESH — at most ``ASOF_TOLERANCE_DAYS`` old at event time (the
+    "don't enrich from stale state" variant every feature-store as-of
+    uses).  For a backward as-of the latest prior row is the unique
+    candidate, so match-then-filter ≡ filter-then-match — the filter is
+    a post-join projection predicate, costing nothing beyond
+    ``join_asof_latest_order``'s one-shuffle merge.  The staleness test
+    is an exact integer day difference on both engines."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    j = asof_join(
+        e,
+        o,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="o_orderdate",
+        build_payload=["o_orderkey"],
+        how="inner",
+    )
+    age_days = F.datediff(F.to_date("ts"), F.to_date("asof_o_orderdate"))
+    return j.filter(age_days <= ASOF_TOLERANCE_DAYS).select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("recent_order_date"),
+        age_days.alias("age_days"),
+    )
+
+
+JOIN_ASOF_RECENT_SQL = f"""
+SELECT e.event_id, e.user_id,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS recent_order_date,
+       (e.ts::DATE - o.o_orderdate::DATE) AS age_days
+FROM events e
+ASOF JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+WHERE (e.ts::DATE - o.o_orderdate::DATE) <= {ASOF_TOLERANCE_DAYS}
+"""
+
+
 QUERIES = {
     "join_asof_latest_order": join_asof_latest_order,
     "join_asof_next_order": join_asof_next_order,
+    "join_asof_recent_order": join_asof_recent_order,
     "join_range_event_followups": join_range_event_followups,
 }
 
 ORACLES = {
     "join_asof_latest_order": JOIN_ASOF_SQL,
     "join_asof_next_order": JOIN_ASOF_FWD_SQL,
+    "join_asof_recent_order": JOIN_ASOF_RECENT_SQL,
     "join_range_event_followups": JOIN_RANGE_SQL,
 }

@@ -55,6 +55,9 @@ BNLJ_ALLOWED = {
     # ngram_pmi_top: crossJoin(broadcast(<1-row (n_tok, n_bg) totals>))
     # — the same canonical scalar-attach (corpus token/bigram totals).
     "ngram_pmi_top",
+    # skew_heavy_hitters: crossJoin(broadcast(<1-row table total>)) onto
+    # the ≤HH_TOP heavy-hitter rows — scalar-attach again.
+    "skew_heavy_hitters",
 }
 
 
