@@ -319,7 +319,79 @@ FROM dau d JOIN wau w ON d.day = w.day
 """
 
 
+#: discrete-quantile probes for the inter-event gap distribution
+GAP_PROBES = (0.5, 0.9, 0.99)
+
+
+def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution — the measurement that JUSTIFIES a
+    session gap: exact discrete quantiles (p50/p90/p99) of the
+    microsecond gap between consecutive events of the same user.  If
+    p90 ≪ the configured ``SESSION_GAP_SEC`` ≪ p99, the threshold sits
+    in the natural activity/return valley; if not, sessionization is
+    slicing mid-burst.
+
+    Gaps are exact integer micros over a TOTAL per-user order
+    (ts, event_id), so ties can't reorder the lag; selection is type-1
+    discrete (rank == ceil(p·n)) with a total global order — bit-exact
+    on both engines, no interpolation.
+
+    Plan: one user_id window shuffle for the lag, then the global
+    rank window (single-task sort over |events| gap rows).  At 100 TB
+    the global exact selection becomes a sampled or sketch quantile
+    (``agg_approx_sketches`` is the registered sketch path); this exact
+    form is its auditable twin at validation scale."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gaps = (
+        e.select(
+            "user_id",
+            "event_id",
+            (us - F.lag(us).over(w_lag)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    w_rank = W.orderBy("gap_us", "user_id", "event_id")
+    ranked = gaps.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(W.partitionBy())
+    )
+    return (
+        ranked.select(
+            "gap_us", "rn", "n",
+            F.explode(F.array(*[F.lit(p) for p in GAP_PROBES])).alias("p"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+        .select(
+            "p",
+            F.col("gap_us").alias("gap_us_quantile"),
+            F.expr("gap_us DIV 1000000").alias("gap_sec_quantile"),
+            F.col("n").alias("n_gaps"),
+        )
+    )
+
+
+EVENTS_GAP_QUANTILES_SQL = f"""
+WITH g AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), gaps AS (
+  SELECT * FROM g WHERE gap_us IS NOT NULL
+), r AS (
+  SELECT gap_us,
+         row_number() OVER (ORDER BY gap_us, user_id, event_id) AS rn,
+         count(*) OVER () AS n
+  FROM gaps
+)
+SELECT p, gap_us AS gap_us_quantile, gap_us // 1000000 AS gap_sec_quantile, n AS n_gaps
+FROM r CROSS JOIN (VALUES {", ".join(f"({p}::DOUBLE)" for p in GAP_PROBES)}) ps(p)
+WHERE rn = ceil(p * n)
+"""
+
+
 QUERIES = {
+    "events_gap_quantiles": events_gap_quantiles,
     "events_hourly_window": events_hourly_window,
     "events_funnel": events_funnel,
     "events_dau_wau": events_dau_wau,
@@ -330,6 +402,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_gap_quantiles": EVENTS_GAP_QUANTILES_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_dau_wau": _dau_wau_sql(),
     "events_weekly_retention": EVENTS_RETENTION_SQL,

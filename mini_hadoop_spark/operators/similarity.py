@@ -348,16 +348,53 @@ GROUP BY label
 """
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding audit: min, max, zero count and value
+    count for each of the vector's components — the shard-level sanity
+    check that catches dead dimensions (all zeros), clipped ranges and
+    scale blowups before a corrupt embedding shard poisons an index.
+
+    Only order-independent aggregates (min/max/integer counts), so the
+    result is bit-exact on both engines with no float-sum caveat.
+
+    Scale posture: posexplode is a |dims|× row expansion, but the
+    map-side partial agg collapses every partition to ≤|dims| rows
+    before the shuffle — shuffle volume is dims × partitions tiny rows,
+    independent of corpus size."""
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
+    d = emb.select(F.posexplode("embedding").alias("dim", "v"))
+    return d.groupBy("dim").agg(
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.count("*").alias("n_vals"),
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH d AS (
+  SELECT (i - 1) AS dim, embedding[i] AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+)
+SELECT dim, min(v) AS min_v, max(v) AS max_v,
+       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       count(*) AS n_vals
+FROM d GROUP BY dim
+"""
+
+
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
     "embedding_norm_stats": embedding_norm_stats,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 ORACLES = {
     "similarity_topk_brute": SIMILARITY_TOPK_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
+    "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     # similarity_ann_lsh: SRP-LSH bucketing has no practical DuckDB twin —
     # rows-only driver check; recall vs brute asserted in tests.
 }
