@@ -1,0 +1,92 @@
+"""foreachBatch maintenance of a persistent dedup fingerprint index —
+the streaming form of ``operators/dedup.py::dedup_incremental``.
+
+The batch query answers "dedup ONE new batch against a static corpus";
+a production crawl needs the loop form: every micro-batch of newly
+landed documents is deduped (a) against the on-disk fingerprint index
+and (b) within itself, and its surviving fingerprints are APPENDED to
+the index, which the next batch then sees.  ``foreachBatch`` is the
+Structured Streaming primitive for exactly this read-modify-append
+cycle — the sink body is a plain batch plan, so the digest-keyed
+anti-join posture of the batch operator carries over unchanged.
+
+Delivery semantics: micro-batches run strictly sequentially, so there
+is never a concurrent writer.  A batch REPLAYED after a successful
+append is a no-op by construction — its hashes are already in the
+index, so the anti-join emits nothing — which upgrades
+foreachBatch's at-least-once to effectively-once for this sink.  (A
+crash BETWEEN the parquet append and the checkpoint commit that leaves
+a partial file behind is the residual window; production would append
+to a transactional table format instead of raw parquet.)
+
+Keeper semantics are FIRST-SEEN-BATCH (matching
+``streaming_dedup_first_seen``): the keeper for a fingerprint is the
+min doc_id within the earliest batch that contained it — later, even
+smaller, doc_ids are duplicates by definition.
+
+Scale posture: per batch, one map-side-combined digest aggregate + one
+digest anti-join against the index scan; shuffle keys are 64-hex
+digests, never text.  The index grows with DISTINCT content only.  At
+100 TB the index read is the dominant side — partition/bucket the index
+by digest prefix so the anti-join prunes, and compact it periodically
+(``sources/formats.py`` compaction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from mini_hadoop_spark.streaming.documents import DOCS_STREAM_SCHEMA
+
+INDEX_SCHEMA = "content_hash string, keep_doc_id bigint, n_batch_copies bigint"
+
+
+def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The current fingerprint index, or an empty frame if no batch has
+    ever committed (first run)."""
+    try:
+        return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
+    except Exception:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+
+
+def dedup_index_batch(batch: DataFrame, index_dir: str) -> DataFrame:
+    """The NEW fingerprint rows one document batch contributes, given
+    the index as currently on disk: in-batch dedup (min doc_id keeper +
+    copy count per digest) anti-joined against the existing index."""
+    spark = batch.sparkSession
+    agg = (
+        batch.select(F.sha2(F.col("text"), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_batch_copies"))
+    )
+    existing = read_index(spark, index_dir).select("content_hash")
+    return agg.join(existing, "content_hash", "left_anti")
+
+
+def run_incremental_dedup_index(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain every unprocessed document shard in ``docs_dir`` through
+    the index-maintenance cycle (availableNow trigger: processes what
+    exists, then stops — call again when new shards land; the
+    checkpoint remembers which files are done)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def _append_new(batch: DataFrame, _batch_id: int) -> None:
+        dedup_index_batch(batch, index_dir).write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_append_new)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -548,3 +548,63 @@ def test_streaming_dedup_native_matches_custom_keys(spark, tmp_path):
         "2": pd.Timestamp("2026-01-01 10:01:00"),
         "3": pd.Timestamp("2026-01-01 10:11:00"),
     }
+
+
+def test_streaming_dedup_index_maintenance(spark, tmp_path):
+    """foreachBatch fingerprint-index maintenance: each drained shard is
+    deduped against the on-disk index AND within itself, and only new
+    fingerprints are appended — first-seen-batch keeper semantics, with
+    replay idempotence (a reprocessed batch appends nothing)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.streaming.index_maintenance import (
+        dedup_index_batch,
+        read_index,
+        run_incremental_dedup_index,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = str(tmp_path / "fp_index")
+    ckpt = str(tmp_path / "fp_ckpt")
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+        staged = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        _sh.copy(part, landing / f"{name}.parquet")
+
+    def index_rows():
+        return {
+            r.content_hash: (r.keep_doc_id, r.n_batch_copies)
+            for r in read_index(spark, idx).collect()
+        }
+
+    h = lambda t: spark.range(1).select(F.sha2(F.lit(t), 256)).first()[0]
+
+    # shard 1: "xx" duplicated in-batch (keeper 1), "yy" unique
+    land("s0", [(1, "xx", "web", "en"), (2, "yy", "web", "en"), (10, "xx", "web", "en")])
+    run_incremental_dedup_index(spark, str(landing), idx, ckpt)
+    assert index_rows() == {h("xx"): (1, 2), h("yy"): (2, 1)}
+
+    # shard 2: "xx" again with doc_id 0 — SMALLER than the committed
+    # keeper 1, so a global-min dedup would re-elect it; first-seen-batch
+    # suppresses it and the keeper stays 1.  "zz" is new with an in-batch dup.
+    land("s1", [(0, "xx", "web", "en"), (4, "zz", "web", "en"), (40, "zz", "web", "en")])
+    run_incremental_dedup_index(spark, str(landing), idx, ckpt)
+    assert index_rows() == {h("xx"): (1, 2), h("yy"): (2, 1), h("zz"): (4, 2)}
+
+    # drain with nothing new: checkpoint remembers processed files
+    run_incremental_dedup_index(spark, str(landing), idx, ckpt)
+    assert index_rows() == {h("xx"): (1, 2), h("yy"): (2, 1), h("zz"): (4, 2)}
+
+    # replay idempotence at the sink level: re-presenting an already-
+    # committed batch contributes zero new fingerprint rows
+    replay = spark.createDataFrame(
+        [(0, "xx", "web", "en"), (4, "zz", "web", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    assert dedup_index_batch(replay, idx).count() == 0
