@@ -283,10 +283,51 @@ FROM f, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, 4)) AS i) g
 """
 
 
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset dedup WITHIN each modality: the "same image uploaded
+    under ten doc ids" pass every multimodal ingest runs before paying
+    for decode/feature-extraction.  Grouping key is (modality, payload
+    digest) — cross-modality digest collisions stay separate because a
+    byte-identical blob can still mean different things per pipeline.
+
+    Same scale shape as ``dedup_exact``: digest computed in the scan
+    projection, one map-side-combined aggregate whose shuffle carries
+    64-hex digests, never payload bytes."""
+    b = synth_binary_docs(spark, sf_dir)
+    return (
+        b.select(
+            "modality",
+            F.sha2("payload", 256).alias("digest"),
+            "doc_id",
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("modality", "digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_bytes").alias("n_bytes"),
+        )
+    )
+
+
+MULTIMODAL_PAYLOAD_DEDUP_SQL = """
+SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       sha256(text) AS digest,
+       min(doc_id)  AS keep_doc_id,
+       count(*)     AS n_copies,
+       min(octet_length(encode(text))) AS n_bytes
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_payload_dedup": multimodal_payload_dedup,
 }
 
 def _features_sql() -> str:
@@ -326,4 +367,5 @@ ORACLES = {
     "multimodal_meta": MULTIMODAL_META_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+    "multimodal_payload_dedup": MULTIMODAL_PAYLOAD_DEDUP_SQL,
 }

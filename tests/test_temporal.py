@@ -200,3 +200,27 @@ def test_asof_rejects_bad_how(spark, frames):
     with pytest.raises(ValueError, match="inner.*left"):
         asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
                   build_payload=["bid"], how="full")
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    """The registered tolerance filter keeps a match whose age is
+    EXACTLY the bound (<=, not <) and drops one a day older — planted
+    here because the driver data's ages never straddle a small bound."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    probe = spark.createDataFrame(
+        [(1, 7, _ts("2026-01-11 00:00:00")), (2, 8, _ts("2026-01-11 00:00:00"))],
+        "pid long, k long, pts timestamp",
+    )
+    build = spark.createDataFrame(
+        # key 7's latest prior is exactly 10 days old; key 8's is 11 days
+        [(70, 7, _ts("2026-01-01 00:00:00")), (80, 8, _ts("2025-12-31 00:00:00"))],
+        "bid long, k long, bts timestamp",
+    )
+    j = asof_join(probe, build, key="k", probe_ts="pts", build_ts="bts",
+                  build_payload=["bid"], how="inner")
+    age = F.datediff(F.to_date("pts"), F.to_date("asof_bts"))
+    kept = j.filter(age <= 10).select("pid", "asof_bid").collect()
+    assert [(r.pid, r.asof_bid) for r in kept] == [(1, 70)]
