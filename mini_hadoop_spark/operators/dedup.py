@@ -129,6 +129,38 @@ GROUP BY 1
 """
 
 
+def dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile: for each copy-count k, how many distinct
+    contents have exactly k copies and how many documents they account
+    for — the one-page answer to "how duplicated is this corpus" that
+    decides whether dedup is worth a full pass (a long k-tail means big
+    token savings; all-k=1 means skip it).
+
+    Plan: the exact-dedup digest aggregate followed by a SECOND tiny
+    aggregate over |distinct contents| rows keyed by k (bounded by the
+    max copy count); both map-side combined."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return groups.groupBy("n_copies").agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+    )
+
+
+DEDUP_HISTOGRAM_SQL = """
+WITH g AS (
+  SELECT sha256(text) AS content_hash, count(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT n_copies, count(*) AS n_groups, CAST(sum(n_copies) AS BIGINT) AS n_docs
+FROM g GROUP BY n_copies
+"""
+
+
 #: deterministic batch split for the incremental-dedup query: docs whose
 #: doc_id-hash bucket is >= this are the "incoming batch", the rest the
 #: "existing corpus" (id-hash, NOT content-hash, so duplicate texts can
@@ -1064,6 +1096,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_incremental": dedup_incremental,
+    "dedup_histogram": dedup_histogram,
     "contamination_ngram": contamination_ngram,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1078,6 +1111,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "dedup_histogram": DEDUP_HISTOGRAM_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,

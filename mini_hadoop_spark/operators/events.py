@@ -390,8 +390,61 @@ WHERE rn = ceil(p * n)
 """
 
 
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts and conditional
+    probabilities P(next event type | current type) over each user's
+    time-ordered stream — the sequence-model summary (Markov baseline)
+    behind "what do users do after a click".
+
+    Deterministic: the lag runs over a TOTAL per-user order
+    (ts, event_id); each probability is one exact-integer division
+    (pair count / row count of the source type).
+
+    Plan: one user_id window shuffle for the lag, one map-side-combined
+    pair aggregate (≤ |types|² rows — corpus-size-independent, like the
+    BPE pair table), and a |types|-partition window for the row shares."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(F.lag("event_type").over(w_lag).alias("prev_type"), "event_type")
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    w_row = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double") / F.sum("n").over(w_row).cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("p"),
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM s WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       CAST(floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS p
+FROM pairs
+"""
+
+
 QUERIES = {
     "events_gap_quantiles": events_gap_quantiles,
+    "events_type_transitions": events_type_transitions,
     "events_hourly_window": events_hourly_window,
     "events_funnel": events_funnel,
     "events_dau_wau": events_dau_wau,
@@ -403,6 +456,7 @@ QUERIES = {
 
 ORACLES = {
     "events_gap_quantiles": EVENTS_GAP_QUANTILES_SQL,
+    "events_type_transitions": EVENTS_TRANSITIONS_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_dau_wau": _dau_wau_sql(),
     "events_weekly_retention": EVENTS_RETENTION_SQL,
