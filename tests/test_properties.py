@@ -192,3 +192,67 @@ def test_salted_agg_matches_plain_agg(spark, rows):
         .collect()
     }
     assert got == plain
+
+
+@given(
+    probe=st.lists(
+        st.tuples(
+            st.integers(0, 999),
+            st.one_of(st.none(), st.integers(1, 3)),
+            st.integers(0, 20),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    build=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(1, 3), st.integers(0, 20)),
+        min_size=0,
+        max_size=15,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_sort_reference(spark, probe, build, direction, how):
+    """The union+window as-of merge equals the naive per-probe scan on
+    arbitrary data: latest build at-or-before (backward) / earliest
+    at-or-after (forward) per key, ties resolved by the documented
+    sort-then-last rule, null probe keys never matching."""
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    def reference(pid, k, pt):
+        if k is None:
+            return None
+        cands = [(bts, bid) for bid, bk, bts in build if bk == k and (
+            bts <= pt if direction == "backward" else bts >= pt)]
+        if not cands:
+            return None
+        if direction == "backward":
+            cands.sort(key=lambda c: (c[0], c[1]))          # _t asc, _tb asc
+        else:
+            cands.sort(key=lambda c: (-c[0], -c[1]))        # _t desc, _tb desc
+        return cands[-1]                                     # running last wins
+
+    # distinct pids FIRST so the expected dict is well-defined
+    seen = set()
+    probe = [p for p in probe if not (p[0] in seen or seen.add(p[0]))]
+
+    expected = {}
+    for pid, k, pt in probe:
+        m = reference(pid, k, pt)
+        if m is None and how == "inner":
+            continue
+        expected[pid] = m
+
+    pdf = spark.createDataFrame(probe, "pid long, k long, pts long")
+    bdf = spark.createDataFrame(build, "bid long, k long, bts long") if build else (
+        spark.createDataFrame([], "bid long, k long, bts long"))
+    out = asof_join(
+        pdf, bdf, key="k", probe_ts="pts", build_ts="bts",
+        build_payload=["bid"], tiebreak="bid", how=how, direction=direction,
+    )
+    got = {
+        r.pid: (None if r.asof_bts is None else (r.asof_bts, r.asof_bid))
+        for r in out.collect()
+    }
+    assert got == expected
