@@ -609,8 +609,105 @@ GROUP BY cohort_mi, month_offset
 """
 
 
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3-WITH-TIES per group (``rank() <= k``) — the other top-k
+    semantics: every row tied with the k-th keeps its place, so group
+    output size is data-dependent (row_number's fixed-k twin is
+    ``window_topk_per_group``).  Ranking on the raw value only (no
+    tiebreak) is exactly what makes ties visible — and is deterministic
+    BECAUSE rank is value-determined.  Plan: one window shuffle on the
+    group key."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("l_quantity"))
+    return (
+        l.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "rnk")
+    )
+
+
+WINDOW_TOPK_TIES_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity, rnk
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk
+  FROM lineitem
+)
+WHERE rnk <= 3
+"""
+
+
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (exact-decimal spend) — each quartiled with ntile over a TOTAL
+    order (metric, custkey) and concatenated into the classic 3-digit
+    segment label.
+
+    All three metrics are order-independent aggregates; the quartile
+    cuts are deterministic via the custkey tiebreak.  Plan: one custkey
+    aggregate, a 1-row broadcast of the corpus max date, then three
+    global ntile windows — single-task sorts over |customers| rows (the
+    same global-ranking caveat as the gap quantiles: at 100 TB you cut
+    on sampled quantile thresholds instead; this exact form is the
+    auditable twin)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("f_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m_total"),
+    )
+    maxd = F.broadcast(o.agg(F.max("o_orderdate").alias("corpus_max")))
+    per = per.crossJoin(maxd).withColumn(
+        "r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_order"))
+    )
+    r_q = F.ntile(4).over(W.orderBy("r_days", "o_custkey"))
+    f_q = F.ntile(4).over(W.orderBy(F.desc("f_orders"), "o_custkey"))
+    m_q = F.ntile(4).over(W.orderBy(F.desc("m_total"), "o_custkey"))
+    return per.select(
+        "o_custkey",
+        "r_days",
+        "f_orders",
+        F.col("m_total").cast("double").alias("m_total"),
+        r_q.alias("r_q"),
+        f_q.alias("f_q"),
+        m_q.alias("m_q"),
+    ).withColumn(
+        "segment", F.concat_ws("-", F.col("r_q"), F.col("f_q"), F.col("m_q"))
+    )
+
+
+ORDERS_RFM_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS f_orders,
+         sum(o_totalprice::DECIMAL(18,2)) AS m_total
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         (SELECT max(o_orderdate) FROM orders)::DATE - last_order::DATE AS r_days,
+         f_orders,
+         m_total
+  FROM per
+)
+SELECT o_custkey, r_days, f_orders, CAST(m_total AS DOUBLE) AS m_total,
+       ntile(4) OVER (ORDER BY r_days, o_custkey) AS r_q,
+       ntile(4) OVER (ORDER BY f_orders DESC, o_custkey) AS f_q,
+       ntile(4) OVER (ORDER BY m_total DESC, o_custkey) AS m_q,
+       ntile(4) OVER (ORDER BY r_days, o_custkey) || '-' ||
+       ntile(4) OVER (ORDER BY f_orders DESC, o_custkey) || '-' ||
+       ntile(4) OVER (ORDER BY m_total DESC, o_custkey) AS segment
+FROM scored
+"""
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
+    "window_topk_with_ties": window_topk_with_ties,
+    "orders_rfm_segmentation": orders_rfm_segmentation,
     "orders_cohort_retention": orders_cohort_retention,
     "set_except_all": set_except_all,
     "window_range_frame": window_range_frame,
@@ -630,6 +727,8 @@ QUERIES = {
 
 ORACLES = {
     "window_cume_dist": WINDOW_CUME_DIST_SQL,
+    "window_topk_with_ties": WINDOW_TOPK_TIES_SQL,
+    "orders_rfm_segmentation": ORDERS_RFM_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,

@@ -58,6 +58,9 @@ BNLJ_ALLOWED = {
     # skew_heavy_hitters: crossJoin(broadcast(<1-row table total>)) onto
     # the ≤HH_TOP heavy-hitter rows — scalar-attach again.
     "skew_heavy_hitters",
+    # orders_rfm_segmentation: crossJoin(broadcast(<1-row corpus max
+    # date>)) onto the per-customer aggregate — scalar-attach again.
+    "orders_rfm_segmentation",
 }
 
 
