@@ -704,10 +704,93 @@ FROM scored
 """
 
 
+#: minimum co-purchase support for the basket-affinity report
+BASKET_MIN_SUPPORT = 3
+#: pairs reported
+BASKET_TOP = 100
+
+
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top part pairs by co-purchase LIFT
+    (``P(a,b) / (P(a)·P(b))`` over orders) with a minimum support —
+    the classic association-mining report ("bought together"), same
+    log-free exact-ratio ranking as the PMI collocations.
+
+    Plan: the pair generator is an orderkey-co-partitioned SELF-JOIN
+    with ``p1 < p2`` orientation — candidates are bounded per order by
+    the basket size (≤ items²/2 per order, never |items|² globally);
+    pair/item counts are map-side combined; the corpus total is a 1-row
+    broadcast; top-k is a TakeOrdered.  Lift doubles come from exact
+    BIGINT products divided in the same order on both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    totals = F.broadcast(
+        items.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+    )
+    scored = (
+        pairs.join(part_cnt.select(F.col("l_partkey").alias("p1"), F.col("n_p").alias("n_a")), "p1")
+        .join(part_cnt.select(F.col("l_partkey").alias("p2"), F.col("n_p").alias("n_b")), "p2")
+        .crossJoin(totals)
+        .withColumn(
+            "lift_raw",
+            (F.col("n_ab") * F.col("n_orders")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        )
+    )
+    top = scored.orderBy(F.desc("lift_raw"), "p1", "p2").limit(BASKET_TOP)
+    rnk = F.row_number().over(W.orderBy(F.desc("lift_raw"), "p1", "p2"))
+    return top.select(
+        "p1", "p2", "n_ab",
+        round_half_up(F.col("lift_raw"), 6).alias("lift"),
+        rnk.alias("rnk"),
+    )
+
+
+BASKET_AFFINITY_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), pc AS (
+  SELECT l_partkey, count(*) AS n_p FROM items GROUP BY l_partkey
+), tot AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+), scored AS (
+  SELECT p.p1, p.p2, p.n_ab,
+         CAST(p.n_ab * t.n_orders AS DOUBLE) / CAST(ca.n_p * cb.n_p AS DOUBLE) AS lift_raw
+  FROM pairs p
+  JOIN pc ca ON ca.l_partkey = p.p1
+  JOIN pc cb ON cb.l_partkey = p.p2
+  CROSS JOIN tot t
+), top AS (
+  SELECT * FROM scored ORDER BY lift_raw DESC, p1, p2 LIMIT {BASKET_TOP}
+)
+SELECT p1, p2, n_ab,
+       {sql_round_half_up('lift_raw', 6)} AS lift,
+       row_number() OVER (ORDER BY lift_raw DESC, p1, p2) AS rnk
+FROM top
+"""
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
     "orders_rfm_segmentation": orders_rfm_segmentation,
+    "basket_pair_affinity": basket_pair_affinity,
     "orders_cohort_retention": orders_cohort_retention,
     "set_except_all": set_except_all,
     "window_range_frame": window_range_frame,
@@ -729,6 +812,7 @@ ORACLES = {
     "window_cume_dist": WINDOW_CUME_DIST_SQL,
     "window_topk_with_ties": WINDOW_TOPK_TIES_SQL,
     "orders_rfm_segmentation": ORDERS_RFM_SQL,
+    "basket_pair_affinity": BASKET_AFFINITY_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,

@@ -61,6 +61,9 @@ BNLJ_ALLOWED = {
     # orders_rfm_segmentation: crossJoin(broadcast(<1-row corpus max
     # date>)) onto the per-customer aggregate — scalar-attach again.
     "orders_rfm_segmentation",
+    # basket_pair_affinity: crossJoin(broadcast(<1-row order total>))
+    # onto the supported pair table — scalar-attach again.
+    "basket_pair_affinity",
 }
 
 
