@@ -256,3 +256,50 @@ def test_asof_join_matches_sort_reference(spark, probe, build, direction, how):
         for r in out.collect()
     }
     assert got == expected
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(1, 2), st.integers(0, 120)),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(1, 2), st.integers(0, 120)),
+        min_size=0,
+        max_size=12,
+    ),
+    gap=st.sampled_from([1, 7, 30]),
+)
+@settings(max_examples=12, deadline=None)
+def test_range_join_binned_matches_naive(spark, left, right, gap):
+    """The two-bin probe + exact verify equals the naive all-pairs
+    range filter on arbitrary second-offset data — including pairs that
+    straddle a bin boundary and exact-boundary gaps."""
+    import datetime as dt
+
+    from mini_hadoop_spark.operators.temporal import range_join_binned
+
+    base = dt.datetime(2026, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    expected = {
+        (lid, rid)
+        for lid, lk, ls in left
+        for rid, rk, rs in right
+        if lk == rk and rs >= ls and rs - ls <= gap
+    }
+
+    ldf = spark.createDataFrame(
+        [(lid, k, ts(s)) for lid, k, s in left], "lid long, k long, lts timestamp"
+    )
+    rdf = spark.createDataFrame(
+        [(rid, k, ts(s)) for rid, k, s in right], "rid long, k long, rts timestamp"
+    ) if right else spark.createDataFrame([], "rid long, k long, rts timestamp")
+    out = range_join_binned(
+        ldf, rdf, key="k", left_ts="lts", right_ts="rts", max_gap_sec=gap
+    )
+    got = {(r.lid, r.rid) for r in out.collect()}
+    assert got == expected
