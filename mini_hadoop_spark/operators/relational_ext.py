@@ -786,11 +786,62 @@ FROM top
 """
 
 
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``first_value``/``last_value`` over a full-group frame: each
+    customer's first and latest order price and the exact-ratio change
+    between them — the "how did this account's spend evolve" shape.
+
+    Determinism needs two things the docstring is explicit about
+    because both are classic window bugs: a TOTAL order
+    ((o_orderdate, o_orderkey) — date ties broken by key), and an
+    UNBOUNDED-FOLLOWING frame for last_value (the default frame stops
+    at CURRENT ROW, silently returning the current row's value).
+    One row per customer via a distinct-free aggregate-after-window.
+    Plan: one window shuffle on custkey + the dedup aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    withfl = o.select(
+        "o_custkey",
+        F.first_value(F.col("o_totalprice")).over(w).alias("first_price"),
+        F.last_value(F.col("o_totalprice")).over(w).alias("last_price"),
+    )
+    return (
+        withfl.groupBy("o_custkey")
+        .agg(F.min("first_price").alias("first_price"), F.min("last_price").alias("last_price"))
+        .select(
+            "o_custkey",
+            "first_price",
+            "last_price",
+            round_half_up(F.col("last_price") / F.col("first_price"), 6).alias("price_ratio"),
+        )
+    )
+
+
+WINDOW_FIRST_LAST_SQL = f"""
+WITH fl AS (
+  SELECT o_custkey,
+         first_value(o_totalprice) OVER w AS first_price,
+         last_value(o_totalprice)  OVER w AS last_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey, min(first_price) AS first_price, min(last_price) AS last_price,
+       {sql_round_half_up('min(last_price) / min(first_price)', 6)} AS price_ratio
+FROM fl GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "basket_pair_affinity": basket_pair_affinity,
+    "window_first_last_orders": window_first_last_orders,
     "orders_cohort_retention": orders_cohort_retention,
     "set_except_all": set_except_all,
     "window_range_frame": window_range_frame,
@@ -813,6 +864,7 @@ ORACLES = {
     "window_topk_with_ties": WINDOW_TOPK_TIES_SQL,
     "orders_rfm_segmentation": ORDERS_RFM_SQL,
     "basket_pair_affinity": BASKET_AFFINITY_SQL,
+    "window_first_last_orders": WINDOW_FIRST_LAST_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
