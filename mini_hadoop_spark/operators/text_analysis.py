@@ -305,6 +305,46 @@ FROM s
 """
 
 
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID classifier against the
+    corpus labels: counts and per-true-language row shares — the
+    classifier-evaluation primitive (precision/recall per language read
+    straight off this table).  On the synthetic corpus the matrix
+    mostly documents the shared-vocabulary disagreement the lang_id
+    docstring explains; the OPERATOR is what is under test.
+
+    Plan: the prediction projection is pure codegen; one (lang, pred)
+    hash aggregate (≤ |langs|² rows) + a |langs|-partition share
+    window.  Shares are exact-integer divisions."""
+    pred = lang_id_ngram(spark, sf_dir).select("lang", "pred_lang")
+    counts = pred.groupBy(F.col("lang").alias("true_lang"), "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        (
+            F.floor(
+                F.col("n").cast("double") / F.sum("n").over(w).cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("share"),
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH pred AS ({LANG_ID_SQL})
+SELECT lang AS true_lang, pred_lang, count(*) AS n,
+       CAST(floor(CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS share
+FROM pred
+GROUP BY lang, pred_lang
+"""
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 terms per document by TF-IDF.
 
@@ -739,6 +779,7 @@ QUERIES = {
     "pipeline_pretrain_manifest": pipeline_pretrain_manifest,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
+    "lang_id_confusion": lang_id_confusion,
     "tfidf_top_terms": tfidf_top_terms,
     "ngram_bigram_freq": ngram_bigram_freq,
     "doc_fingerprint": doc_fingerprint,
@@ -758,6 +799,7 @@ ORACLES = {
     "text_token_stats": TEXT_TOKEN_STATS_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "lang_id_ngram": LANG_ID_SQL,
+    "lang_id_confusion": _lang_confusion_sql(),
     "tfidf_top_terms": TFIDF_SQL,
     "ngram_bigram_freq": NGRAM_BIGRAM_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
