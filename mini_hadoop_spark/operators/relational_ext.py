@@ -836,9 +836,63 @@ FROM fl GROUP BY o_custkey
 """
 
 
+def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (l_quantity vs l_extendedprice per
+    return flag) — the statistical-profiling aggregate, computed from
+    EXACT sufficient statistics instead of the engine's corr() (whose
+    float accumulation order differs per engine/partitioning).
+
+    Each input rounds to 2 dp with the shared floor-half-up idiom
+    (bit-identical per row), the five moment sums accumulate as exact
+    DECIMALs (order-independent), and the final corr formula runs on
+    identical doubles in identical op order — sqrt is IEEE
+    correctly-rounded, so the result is bit-exact cross-engine.
+
+    Plan: one map-side-combined hash aggregate; |groups| output rows."""
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    xd = (F.floor(F.col("l_quantity") * 100 + F.lit(0.5)) / 100).cast("decimal(18,2)")
+    yd = (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) / 100).cast("decimal(18,2)")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return agg.select("l_returnflag", "n", round_half_up(corr, 6).alias("corr_qty_price"))
+
+
+CORR_QTY_PRICE_SQL = f"""
+WITH t AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS xd,
+         CAST(floor(l_extendedprice * 100 + 0.5) / 100 AS DECIMAL(18,2)) AS yd
+  FROM lineitem
+), agg AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(xd) AS sx, sum(yd) AS sy,
+         sum(xd * yd) AS sxy, sum(xd * xd) AS sxx, sum(yd * yd) AS syy
+  FROM t GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {sql_round_half_up("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS corr_qty_price
+FROM agg
+"""
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
+    "corr_quantity_price": corr_quantity_price,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "basket_pair_affinity": basket_pair_affinity,
     "window_first_last_orders": window_first_last_orders,
@@ -865,6 +919,7 @@ ORACLES = {
     "orders_rfm_segmentation": ORDERS_RFM_SQL,
     "basket_pair_affinity": BASKET_AFFINITY_SQL,
     "window_first_last_orders": WINDOW_FIRST_LAST_SQL,
+    "corr_quantity_price": CORR_QTY_PRICE_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,

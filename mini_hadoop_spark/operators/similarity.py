@@ -383,18 +383,65 @@ FROM d GROUP BY dim
 """
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids — the nearest-centroid-classifier /
+    class-prototype primitive (and the k-means update step as a
+    standalone audit): mean embedding component per (label, dim).
+
+    Float sums are order-dependent, so each component is first rounded
+    to 6 dp with the shared floor-half-up idiom (bit-identical per
+    element on both engines) and then summed as an exact DECIMAL —
+    order-independent at any parallelism — before one final double
+    division (the ``events_decayed_engagement`` pattern).
+
+    Plan: one posexplode + one (label, dim) hash aggregate, map-side
+    combined — output is |labels|×|dims| rows, corpus-size-independent."""
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
+    d = emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+    term = (F.floor(F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
+        "decimal(18,6)"
+    )
+    agg = d.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum(term).alias("s"),
+    )
+    centroid = (
+        F.floor(
+            F.col("s").cast("double") / F.col("n").cast("double") * F.lit(1e6) + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return agg.select("label", "dim", "n", centroid.alias("centroid"))
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH d AS (
+  SELECT label, (i - 1) AS dim,
+         CAST(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS DECIMAL(18,6)) AS term
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+), agg AS (
+  SELECT label, dim, count(*) AS n, sum(term) AS s FROM d GROUP BY label, dim
+)
+SELECT label, dim, n,
+       CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS centroid
+FROM agg
+"""
+
+
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLES = {
     "similarity_topk_brute": SIMILARITY_TOPK_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     # similarity_ann_lsh: SRP-LSH bucketing has no practical DuckDB twin —
     # rows-only driver check; recall vs brute asserted in tests.
 }
