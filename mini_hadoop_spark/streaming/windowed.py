@@ -145,8 +145,44 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #2: the SESSION-WINDOW sessionization
+    run end-to-end through the streaming engine (file source →
+    session_window state → availableNow drain), verified against the
+    batch twin's oracle (events_session_window).  Together with the
+    hourly drain this puts both streaming state shapes Spark maintains
+    natively — tumbling windows and merging session windows — inside
+    the driver's oracle gate, not just the in-repo parity tests."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mini_hadoop_spark.sources.catalog import table_path
+    from mini_hadoop_spark.streaming.stateful import streaming_sessionization
+
+    src = table_path(sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_session_")
+    dst = os.path.join(stage, "part-000.parquet")
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy(src, dst)
+    table = f"stream_session_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(
+        streaming_sessionization(read_events_stream(spark, stage)), table
+    )
+    return spark.table(table).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+        "duration_sec",
+    )
+
+
 QUERIES = {
     "streaming_hourly_drain": streaming_hourly_drain,
+    "streaming_session_drain": streaming_session_drain,
 }
 
 
@@ -156,8 +192,15 @@ def _hourly_oracle() -> str:
     return EVENTS_HOURLY_SQL
 
 
+def _session_oracle() -> str:
+    from mini_hadoop_spark.operators.events import EVENTS_SESSION_WINDOW_SQL
+
+    return EVENTS_SESSION_WINDOW_SQL
+
+
 ORACLES = {
-    # the batch twin's oracle verbatim: the streaming drain must land on
-    # the identical rows
+    # the batch twins' oracles verbatim: each streaming drain must land
+    # on the identical rows
     "streaming_hourly_drain": _hourly_oracle(),
+    "streaming_session_drain": _session_oracle(),
 }
