@@ -43,11 +43,18 @@ INDEX_SCHEMA = "content_hash string, keep_doc_id bigint, n_batch_copies bigint"
 
 def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The current fingerprint index, or an empty frame if no batch has
-    ever committed (first run)."""
-    try:
-        return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
-    except Exception:
+    ever committed (first run).
+
+    ONLY the missing-path case maps to "empty" — a corrupt or
+    unreadable index must raise, because treating it as empty would
+    silently re-admit every duplicate the index existed to suppress."""
+    import os
+
+    # local-path existence probe (matches this harness's filesystem);
+    # on an object store, probe via the Hadoop FileSystem API instead
+    if not os.path.exists(index_dir):
         return spark.createDataFrame([], INDEX_SCHEMA)
+    return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
 
 
 def dedup_index_batch(batch: DataFrame, index_dir: str) -> DataFrame:
