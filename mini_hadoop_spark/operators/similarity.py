@@ -30,7 +30,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
 from mini_hadoop_spark.functions.vectors import as_double, dot, norm
@@ -428,6 +428,103 @@ FROM agg
 """
 
 
+def centroid_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification accuracy — the end of the
+    prototype loop (``embedding_label_centroids`` builds the model,
+    this query evaluates it): assign every vector to its closest label
+    centroid and report per-true-label counts and accuracy, i.e. "does
+    this embedding space separate the classes".
+
+    Exactness: squared-difference terms are rounded per element with
+    the shared floor-half-up idiom and summed as exact DECIMALs, so
+    distances are order-independent and bit-identical cross-engine;
+    argmin ties break on label.  Accuracy is one exact-int division.
+
+    Scale posture: the model side is |labels| rows of |dims| values —
+    broadcast by construction; assignment is a per-row map over the
+    vector scan (one crossJoin against ≤|labels| rows, argmin via a
+    vec_id window); the final agg is |labels| rows."""
+    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
+    cents = (
+        embedding_label_centroids(spark, sf_dir)
+        .groupBy(F.col("label").alias("cent_label"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "centroid"))),
+                lambda s: s.centroid,
+            ).alias("cvec")
+        )
+    )
+    v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    term = F.zip_with(
+        F.col("e"),
+        F.col("cvec"),
+        lambda a, b: (
+            F.floor((a - b) * (a - b) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).cast("decimal(18,6)"),
+    )
+    dist = F.aggregate(
+        term,
+        F.lit(0).cast("decimal(28,6)"),
+        # re-cast: decimal addition widens the type per element, and
+        # aggregate() requires the merge result to keep the zero's type
+        lambda acc, x: (acc + x).cast("decimal(28,6)"),
+    )
+    scored = v.crossJoin(F.broadcast(cents)).withColumn("dist", dist)
+    w = W.partitionBy("vec_id").orderBy("dist", "cent_label")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("cent_label").alias("pred_label"))
+    )
+    return pred.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("label") == F.col("pred_label"), 1).otherwise(0)).alias("n_correct"),
+    ).select(
+        "label",
+        "n_vectors",
+        "n_correct",
+        (
+            F.floor(
+                F.col("n_correct").cast("double") / F.col("n_vectors").cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("accuracy"),
+    )
+
+
+CENTROID_CLASSIFY_SQL = """
+WITH d AS (
+  SELECT label, (i - 1) AS dim,
+         CAST(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS DECIMAL(18,6)) AS term
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+), agg AS (
+  SELECT label, dim, count(*) AS n, sum(term) AS s FROM d GROUP BY label, dim
+), cent AS (
+  SELECT label AS cent_label, dim,
+         CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS c
+  FROM agg
+), cvec AS (
+  SELECT cent_label, list(c ORDER BY dim) AS cv FROM cent GROUP BY cent_label
+), scored AS (
+  SELECT e.vec_id, e.label, c.cent_label,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+           i -> CAST(CAST(floor((CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) * 1e6 + 0.5) AS BIGINT) / 1e6 AS DECIMAL(18,6)))) AS dist
+  FROM embeddings e CROSS JOIN cvec c
+), pred AS (
+  SELECT vec_id, label, cent_label AS pred_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_label) AS rn
+  FROM scored
+)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN label = pred_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(floor(CAST(sum(CASE WHEN label = pred_label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS accuracy
+FROM pred WHERE rn = 1
+GROUP BY label
+"""
+
+
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -435,6 +532,7 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_label_centroids": embedding_label_centroids,
+    "centroid_classify_eval": centroid_classify_eval,
 }
 
 ORACLES = {
@@ -442,6 +540,7 @@ ORACLES = {
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
+    "centroid_classify_eval": CENTROID_CLASSIFY_SQL,
     # similarity_ann_lsh: SRP-LSH bucketing has no practical DuckDB twin —
     # rows-only driver check; recall vs brute asserted in tests.
 }

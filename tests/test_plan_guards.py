@@ -64,6 +64,9 @@ BNLJ_ALLOWED = {
     # basket_pair_affinity: crossJoin(broadcast(<1-row order total>))
     # onto the supported pair table — scalar-attach again.
     "basket_pair_affinity",
+    # centroid_classify_eval: crossJoin(broadcast(<=|labels| centroid
+    # rows>)) — the model side is bounded by construction.
+    "centroid_classify_eval",
 }
 
 
