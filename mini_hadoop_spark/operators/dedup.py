@@ -161,6 +161,46 @@ FROM g GROUP BY n_copies
 """
 
 
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rung dedup funnel: how many documents each cheap rung keeps
+    (raw → exact content hash → normalized hash) — the planning report
+    that sizes the expensive similarity passes by showing what the
+    cheap ones already remove.
+
+    One scan, one aggregate (two distinct-counts share it), unpivoted
+    to a fixed 3-row report."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    agg = docs.select(
+        F.sha2(F.col("text"), 256).alias("h_exact"),
+        F.sha2(norm, 256).alias("h_norm"),
+    ).agg(
+        F.count("*").alias("n_raw"),
+        F.count_distinct("h_exact").alias("n_exact"),
+        F.count_distinct("h_norm").alias("n_norm"),
+    )
+    return agg.selectExpr(
+        "stack(3, 'raw', n_raw, CAST(0 AS BIGINT), "
+        "'exact', n_exact, n_raw - n_exact, "
+        "'normalized', n_norm, n_raw - n_norm) AS (rung, n_kept, n_removed)"
+    )
+
+
+DEDUP_FUNNEL_SQL = """
+WITH a AS (
+  SELECT count(*) AS n_raw,
+         count(DISTINCT sha256(text)) AS n_exact,
+         count(DISTINCT sha256(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_norm
+  FROM documents
+)
+SELECT 'raw' AS rung, n_raw AS n_kept, CAST(0 AS BIGINT) AS n_removed FROM a
+UNION ALL
+SELECT 'exact', n_exact, n_raw - n_exact FROM a
+UNION ALL
+SELECT 'normalized', n_norm, n_raw - n_norm FROM a
+"""
+
+
 #: deterministic batch split for the incremental-dedup query: docs whose
 #: doc_id-hash bucket is >= this are the "incoming batch", the rest the
 #: "existing corpus" (id-hash, NOT content-hash, so duplicate texts can
@@ -1097,6 +1137,7 @@ QUERIES = {
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_incremental": dedup_incremental,
     "dedup_histogram": dedup_histogram,
+    "dedup_funnel_report": dedup_funnel_report,
     "contamination_ngram": contamination_ngram,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1112,6 +1153,7 @@ ORACLES = {
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_histogram": DEDUP_HISTOGRAM_SQL,
+    "dedup_funnel_report": DEDUP_FUNNEL_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,

@@ -495,12 +495,86 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
+def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate by quality decile — the cross-family curation
+    question "do low-quality documents duplicate more?", answered with
+    exact arithmetic: quality deciles cut by deterministic ntile
+    (score, doc_id total order), dup flag from the exact content-hash
+    group size, rates as exact-integer divisions, and the mean score
+    from a DECIMAL sum of already-rounded scores (order-independent).
+
+    Plan: the quality projection is pure codegen; dup flags are one
+    digest-partition window; the decile cut is a global ntile
+    (single-task sort over |docs| rows — sampled thresholds at 100 TB,
+    as elsewhere); the report is 10 rows."""
+    from mini_hadoop_spark.operators.text_analysis import text_quality_score
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = _docs(spark, sf_dir)
+    dup = docs.select(
+        "doc_id",
+        (
+            F.count("*").over(W.partitionBy(F.sha2(F.col("text"), 256))) > 1
+        ).alias("is_dup"),
+    )
+    j = q.join(dup, "doc_id")
+    decile = F.ntile(10).over(W.orderBy("quality_score", "doc_id"))
+    d = j.withColumn("decile", decile)
+    agg = d.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dups"),
+        F.sum(F.col("quality_score").cast("decimal(18,6)")).alias("score_sum"),
+    )
+    rate = (
+        F.floor(
+            F.col("n_dups").cast("double") / F.col("n_docs").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    mean_q = (
+        F.floor(
+            F.col("score_sum").cast("double") / F.col("n_docs").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return agg.select(
+        "decile", "n_docs", "n_dups", rate.alias("dup_rate"), mean_q.alias("mean_quality")
+    )
+
+
+def _quality_dup_deciles_sql() -> str:
+    from mini_hadoop_spark.operators.text_analysis import TEXT_QUALITY_SQL
+
+    return f"""
+WITH q AS ({TEXT_QUALITY_SQL}),
+h AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY sha256(text)) > 1 AS is_dup FROM documents
+), j AS (
+  SELECT q.doc_id, q.quality_score, h.is_dup,
+         ntile(10) OVER (ORDER BY q.quality_score, q.doc_id) AS decile
+  FROM q JOIN h ON q.doc_id = h.doc_id
+), agg AS (
+  SELECT decile, count(*) AS n_docs,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         sum(quality_score::DECIMAL(18,6)) AS score_sum
+  FROM j GROUP BY decile
+)
+SELECT decile, n_docs, n_dups,
+       CAST(floor(CAST(n_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS dup_rate,
+       CAST(floor(CAST(score_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS mean_quality
+FROM agg
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "text_repetition_ratio": text_repetition_ratio,
     "text_char_bigram_novelty": text_char_bigram_novelty,
     "ngram_pmi_top": ngram_pmi_top,
     "vocab_oov_rate": vocab_oov_rate,
+    "quality_dup_deciles": quality_dup_deciles,
 }
 
 ORACLES = {
@@ -509,4 +583,5 @@ ORACLES = {
     "text_char_bigram_novelty": TEXT_NOVELTY_SQL,
     "ngram_pmi_top": NGRAM_PMI_SQL,
     "vocab_oov_rate": VOCAB_OOV_SQL,
+    "quality_dup_deciles": _quality_dup_deciles_sql(),
 }
