@@ -95,10 +95,26 @@ def _probe_encodings(spark: SparkSession, path: str) -> dict[str, str]:
         import pyarrow.parquet as pq
 
         out: dict[str, str] = {}
-        schema = pq.read_schema(_first_parquet_file(path))
+        first = _first_parquet_file(path)
+        schema = pq.read_schema(first)
+        # Physical types matter: legacy INT96 timestamps surface in the
+        # ARROW schema as timestamp[ns] — indistinguishable from INT64
+        # TIMESTAMP(NANOS) — but Spark reads INT96 natively as
+        # TimestampType, where the nanosAsLong+DIV normalization would
+        # fail analysis.  Classify INT96 columns as plain "ts".
+        physical: dict[str, str] = {}
+        try:
+            pq_schema = pq.ParquetFile(first).schema
+            for i in range(len(pq_schema)):
+                col = pq_schema.column(i)
+                physical[col.name] = col.physical_type
+        except Exception:
+            pass
         for field in schema:
             if pa.types.is_timestamp(field.type):
-                if field.type.unit == "ns" and field.type.tz is None:
+                if physical.get(field.name) == "INT96":
+                    out[field.name] = "ts"
+                elif field.type.unit == "ns" and field.type.tz is None:
                     out[field.name] = "nanos"
                 elif field.type.tz is None:
                     out[field.name] = "ntz"

@@ -112,3 +112,46 @@ def test_driver_events_loads(spark):
     df = catalog.load_table(spark, "/root/testdata/sf0.001", "events")
     assert df.schema["ts"].dataType.typeName() == "timestamp"
     assert df.count() > 0
+
+
+def test_events_int96_legacy_encoding(spark, tmp_path):
+    """Legacy INT96 timestamps: pyarrow's ARROW schema reports them as
+    timestamp[ns] — indistinguishable from INT64 TIMESTAMP(NANOS) — but
+    Spark reads INT96 natively as TimestampType, so the probe must
+    classify by PHYSICAL type or the nanos normalization fails analysis
+    (the round-4 failure class, next encoding over)."""
+    d = tmp_path / "int96"
+    d.mkdir()
+    cols = {"ts": pa.array(_TS_US, pa.timestamp("ns")), **_base_cols(len(_TS_US))}
+    pq.write_table(
+        pa.table(cols),
+        str(d / "events.parquet"),
+        use_deprecated_int96_timestamps=True,
+    )
+    assert _load_ts_micros(spark, d) == [_micros(t) for t in _TS_US]
+
+
+def test_documents_schema_drift_tolerance(spark, tmp_path):
+    """The next driver regeneration may reorder columns or add new ones;
+    loaders select by NAME, so both must be non-events.  Assert a
+    representative text query runs unchanged on a reordered-plus-extended
+    documents file."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.text_analysis import doc_fingerprint
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    cols = {
+        "extra_col": pa.array([1, 2], pa.int64()),          # new column
+        "source": pa.array(["web", "web"], pa.string()),    # reordered
+        "text": pa.array(["hello world", "HELLO  world"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "n_chars": pa.array([11, 12], pa.int64()),
+        "doc_id": pa.array([1, 2], pa.int64()),
+    }
+    pq.write_table(pa.table(cols), str(d / "documents.parquet"))
+    rows = doc_fingerprint(spark, str(d)).orderBy("doc_id").collect()
+    assert [r.doc_id for r in rows] == [1, 2]
+    # the two texts normalize identically -> identical fingerprints
+    assert rows[0].fingerprint == rows[1].fingerprint
