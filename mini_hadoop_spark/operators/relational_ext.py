@@ -889,10 +889,75 @@ FROM agg
 """
 
 
+#: fulfillment SLA: first shipment within this many days of the order
+SLA_DAYS = 30
+
+
+def orders_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-SLA report per order priority: the share of orders
+    whose FIRST lineitem shipped within ``SLA_DAYS`` of the order date
+    — the operational "are urgent orders actually faster" rollup.
+
+    min(shipdate) is order-independent; the latency and the SLA flag
+    are exact integer day arithmetic; shares are exact divisions.
+
+    Plan: one orderkey aggregate over lineitem (map-side combined) +
+    one orderkey equi-join to orders (co-partitioned under AQE) + a
+    |priorities|-row final agg."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    first_ship = l.groupBy("l_orderkey").agg(F.min("l_shipdate").alias("first_ship"))
+    j = o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"], "left")
+    lat = F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate"))
+    flagged = j.select(
+        "o_orderpriority",
+        F.when(F.col("first_ship").isNotNull() & (lat <= SLA_DAYS), 1).otherwise(0).alias("ok"),
+        F.when(F.col("first_ship").isNull(), 1).otherwise(0).alias("no_ship"),
+    )
+    agg = flagged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("ok").alias("n_within_sla"),
+        F.sum("no_ship").alias("n_unshipped"),
+    )
+    share = (
+        F.floor(
+            F.col("n_within_sla").cast("double") / F.col("n_orders").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return agg.select(
+        "o_orderpriority", "n_orders", "n_within_sla", "n_unshipped", share.alias("sla_share")
+    )
+
+
+ORDERS_SLA_SQL = f"""
+WITH fs AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY l_orderkey
+), flagged AS (
+  SELECT o.o_orderpriority,
+         CASE WHEN fs.first_ship IS NOT NULL
+                   AND (fs.first_ship::DATE - o.o_orderdate::DATE) <= {SLA_DAYS}
+              THEN 1 ELSE 0 END AS ok,
+         CASE WHEN fs.first_ship IS NULL THEN 1 ELSE 0 END AS no_ship
+  FROM orders o LEFT JOIN fs ON o.o_orderkey = fs.l_orderkey
+), agg AS (
+  SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(ok) AS BIGINT) AS n_within_sla,
+         CAST(sum(no_ship) AS BIGINT) AS n_unshipped
+  FROM flagged GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_orders, n_within_sla, n_unshipped,
+       CAST(floor(CAST(n_within_sla AS DOUBLE) / CAST(n_orders AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS sla_share
+FROM agg
+"""
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
     "corr_quantity_price": corr_quantity_price,
+    "orders_priority_sla": orders_priority_sla,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "basket_pair_affinity": basket_pair_affinity,
     "window_first_last_orders": window_first_last_orders,
@@ -920,6 +985,7 @@ ORACLES = {
     "basket_pair_affinity": BASKET_AFFINITY_SQL,
     "window_first_last_orders": WINDOW_FIRST_LAST_SQL,
     "corr_quantity_price": CORR_QTY_PRICE_SQL,
+    "orders_priority_sla": ORDERS_SLA_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
