@@ -953,11 +953,71 @@ FROM agg
 """
 
 
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier market concentration per nation — the Herfindahl index
+    ``HHI = Σ share_i²`` over each nation's supplier revenue shares (1 =
+    monopoly, →0 = fragmented; the sourcing-risk metric).
+
+    Computed as ``(Σ rᵢ²) / (Σ rᵢ)²`` from EXACT per-supplier revenue
+    sums: revenue terms accumulate as DECIMALs (order-independent),
+    each supplier total is squared exactly in DECIMAL, and only the
+    final division runs in doubles — identical op order cross-engine.
+
+    Plan: one (nation, supplier) revenue aggregate (map-side combined)
+    + a |nations|-row second-level aggregate; the supplier→nation
+    attach is a broadcast dim join."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    per_supp = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(rev).alias("r"))
+    )
+    agg = per_supp.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.col("r") * F.col("r")).alias("sum_r2"),
+        F.sum("r").alias("sum_r"),
+    )
+    hhi = (
+        F.floor(
+            F.col("sum_r2").cast("double")
+            / (F.col("sum_r").cast("double") * F.col("sum_r").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return agg.select("n_name", "n_suppliers", hhi.alias("hhi"))
+
+
+SUPPLIER_HHI_SQL = """
+WITH per_supp AS (
+  SELECT n.n_name, s.s_suppkey,
+         sum(l.l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))) AS r
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name, s.s_suppkey
+), agg AS (
+  SELECT n_name, count(*) AS n_suppliers, sum(r * r) AS sum_r2, sum(r) AS sum_r
+  FROM per_supp GROUP BY n_name
+)
+SELECT n_name, n_suppliers,
+       CAST(floor(CAST(sum_r2 AS DOUBLE) / (CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) / 1e6 AS hhi
+FROM agg
+"""
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
     "corr_quantity_price": corr_quantity_price,
     "orders_priority_sla": orders_priority_sla,
+    "supplier_concentration_hhi": supplier_concentration_hhi,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "basket_pair_affinity": basket_pair_affinity,
     "window_first_last_orders": window_first_last_orders,
@@ -986,6 +1046,7 @@ ORACLES = {
     "window_first_last_orders": WINDOW_FIRST_LAST_SQL,
     "corr_quantity_price": CORR_QTY_PRICE_SQL,
     "orders_priority_sla": ORDERS_SLA_SQL,
+    "supplier_concentration_hhi": SUPPLIER_HHI_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
