@@ -1012,12 +1012,68 @@ FROM agg
 """
 
 
+def revenue_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: exact-DECIMAL monthly revenue,
+    previous month via lag over the month index, and the growth ratio —
+    the basic time-series report every pipeline dashboard starts with.
+
+    The month index (year*12 + month-1, the cohort-retention idiom) is
+    total and gap-aware: lag(1) is the PREVIOUS ROW, so a missing
+    calendar month yields a ratio against the last month present
+    (documented; use a calendar spine join to force nulls instead).
+
+    Plan: one map-side-combined month aggregate (≤ |months| rows), then
+    a single-partition lag window over that tiny series."""
+    l = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice", "l_discount")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    monthly = (
+        l.groupBy(
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("mi")
+        )
+        .agg(F.sum(rev).alias("revenue"))
+    )
+    w = W.orderBy("mi")
+    month_str = F.date_format(
+        F.make_date(F.expr("mi DIV 12"), F.col("mi") % 12 + 1, F.lit(1)), "yyyy-MM"
+    )
+    prev = F.lag("revenue").over(w)
+    growth = F.when(
+        prev.isNotNull(),
+        F.floor(
+            F.col("revenue").cast("double") / prev.cast("double") * F.lit(1e6) + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return monthly.select(
+        month_str.alias("month"),
+        F.col("revenue").cast("double").alias("revenue"),
+        growth.alias("growth_ratio"),
+    )
+
+
+REVENUE_MONTHLY_SQL = """
+WITH monthly AS (
+  SELECT year(l_shipdate) * 12 + (month(l_shipdate) - 1) AS mi,
+         sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT strftime(make_date(mi // 12, mi % 12 + 1, 1), '%Y-%m') AS month,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CASE WHEN lag(revenue) OVER (ORDER BY mi) IS NOT NULL
+            THEN CAST(floor(CAST(revenue AS DOUBLE) / CAST(lag(revenue) OVER (ORDER BY mi) AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6
+       END AS growth_ratio
+FROM monthly
+"""
+
+
 QUERIES = {
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
     "corr_quantity_price": corr_quantity_price,
     "orders_priority_sla": orders_priority_sla,
     "supplier_concentration_hhi": supplier_concentration_hhi,
+    "revenue_monthly_growth": revenue_monthly_growth,
     "orders_rfm_segmentation": orders_rfm_segmentation,
     "basket_pair_affinity": basket_pair_affinity,
     "window_first_last_orders": window_first_last_orders,
@@ -1047,6 +1103,7 @@ ORACLES = {
     "corr_quantity_price": CORR_QTY_PRICE_SQL,
     "orders_priority_sla": ORDERS_SLA_SQL,
     "supplier_concentration_hhi": SUPPLIER_HHI_SQL,
+    "revenue_monthly_growth": REVENUE_MONTHLY_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
