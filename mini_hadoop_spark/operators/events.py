@@ -442,9 +442,60 @@ FROM pairs
 """
 
 
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: among users who PURCHASED, which event
+    type was their very first interaction — the marketing-attribution
+    primitive ("what channel starts converting journeys").
+
+    Deterministic: first event selected by row_number over the total
+    per-user order (ts, event_id); purchasers found with a semi join
+    (never multiplies rows); shares are exact divisions.
+
+    Plan: one user_id semi join + one user_id window + a
+    |types|-row aggregate."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    firsts = (
+        e.join(purchasers, "user_id", "left_semi")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    agg = firsts.groupBy(F.col("event_type").alias("first_touch")).agg(
+        F.count("*").alias("n_users")
+    )
+    total = F.sum("n_users").over(W.partitionBy())
+    share = (
+        F.floor(F.col("n_users").cast("double") / total.cast("double") * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6)
+    )
+    return agg.select("first_touch", "n_users", share.alias("share"))
+
+
+EVENTS_FIRST_TOUCH_SQL = """
+WITH purchasers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+), firsts AS (
+  SELECT e.user_id, e.event_type,
+         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+  FROM events e
+  WHERE EXISTS (SELECT 1 FROM purchasers p WHERE p.user_id = e.user_id)
+), agg AS (
+  SELECT event_type AS first_touch, count(*) AS n_users
+  FROM firsts WHERE rn = 1 GROUP BY event_type
+)
+SELECT first_touch, n_users,
+       CAST(floor(CAST(n_users AS DOUBLE) / CAST(sum(n_users) OVER () AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS share
+FROM agg
+"""
+
+
 QUERIES = {
     "events_gap_quantiles": events_gap_quantiles,
     "events_type_transitions": events_type_transitions,
+    "events_first_touch_attribution": events_first_touch_attribution,
     "events_hourly_window": events_hourly_window,
     "events_funnel": events_funnel,
     "events_dau_wau": events_dau_wau,
@@ -457,6 +508,7 @@ QUERIES = {
 ORACLES = {
     "events_gap_quantiles": EVENTS_GAP_QUANTILES_SQL,
     "events_type_transitions": EVENTS_TRANSITIONS_SQL,
+    "events_first_touch_attribution": EVENTS_FIRST_TOUCH_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_dau_wau": _dau_wau_sql(),
     "events_weekly_retention": EVENTS_RETENTION_SQL,

@@ -657,7 +657,7 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("f_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("m_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m_total"),
     )
     maxd = F.broadcast(o.agg(F.max("o_orderdate").alias("corpus_max")))
     per = per.crossJoin(maxd).withColumn(
@@ -850,8 +850,8 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one map-side-combined hash aggregate; |groups| output rows."""
     l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
-    xd = (F.floor(F.col("l_quantity") * 100 + F.lit(0.5)) / 100).cast("decimal(18,2)")
-    yd = (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) / 100).cast("decimal(18,2)")
+    xd = (F.floor(F.col("l_quantity") * 100 + F.lit(0.5)) / 100).cast("decimal(18,6)")
+    yd = (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) / 100).cast("decimal(18,6)")
     agg = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(xd).alias("sx"),
@@ -969,13 +969,13 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")))
     per_supp = (
         l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy("n_name", "s_suppkey")
-        .agg(F.sum(rev).alias("r"))
+        .agg(F.sum(rev).cast("decimal(18,2)").alias("r"))
     )
     agg = per_supp.groupBy("n_name").agg(
         F.count("*").alias("n_suppliers"),
@@ -997,13 +997,13 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUPPLIER_HHI_SQL = """
 WITH per_supp AS (
   SELECT n.n_name, s.s_suppkey,
-         sum(l.l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l.l_discount::DECIMAL(18,2))) AS r
+         sum(l.l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l.l_discount::DECIMAL(18,6)))::DECIMAL(18,2) AS r
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   GROUP BY n.n_name, s.s_suppkey
 ), agg AS (
-  SELECT n_name, count(*) AS n_suppliers, sum(r * r) AS sum_r2, sum(r) AS sum_r
+  SELECT n_name, count(*) AS n_suppliers, sum(r::DECIMAL(19,2) * r::DECIMAL(19,2)) AS sum_r2, sum(r) AS sum_r
   FROM per_supp GROUP BY n_name
 )
 SELECT n_name, n_suppliers,
@@ -1025,8 +1025,8 @@ def revenue_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one map-side-combined month aggregate (≤ |months| rows), then
     a single-partition lag window over that tiny series."""
     l = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice", "l_discount")
-    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")))
     monthly = (
         l.groupBy(
             (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("mi")
@@ -1055,7 +1055,7 @@ def revenue_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 REVENUE_MONTHLY_SQL = """
 WITH monthly AS (
   SELECT year(l_shipdate) * 12 + (month(l_shipdate) - 1) AS mi,
-         sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))) AS revenue
+         sum(l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6))) AS revenue
   FROM lineitem GROUP BY 1
 )
 SELECT strftime(make_date(mi // 12, mi % 12 + 1, 1), '%Y-%m') AS month,
@@ -1067,7 +1067,79 @@ FROM monthly
 """
 
 
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue attributed to each nation on
+    the CUSTOMER side (its customers' purchases) vs the SUPPLIER side
+    (its suppliers' sales), combined with a full-outer merge so a
+    nation active on only one side still appears — the two-independent-
+    aggregates-then-reconcile shape (ledger reconciliation, A/B totals).
+
+    All revenue sums are exact DECIMALs; the balance is one exact
+    DECIMAL subtraction.  Plan: two independent fact aggregates (each
+    one orderkey/suppkey join tree with broadcast dims) + a
+    |nations|-row full-outer join."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")))
+    cust_side = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("cust_revenue"))
+    )
+    supp_side = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("supp_revenue"))
+    )
+    j = cust_side.join(supp_side, "nation", "full")
+    zero = F.lit(0).cast("decimal(28,6)")
+    cr = F.coalesce(F.col("cust_revenue").cast("decimal(28,6)"), zero)
+    sr = F.coalesce(F.col("supp_revenue").cast("decimal(28,6)"), zero)
+    return j.select(
+        "nation",
+        cr.cast("double").alias("cust_revenue"),
+        sr.cast("double").alias("supp_revenue"),
+        (cr - sr).cast("double").alias("balance"),
+    )
+
+
+NATION_BALANCE_SQL = """
+WITH rev AS (
+  SELECT l_orderkey, l_suppkey,
+         l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)) AS r
+  FROM lineitem
+), cust_side AS (
+  SELECT n.n_name AS nation, sum(rev.r) AS cust_revenue
+  FROM rev JOIN orders o ON rev.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), supp_side AS (
+  SELECT n.n_name AS nation, sum(rev.r) AS supp_revenue
+  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT COALESCE(c.nation, s.nation) AS nation,
+       CAST(COALESCE(c.cust_revenue::DECIMAL(28,6), 0::DECIMAL(28,6)) AS DOUBLE) AS cust_revenue,
+       CAST(COALESCE(s.supp_revenue::DECIMAL(28,6), 0::DECIMAL(28,6)) AS DOUBLE) AS supp_revenue,
+       CAST(COALESCE(c.cust_revenue::DECIMAL(28,6), 0::DECIMAL(28,6))
+            - COALESCE(s.supp_revenue::DECIMAL(28,6), 0::DECIMAL(28,6)) AS DOUBLE) AS balance
+FROM cust_side c FULL OUTER JOIN supp_side s ON c.nation = s.nation
+"""
+
+
 QUERIES = {
+    "nation_trade_balance": nation_trade_balance,
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
     "corr_quantity_price": corr_quantity_price,
@@ -1104,6 +1176,7 @@ ORACLES = {
     "orders_priority_sla": ORDERS_SLA_SQL,
     "supplier_concentration_hhi": SUPPLIER_HHI_SQL,
     "revenue_monthly_growth": REVENUE_MONTHLY_SQL,
+    "nation_trade_balance": NATION_BALANCE_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
