@@ -1138,8 +1138,108 @@ FROM cust_side c FULL OUTER JOIN supp_side s ON c.nation = s.nation
 """
 
 
+def part_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price realization by product type: realized revenue over the
+    retail value of the quantity sold (``Σ rev / Σ qty·retail``) — the
+    merchandising "how deep are we discounting each category" report.
+
+    Both sums are exact DECIMALs (ratio-of-sums, not avg-of-ratios — no
+    per-row float division), with one final double division in
+    identical cross-engine op order.  Plan: lineitem ⋈ broadcast(part)
+    + one |types|-row aggregate."""
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_retailprice")
+    rev = (F.col("l_extendedprice").cast("decimal(18,6)")
+           * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")))
+    retail_val = (F.col("l_quantity").cast("decimal(18,6)")
+                  * F.col("p_retailprice").cast("decimal(18,6)"))
+    agg = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).alias("revenue"),
+            F.sum(retail_val).alias("retail_value"),
+        )
+    )
+    ratio = (
+        F.floor(
+            F.col("revenue").cast("double") / F.col("retail_value").cast("double") * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return agg.select("p_type", "n_lines", ratio.alias("realization"))
+
+
+PART_REALIZATION_SQL = """
+WITH j AS (
+  SELECT p.p_type,
+         l.l_extendedprice::DECIMAL(18,6) * (1::DECIMAL(18,6) - l.l_discount::DECIMAL(18,6)) AS rev,
+         l.l_quantity::DECIMAL(18,6) * p.p_retailprice::DECIMAL(18,6) AS retail_val
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), agg AS (
+  SELECT p_type, count(*) AS n_lines, sum(rev) AS revenue, sum(retail_val) AS retail_value
+  FROM j GROUP BY p_type
+)
+SELECT p_type, n_lines,
+       CAST(floor(CAST(revenue AS DOUBLE) / CAST(retail_value AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS realization
+FROM agg
+"""
+
+
+def customer_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment value rollup: customers, orders, exact-decimal
+    spend and spend-per-customer for each segment — the account-planning
+    summary.  One custkey join (customers broadcast at these SFs, AQE
+    decides) + a |segments|-row aggregate; counts and sums exact, one
+    final double division per row."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
+    )
+    per_cust = (
+        F.floor(
+            F.col("spend").cast("double") / F.col("n_customers").cast("double") * F.lit(100)
+            + F.lit(0.5)
+        )
+        / F.lit(100)
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_orders",
+        F.col("spend").cast("double").alias("spend"),
+        per_cust.alias("spend_per_customer"),
+    )
+
+
+CUSTOMER_SEGMENT_SQL = """
+WITH agg AS (
+  SELECT c.c_mktsegment,
+         count(DISTINCT c.c_custkey) AS n_customers,
+         count(*) AS n_orders,
+         sum(o.o_totalprice::DECIMAL(18,6)) AS spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+)
+SELECT c_mktsegment, n_customers, n_orders,
+       CAST(spend AS DOUBLE) AS spend,
+       CAST(floor(CAST(spend AS DOUBLE) / CAST(n_customers AS DOUBLE) * 100 + 0.5) AS BIGINT) / 100 AS spend_per_customer
+FROM agg
+"""
+
+
 QUERIES = {
     "nation_trade_balance": nation_trade_balance,
+    "part_price_realization": part_price_realization,
+    "customer_segment_value": customer_segment_value,
     "window_cume_dist": window_cume_dist,
     "window_topk_with_ties": window_topk_with_ties,
     "corr_quantity_price": corr_quantity_price,
@@ -1177,6 +1277,8 @@ ORACLES = {
     "supplier_concentration_hhi": SUPPLIER_HHI_SQL,
     "revenue_monthly_growth": REVENUE_MONTHLY_SQL,
     "nation_trade_balance": NATION_BALANCE_SQL,
+    "part_price_realization": PART_REALIZATION_SQL,
+    "customer_segment_value": CUSTOMER_SEGMENT_SQL,
     "orders_cohort_retention": ORDERS_COHORT_SQL,
     "set_except_all": SET_EXCEPT_ALL_SQL,
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
