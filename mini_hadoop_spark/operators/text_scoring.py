@@ -568,8 +568,72 @@ FROM agg
 """
 
 
+#: power-of-2 length-bucket edges for the corpus length profile
+LEN_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: documents per power-of-2 character-length
+    bucket, with share and cumulative share — the distribution every
+    packing/batching decision (`text_pack_sequences`' budget, max-len
+    truncation loss) is read off of.
+
+    A FIXED bucket ladder (explicit CASE, no transcendental log2) keeps
+    both engines bit-identical; counts/shares are exact.  Plan: one
+    zero-shuffle bucket projection + a ≤|buckets|-row aggregate + tiny
+    windows over that bounded report."""
+    d = _docs(spark, sf_dir)
+    n = F.length("text")
+    bucket = F.lit(f">={LEN_BUCKETS[-1]}")
+    for edge in reversed(LEN_BUCKETS):
+        bucket = F.when(n < edge, F.lit(f"<{edge}")).otherwise(bucket)
+    agg = d.select(bucket.alias("len_bucket"), n.alias("n_chars")).groupBy(
+        "len_bucket"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    total = F.sum("n_docs").over(W.partitionBy())
+    run = F.sum("n_docs").over(
+        W.orderBy("min_chars").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    share = (
+        F.floor(F.col("n_docs").cast("double") / total.cast("double") * F.lit(1e6) + F.lit(0.5))
+        / F.lit(1e6)
+    )
+    cum = (
+        F.floor(run.cast("double") / total.cast("double") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
+    return agg.select(
+        "len_bucket", "n_docs", "min_chars", "max_chars",
+        share.alias("share"), cum.alias("cum_share"),
+    )
+
+
+def _len_hist_sql() -> str:
+    ladder = " ".join(
+        f"WHEN length(text) < {e} THEN '<{e}'" for e in LEN_BUCKETS
+    )
+    return f"""
+WITH b AS (
+  SELECT CASE {ladder} ELSE '>={LEN_BUCKETS[-1]}' END AS len_bucket,
+         length(text) AS n_chars
+  FROM documents
+), agg AS (
+  SELECT len_bucket, count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+  FROM b GROUP BY len_bucket
+)
+SELECT len_bucket, n_docs, min_chars, max_chars,
+       CAST(floor(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS share,
+       CAST(floor(CAST(sum(n_docs) OVER (ORDER BY min_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) * 1e6 + 0.5) AS BIGINT) / 1e6 AS cum_share
+FROM agg
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
+    "text_length_histogram": text_length_histogram,
     "text_repetition_ratio": text_repetition_ratio,
     "text_char_bigram_novelty": text_char_bigram_novelty,
     "ngram_pmi_top": ngram_pmi_top,
@@ -579,6 +643,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_gopher_rules": QUALITY_GOPHER_SQL,
+    "text_length_histogram": _len_hist_sql(),
     "text_repetition_ratio": TEXT_REPETITION_SQL,
     "text_char_bigram_novelty": TEXT_NOVELTY_SQL,
     "ngram_pmi_top": NGRAM_PMI_SQL,
