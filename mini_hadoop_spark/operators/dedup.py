@@ -481,6 +481,149 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir, "minhash")
 
 
+# ---------------------------------------------------------------------------
+# Oracle-auditable MinHash twin (md5-derived hash family)
+#
+# The production MinHash path above hashes with xxhash64 — Spark-only, so
+# the driver can apply only a rows-only check.  This twin replaces the hash
+# family with one BOTH engines compute bit-identically:
+#   h0  = first 15 hex chars of md5(shingle) parsed base-16 (60-bit, >= 0)
+#   h_i = (A_i * (h0 % P) + B_i) % P            P = 2^31 - 1 (Mersenne)
+# A_i/B_i are fixed constants from a seeded PRNG, embedded in both the
+# Spark expressions and the DuckDB SQL.  Same signature → banding → bucket
+# equi-join → position-agreement estimate plan shape as the xxhash64 form
+# (never all-pairs), so the driver's hash-match on this twin is direct
+# evidence for the production plan's semantics.  md5 is ~3x the per-shingle
+# hash cost of xxhash64 — the xxhash64 form stays the 100 TB path.
+# ---------------------------------------------------------------------------
+
+MD5_MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+
+def _md5_minhash_coeffs(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED_2026)
+    return [
+        (rng.randrange(1, MD5_MINHASH_P), rng.randrange(0, MD5_MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+MD5_MINHASH_COEFFS = _md5_minhash_coeffs()
+
+
+def _minhash_lsh_md5_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-auditable MinHash+LSH: identical plan shape to
+    ``_minhash_lsh_plan`` (signature agg → 16x4 band explode → bucket
+    equi-join → agreement-fraction threshold), engine-portable hashes."""
+    p = MD5_MINHASH_P
+    sh = _doc_shingles(spark, sf_dir)
+    h0p = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % F.lit(p)
+    )
+    based = sh.select("doc_id", h0p.alias("h0p"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h0p") + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+        for i, (a, b) in enumerate(MD5_MINHASH_COEFFS)
+    ]
+    wide = based.groupBy("doc_id").agg(*aggs)
+    sigs = wide.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col("sig").getItem(b * ROWS_PER_BAND + r).cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode(band_keys).alias("band_id", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    est = F.size(
+        F.expr("filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v)")
+    ) / F.lit(float(NUM_HASHES))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            round_half_up(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the oracle-auditable md5 MinHash+LSH pair set."""
+    return _minhash_lsh_md5_plan(spark, sf_dir)
+
+
+def _md5_minhash_sql() -> str:
+    p = MD5_MINHASH_P
+    sig_cols = ",\n         ".join(
+        f"min(({a} * h0p + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(MD5_MINHASH_COEFFS)
+    )
+    band_arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_id, "
+        f"concat_ws('-', h{b * ROWS_PER_BAND}, h{b * ROWS_PER_BAND + 1}, "
+        f"h{b * ROWS_PER_BAND + 2}, h{b * ROWS_PER_BAND + 3}) AS band_key "
+        "FROM sig"
+        for b in range(BANDS)
+    )
+    eq_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t)-2, 0))) AS i) g
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h0p FROM sh
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM h GROUP BY doc_id
+), bands AS (
+{band_arms}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), est AS (
+  SELECT doc_a, doc_b, ({eq_terms}) / {float(NUM_HASHES)} AS e
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, {sql_round_half_up('e', 6)} AS est_jaccard
+FROM est WHERE e >= {JACCARD_THRESHOLD}
+"""
+
+
+DEDUP_MINHASH_LSH_MD5_SQL = _md5_minhash_sql()
+
+
 def _simhash_column(num_bits: int = SIMHASH_BITS) -> list[Column]:
     """Per-bit weight aggregates for SimHash over (token, cnt, h) rows —
     ``h`` is the precomputed token hash, so the string is hashed once per
@@ -1141,6 +1284,7 @@ QUERIES = {
     "contamination_ngram": contamination_ngram,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
@@ -1156,6 +1300,7 @@ ORACLES = {
     "dedup_funnel_report": DEDUP_FUNNEL_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
+    "dedup_minhash_lsh_md5": DEDUP_MINHASH_LSH_MD5_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,

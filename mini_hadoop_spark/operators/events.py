@@ -208,7 +208,7 @@ WITH weekly AS (
 )
 SELECT strftime(w.week, '%Y-%m-%d') AS week,
        count(*) AS n_active,
-       coalesce(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 END), 0) AS n_retained
+       coalesce(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 END), 0)::BIGINT AS n_retained
 FROM weekly w
 LEFT JOIN weekly p ON p.user_id = w.user_id AND p.week + INTERVAL 7 DAY = w.week
 GROUP BY w.week

@@ -170,7 +170,7 @@ WITH per AS (
   FROM documents d JOIN rates r ON d.source = r.source
 )
 SELECT source, count(*) AS n_docs,
-       sum(CASE WHEN hv < rate * 4294967296.0 THEN 1 ELSE 0 END) AS n_sampled,
+       sum(CASE WHEN hv < rate * 4294967296.0 THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
        {sql_round_half_up('rate', 6)} AS target_rate
 FROM h GROUP BY source, rate
 """

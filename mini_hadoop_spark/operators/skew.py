@@ -152,7 +152,7 @@ WITH mid AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l.l_returnflag, count(*) AS n_total,
-       sum(CASE WHEN l.l_extendedprice > m.mid THEN 1 ELSE 0 END) AS n_above_mid
+       sum(CASE WHEN l.l_extendedprice > m.mid THEN 1 ELSE 0 END)::BIGINT AS n_above_mid
 FROM lineitem l JOIN mid m ON l.l_returnflag = m.l_returnflag
 GROUP BY l.l_returnflag
 """

@@ -603,7 +603,7 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_PROFILE_SQL = f"""
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END) AS n_empty_text,
+       sum(CASE WHEN text IS NULL OR len(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty_text,
        count(DISTINCT lang) AS n_langs,
        count(DISTINCT source) AS n_sources,
        count(DISTINCT text) AS n_distinct_texts,
@@ -651,7 +651,7 @@ def mix_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_DOMAIN_SQL = f"""
 WITH per AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS n_tokens
+         sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (
   SELECT sum(n_tokens) AS tot_tokens, count(*) AS n_sources FROM per

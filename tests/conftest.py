@@ -59,6 +59,32 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def _assert_dtype_symmetry(
+    name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> None:
+    """Fail when one side is integer-dtyped and the other float-dtyped for
+    the same column.  The driver's canon distinguishes "3" from "3.0", but
+    _canon's %.9g hides that difference — DuckDB returns HUGEINT for
+    sum(<int>), which pandas renders as float64, so an oracle missing a
+    ::BIGINT cast passes locally yet hash-fails at the driver (the r3/r5
+    failure class; see VERDICT r5 'What's wrong' #1-2)."""
+    for col in spark_pdf.columns:
+        s_int = pd.api.types.is_integer_dtype(spark_pdf[col])
+        o_int = pd.api.types.is_integer_dtype(oracle_pdf[col])
+        s_flt = pd.api.types.is_float_dtype(spark_pdf[col])
+        o_flt = pd.api.types.is_float_dtype(oracle_pdf[col])
+        # A column that is all-NULL on one side may degrade to object/float;
+        # only flag the unambiguous int-vs-float asymmetry.
+        if (s_int and o_flt) or (s_flt and o_int):
+            raise AssertionError(
+                f"{name}: dtype asymmetry on column {col!r}: "
+                f"spark={spark_pdf[col].dtype} oracle={oracle_pdf[col].dtype} "
+                "— the driver canon will hash-fail this ('3' vs '3.0'). "
+                "Likely a missing ::BIGINT cast on an integer sum() in the "
+                "DuckDB oracle (see operators/relational.py module convention)."
+            )
+
+
 def assert_matches_oracle(spark, name: str, sf_dir: str = SF_DIR) -> None:
     """Run queries()[name] on Spark and oracle_sql()[name] on DuckDB over
     the same sf_dir; compare row counts, column names and canonical values
@@ -80,6 +106,7 @@ def assert_matches_oracle(spark, name: str, sf_dir: str = SF_DIR) -> None:
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
     )
+    _assert_dtype_symmetry(name, spark_pdf, oracle_pdf)
     s_rows, o_rows = _canon(spark_pdf), _canon(oracle_pdf)
     if s_rows != o_rows:
         diff_s = [r for r in s_rows if r not in set(o_rows)][:5]

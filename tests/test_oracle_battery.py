@@ -71,3 +71,19 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["word", "cnt"]
+
+
+def test_dtype_symmetry_guard_trips():
+    """The conftest dtype guard must fail a deliberately un-cast fixture:
+    DuckDB sum(<int>) -> HUGEINT -> pandas float64 vs Spark int64 is the
+    driver hash-fail class (%.9g canon hides it; the driver's does not)."""
+    import pandas as pd
+
+    from tests.conftest import _assert_dtype_symmetry
+
+    s = pd.DataFrame({"k": ["a"], "n": pd.array([3], dtype="int64")})
+    o = pd.DataFrame({"k": ["a"], "n": pd.array([3.0], dtype="float64")})
+    with pytest.raises(AssertionError, match="dtype asymmetry"):
+        _assert_dtype_symmetry("fixture", s, o)
+    # symmetric dtypes pass
+    _assert_dtype_symmetry("fixture", s, s.copy())
