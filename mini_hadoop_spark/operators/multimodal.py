@@ -95,17 +95,51 @@ FROM documents
 """
 
 
+def _real_image_features(payload: bytes, dim: int) -> list[float]:
+    """Real image decode via PIL (optional dependency): decode, convert
+    to RGB, resize to 16x16 (antialias), then an 8-bin luminance
+    histogram normalized by pixel count — the same output shape and
+    normalization convention as the fake decoder, so downstream schema,
+    partitioning and batch handling are identical.  Raises ImportError
+    when PIL is absent (caller turns that into the loud
+    NotImplementedError)."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — optional, probed per call site
+
+    img = Image.open(io.BytesIO(payload)).convert("RGB").resize((16, 16))
+    hist = [0] * dim
+    n = 0
+    for r, g, b in img.getdata():
+        # integer luma (ITU-R 601 coefficients scaled by 1000)
+        luma = (299 * r + 587 * g + 114 * b) // 1000
+        hist[min(luma * dim // 256, dim - 1)] += 1
+        n += 1
+    return [h / max(n, 1) for h in hist]
+
+
 def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one payload into a FEATURE_DIM feature vector.
 
-    Real decoders (PIL/librosa/ffmpeg) are not in this container; the
-    deterministic fake — an 8-bin byte histogram, normalized — keeps the
-    full pipeline executable and test-checkable.  Call sites that want
-    real features must pass fake=False and will fail loudly.
+    ``fake=True`` → the deterministic stub (8-bin byte histogram,
+    normalized) that keeps the full pipeline executable and
+    test-checkable in this container.  ``fake=False`` → a REAL decoder:
+    images go through PIL when it is importable
+    (:func:`_real_image_features`); audio/video decoders
+    (librosa/ffmpeg) and a missing PIL fail loudly — never silently
+    degrade to the stub.
     """
     if not fake:
+        if modality == "image":
+            try:
+                return _real_image_features(payload, FEATURE_DIM)
+            except ImportError:
+                raise NotImplementedError(
+                    "real image decoding requires PIL, which is not importable "
+                    "in this environment; pass fake=True for the deterministic stub"
+                ) from None
         raise NotImplementedError(
-            f"real {modality} decoding requires image/audio libraries not present "
+            f"real {modality} decoding requires audio/video libraries not present "
             "in this environment; pass fake=True for the deterministic stub"
         )
     hist = [0] * FEATURE_DIM

@@ -56,7 +56,7 @@ row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
 from mini_hadoop_spark.sources.catalog import load_table
@@ -652,7 +652,8 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     global ntile windows — single-task sorts over |customers| rows (the
     same global-ranking caveat as the gap quantiles: at 100 TB you cut
     on sampled quantile thresholds instead; this exact form is the
-    auditable twin)."""
+    auditable twin of :func:`orders_rfm_segmentation_approx`, the
+    sketch-cut scale path)."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -702,6 +703,91 @@ SELECT o_custkey, r_days, f_orders, CAST(m_total AS DOUBLE) AS m_total,
        ntile(4) OVER (ORDER BY m_total DESC, o_custkey) AS segment
 FROM scored
 """
+
+
+#: approx_percentile sketch accuracy for the scale-safe RFM variant
+#: (relative rank error <= 1/accuracy)
+RFM_SKETCH_ACCURACY = 10_000
+
+
+def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of :func:`orders_rfm_segmentation` — the 100 TB
+    form the exact query's docstring promises.
+
+    Same per-customer metrics, but the quartile CUTS come from one
+    ``approx_percentile`` aggregate (Greenwald-Khanna sketch: one pass,
+    map-side mergeable, no sort) broadcast as 9 doubles; each customer is
+    then labeled by a pure projection.  No global window anywhere — the
+    exact form's three single-task whole-corpus ntile sorts (its
+    documented 100x weakness) are replaced by one aggregate + a
+    broadcast, both linear and fully parallel.
+
+    Differences vs the exact twin, by construction: bucket assignment can
+    differ near cuts by the sketch's rank error (<= 1/{accuracy}) and tie
+    groups are NOT split across buckets (ntile splits ties by the custkey
+    tiebreak to force equal bucket sizes).  tests/test_relational_ext.py
+    asserts every customer lands within +-1 quartile of the exact form on
+    all three metrics.  Sketch implementations differ across engines, so
+    there is no DuckDB oracle (driver: rows-only check)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("f_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m_total"),
+    )
+    maxd = F.broadcast(o.agg(F.max("o_orderdate").alias("corpus_max")))
+    per = (
+        per.crossJoin(maxd)
+        .withColumn("r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_order")))
+        .withColumn("m_dbl", F.col("m_total").cast("double"))
+    )
+    acc = RFM_SKETCH_ACCURACY
+    cuts = F.broadcast(
+        per.agg(
+            F.expr(
+                f"approx_percentile(r_days, array(0.25, 0.5, 0.75), {acc})"
+            ).alias("rc"),
+            F.expr(
+                f"approx_percentile(f_orders, array(0.75, 0.5, 0.25), {acc})"
+            ).alias("fc"),
+            F.expr(
+                f"approx_percentile(m_dbl, array(0.75, 0.5, 0.25), {acc})"
+            ).alias("mc"),
+        )
+    )
+    # ascending metric (recency: fewer days = better = bucket 1):
+    #   q = 1 + [x > p25] + [x > p50] + [x > p75]
+    # descending metrics (frequency/monetary: more = bucket 1):
+    #   q = 1 + [x < p75] + [x < p50] + [x < p25]
+    def asc_bucket(x: Column, c: str) -> Column:
+        return (
+            F.lit(1)
+            + (x > F.col(c).getItem(0)).cast("int")
+            + (x > F.col(c).getItem(1)).cast("int")
+            + (x > F.col(c).getItem(2)).cast("int")
+        )
+
+    def desc_bucket(x: Column, c: str) -> Column:
+        return (
+            F.lit(1)
+            + (x < F.col(c).getItem(0)).cast("int")
+            + (x < F.col(c).getItem(1)).cast("int")
+            + (x < F.col(c).getItem(2)).cast("int")
+        )
+
+    return (
+        per.crossJoin(cuts)
+        .select(
+            "o_custkey",
+            "r_days",
+            "f_orders",
+            F.col("m_dbl").alias("m_total"),
+            asc_bucket(F.col("r_days"), "rc").alias("r_q"),
+            desc_bucket(F.col("f_orders"), "fc").alias("f_q"),
+            desc_bucket(F.col("m_dbl"), "mc").alias("m_q"),
+        )
+        .withColumn("segment", F.concat_ws("-", F.col("r_q"), F.col("f_q"), F.col("m_q")))
+    )
 
 
 #: minimum co-purchase support for the basket-affinity report
@@ -1247,6 +1333,7 @@ QUERIES = {
     "supplier_concentration_hhi": supplier_concentration_hhi,
     "revenue_monthly_growth": revenue_monthly_growth,
     "orders_rfm_segmentation": orders_rfm_segmentation,
+    "orders_rfm_segmentation_approx": orders_rfm_segmentation_approx,
     "basket_pair_affinity": basket_pair_affinity,
     "window_first_last_orders": window_first_last_orders,
     "orders_cohort_retention": orders_cohort_retention,

@@ -52,21 +52,28 @@ def pagerank(
         # would stay None (AttributeError below) after edges/out_deg had
         # already been pinned in the block manager
         raise ValueError(f"pagerank requires iterations >= 1, got {iterations}")
-    # cache pre-partitioned on the per-iteration join key: the edge
-    # shuffle happens ONCE here — the cached hashpartitioning satisfies
-    # every iteration's join distribution (and the out_deg groupBy), so
-    # each iteration shuffles only the |sources|-row rate side, not the
-    # |edges|-row fact side (the same one-time-shuffle trick the CC loop
-    # uses; at 100 TB this is the difference between shuffling the edge
-    # corpus once vs once per iteration)
-    edges = (
-        edges.select("src", "dst")
-        .repartition(F.col("src"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # Input-caching COST MODEL (measured at sf0.1, generalizes): the edge
+    # fact appears iterations+1 times in the final plan (out_deg derivation
+    # + one join per iteration).
+    #   * Long runs (>= 3 iterations): cache pre-partitioned on the join
+    #     key — ONE shuffle + ONE materialization, and every iteration's
+    #     join reuses the cached hashpartitioning, shuffling only the
+    #     |sources|-row rate side.  At 100 TB this is the difference
+    #     between shuffling the edge corpus once vs once per iteration.
+    #   * Short runs (<= 2 iterations, the reference's published config):
+    #     straight-line recompute.  A 2-column columnar re-scan is cheaper
+    #     than repartition+persist+unpersist for so few references
+    #     (measured: cold 4.4 s vs 8.0 s, steady 1.9 s vs 3.1 s at sf0.1)
+    #     — the one-time shuffle only amortizes from ~3 iterations up.
+    # Values are identical either way (same FP ops; partial-sum order is
+    # absorbed by the 8-decimal output rounding, oracle-proven).
+    persist_inputs = iterations >= 3
+    edges = edges.select("src", "dst")
+    if persist_inputs:
+        edges = edges.repartition(F.col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    if persist_inputs:
+        out_deg = out_deg.persist(StorageLevel.MEMORY_AND_DISK)
     sources = out_deg.select("src")
 
     if total_pages is None:
@@ -125,7 +132,11 @@ def pagerank(
                     rate = rate.checkpoint(eager=True)
                 else:
                     rate = rate.localCheckpoint(eager=True)
-            else:
+            elif persist_inputs:
+                # rate appears once in the next iteration's plan, so a
+                # straight-line (short) run gains nothing from caching it;
+                # long runs persist so a checkpoint replays at most
+                # checkpoint_every-1 cached steps, not raw lineage
                 rate = rate.persist(StorageLevel.MEMORY_AND_DISK)
                 cached_rates.append(rate)
 
@@ -140,8 +151,9 @@ def pagerank(
         result = result.localCheckpoint(eager=True)
     for r in cached_rates:
         r.unpersist()
-    out_deg.unpersist()
-    edges.unpersist()
+    if persist_inputs:
+        out_deg.unpersist()
+        edges.unpersist()
     return result
 
 

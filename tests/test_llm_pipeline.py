@@ -359,11 +359,40 @@ def test_ann_ivf_recall_and_score_exactness(spark):
 # multimodal
 # ---------------------------------------------------------------------------
 
-def test_decode_payload_stub_raises_without_fake():
-    from mini_hadoop_spark.operators.multimodal import decode_payload
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
 
-    with pytest.raises(NotImplementedError):
-        decode_payload(b"\x89PNG", "image")
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_payload_real_path():
+    """fake=False: audio/video always fail loudly (no decoders in
+    container); image uses PIL when importable, fails loudly otherwise —
+    parametrized by environment, never silently stubbed."""
+    from mini_hadoop_spark.operators.multimodal import FEATURE_DIM, decode_payload
+
+    for modality in ("audio", "video"):
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x00\x01", modality)
+
+    if not _pil_available():
+        with pytest.raises(NotImplementedError):
+            decode_payload(b"\x89PNG", "image")
+        return
+    # real decode on a genuine in-memory PNG
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4), (255, 255, 255)).save(buf, format="PNG")
+    feats = decode_payload(buf.getvalue(), "image")
+    assert len(feats) == FEATURE_DIM
+    assert feats[-1] == pytest.approx(1.0)  # all-white -> top luma bin
+    assert sum(feats) == pytest.approx(1.0)
 
 
 def test_decode_payload_fake_histogram():

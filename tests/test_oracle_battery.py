@@ -87,3 +87,27 @@ def test_dtype_symmetry_guard_trips():
         _assert_dtype_symmetry("fixture", s, o)
     # symmetric dtypes pass
     _assert_dtype_symmetry("fixture", s, s.copy())
+
+
+def test_rfm_approx_within_one_quartile_of_exact(spark):
+    """The sketch-cut RFM variant must land every customer within +-1
+    quartile of the exact ntile form on all three metrics (cuts differ
+    only by sketch rank error and by tie groups, which ntile splits via
+    the custkey tiebreak but threshold-bucketing keeps together)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    exact = qs["orders_rfm_segmentation"](spark, SF_DIR).toPandas().set_index("o_custkey")
+    approx = (
+        qs["orders_rfm_segmentation_approx"](spark, SF_DIR).toPandas().set_index("o_custkey")
+    )
+    assert set(exact.index) == set(approx.index)
+    joined = exact.join(approx, lsuffix="_e", rsuffix="_a")
+    for m in ("r_q", "f_q", "m_q"):
+        diff = (joined[f"{m}_e"] - joined[f"{m}_a"]).abs()
+        assert diff.max() <= 1, (
+            f"{m}: {int((diff > 1).sum())} customers moved >1 quartile"
+        )
+    # and both are genuine quartile labelings: all buckets 1..4 present
+    for m in ("r_q", "f_q", "m_q"):
+        assert set(approx[m].unique()) <= {1, 2, 3, 4}
