@@ -102,14 +102,30 @@ def _probe_encodings(spark: SparkSession, path: str) -> dict[str, str]:
         # TIMESTAMP(NANOS) — but Spark reads INT96 natively as
         # TimestampType, where the nanosAsLong+DIV normalization would
         # fail analysis.  Classify INT96 columns as plain "ts".
+        # A FAILED physical-type probe must be visible, not a silent
+        # degrade: without physical types an INT96 column would be
+        # classified "nanos" and the nanosAsLong normalization then fails
+        # at ANALYSIS time — the exact class this probe exists to prevent.
+        # pq.read_schema just succeeded on the same file, so only a truly
+        # anomalous footer can fail here; surface it to stderr and let the
+        # arrow-level classification proceed (INT96 is absent from every
+        # known writer of this data; the message makes the residual risk
+        # auditable instead of hidden).
         physical: dict[str, str] = {}
         try:
             pq_schema = pq.ParquetFile(first).schema
             for i in range(len(pq_schema)):
                 col = pq_schema.column(i)
                 physical[col.name] = col.physical_type
-        except Exception:
-            pass
+        except (OSError, pa.ArrowInvalid, pa.ArrowIOError) as exc:
+            import sys
+
+            print(
+                f"catalog: physical-type probe failed for {first!r} ({exc}); "
+                "INT96 detection unavailable — timestamp[ns] columns will be "
+                "classified as INT64 TIMESTAMP(NANOS)",
+                file=sys.stderr,
+            )
         for field in schema:
             if pa.types.is_timestamp(field.type):
                 if physical.get(field.name) == "INT96":

@@ -41,6 +41,16 @@ from mini_hadoop_spark.streaming.documents import DOCS_STREAM_SCHEMA
 INDEX_SCHEMA = "content_hash string, keep_doc_id bigint, n_batch_copies bigint"
 
 
+def _index_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — resolves
+    whatever scheme the path carries (file://, hdfs://, s3a://, ...), so
+    the index can live on an object store, not just the local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """The current fingerprint index, or an empty frame if no batch has
     ever committed (first run).
@@ -48,11 +58,7 @@ def read_index(spark: SparkSession, index_dir: str) -> DataFrame:
     ONLY the missing-path case maps to "empty" — a corrupt or
     unreadable index must raise, because treating it as empty would
     silently re-admit every duplicate the index existed to suppress."""
-    import os
-
-    # local-path existence probe (matches this harness's filesystem);
-    # on an object store, probe via the Hadoop FileSystem API instead
-    if not os.path.exists(index_dir):
+    if not _index_exists(spark, index_dir):
         return spark.createDataFrame([], INDEX_SCHEMA)
     return spark.read.schema(INDEX_SCHEMA).parquet(index_dir)
 
@@ -88,7 +94,16 @@ def run_incremental_dedup_index(
     stream = reader.parquet(docs_dir)
 
     def _append_new(batch: DataFrame, _batch_id: int) -> None:
-        dedup_index_batch(batch, index_dir).write.mode("append").parquet(index_dir)
+        # materialize the new rows BEFORE the append so the write job
+        # never has an in-flight scan of the directory it is appending
+        # to: correct even unmaterialized today (batches are sequential,
+        # parquet append never deletes listed files) but fragile if the
+        # sink mode changes or the index moves to an object store whose
+        # listing is not atomic — the new-rows side is small (distinct
+        # new digests of one micro-batch), so the localCheckpoint is
+        # cheap insurance
+        new_rows = dedup_index_batch(batch, index_dir).localCheckpoint(eager=True)
+        new_rows.write.mode("append").parquet(index_dir)
 
     q = (
         stream.writeStream.foreachBatch(_append_new)

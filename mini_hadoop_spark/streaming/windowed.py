@@ -129,14 +129,21 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_hadoop_spark.sources.catalog import table_path
 
     src = table_path(sf_dir, "events")
+    # staging dir removed as soon as the drain completes: the memory-sink
+    # table holds the materialized result, so the staged file (a full
+    # events copy when os.link fell back to shutil.copy) is dead weight
+    # after run_stream_to_memory returns
     stage = tempfile.mkdtemp(prefix="stream_hourly_")
-    dst = os.path.join(stage, "part-000.parquet")
-    try:
-        os.link(src, dst)
-    except OSError:
-        shutil.copy(src, dst)
     table = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(windowed_event_counts(read_events_stream(spark, stage)), table)
+    try:
+        dst = os.path.join(stage, "part-000.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        run_stream_to_memory(windowed_event_counts(read_events_stream(spark, stage)), table)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(table).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
@@ -162,16 +169,20 @@ def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_hadoop_spark.streaming.stateful import streaming_sessionization
 
     src = table_path(sf_dir, "events")
+    # staging dir removed after the drain — see streaming_hourly_drain
     stage = tempfile.mkdtemp(prefix="stream_session_")
-    dst = os.path.join(stage, "part-000.parquet")
-    try:
-        os.link(src, dst)
-    except OSError:
-        shutil.copy(src, dst)
     table = f"stream_session_{uuid.uuid4().hex[:8]}"
-    run_stream_to_memory(
-        streaming_sessionization(read_events_stream(spark, stage)), table
-    )
+    try:
+        dst = os.path.join(stage, "part-000.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        run_stream_to_memory(
+            streaming_sessionization(read_events_stream(spark, stage)), table
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(table).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
