@@ -1,9 +1,11 @@
 """TPC-H-shaped relational widening — the classic decision-support query
 shapes adapted to the driver's schema (no partsupp / shipmode / commitdate
-/ phone columns, so Q2/Q4/Q11/Q12/Q15/Q16/Q17/Q20/Q21/Q22 appear here as
-nearest-shape adaptations or are covered elsewhere: Q4's EXISTS shape is
-``subquery_exists_priority``, Q17's correlated avg is
-``correlated_scalar_subquery``).
+/ phone columns).  As of r6 ALL 22 TPC-H query SHAPES are covered:
+Q1/Q3/Q5-Q10/Q13/Q14/Q18/Q19/Q22 near-literally, Q2/Q11/Q12/Q15/Q16/Q20/Q21
+as documented nearest-shape adaptations in this module (each docstring
+states the substitution), Q4's EXISTS shape as
+``subquery_exists_priority`` and Q17's correlated avg as
+``correlated_scalar_subquery`` (operators/relational_ext.py).
 
 The reference (dis-functional-bros/mini-hadoop) has no relational layer at
 all — its only dataflow is flatMap + group-reduce (SURVEY.md §2.3), so this
@@ -21,7 +23,7 @@ the self-aggregating Q18 (agg → join back), whose first agg output is
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.sources.catalog import load_table
 
@@ -504,7 +506,440 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 shape: min-cost supplier per part within a region — correlated min
+# over a 4-dim join.  Adaptation: no partsupp table, so the "offer" is the
+# minimum l_extendedprice a supplier ever shipped that part at.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for ECONOMY parts of size <= 10, the EUROPE
+    supplier(s) offering the minimal price.  Plan: broadcast the dim
+    chain region→nation→supplier and the filtered part list onto the
+    lineitem scan, aggregate min offer per (part, supplier), derive the
+    per-part minimum with a second (tiny, |parts|-row) aggregate and
+    join back on equality — the correlated-subquery shape without a
+    window, so no per-part sort and every shuffle is keyed.  Ties (two
+    suppliers at the same min) are all emitted, deterministically."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+
+    eu_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+        n.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    eu_sup = s.join(
+        F.broadcast(eu_nations), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    parts = p.filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10)).select(
+        "p_partkey", "p_name"
+    )
+    offers = (
+        l.join(F.broadcast(eu_sup.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(parts), l.l_partkey == F.col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("offer"))
+    )
+    best = offers.groupBy("p_partkey").agg(F.min("offer").alias("best_offer"))
+    return (
+        offers.join(best, "p_partkey")
+        .filter(F.col("offer") == F.col("best_offer"))
+        .join(F.broadcast(eu_sup), offers.l_suppkey == eu_sup.s_suppkey)
+        .join(F.broadcast(parts), "p_partkey")
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.col("offer").cast("double").alias("min_price"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), parts AS (
+  SELECT p_partkey, p_name FROM part WHERE p_type = 'ECONOMY' AND p_size <= 10
+), offers AS (
+  SELECT p_partkey, l_suppkey, min(l_extendedprice::DECIMAL(18,6)) AS offer
+  FROM lineitem JOIN eu_sup ON l_suppkey = s_suppkey
+  JOIN parts ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), best AS (
+  SELECT p_partkey, min(offer) AS best_offer FROM offers GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name AS nation, o.p_partkey, p_name,
+       CAST(offer AS DOUBLE) AS min_price
+FROM offers o
+JOIN best b ON o.p_partkey = b.p_partkey AND o.offer = b.best_offer
+JOIN eu_sup ON o.l_suppkey = s_suppkey
+JOIN parts ON o.p_partkey = parts.p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: important stock — keyed value aggregate filtered against a
+# global-total scalar.  Adaptation: "stock value" is shipped
+# extendedprice x quantity for suppliers of one nation (no partsupp).
+# ---------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part shipped value for NATION_1's suppliers,
+    keeping parts above 0.1% of the nation's total.  Exact DECIMAL
+    value sums; the HAVING threshold compares CAST-to-double on both
+    sides with the identical op sequence (cast, multiply by the same
+    literal, compare), so row selection is bit-deterministic.  Plan:
+    one keyed aggregate + a 1-row broadcast scalar — the global total
+    reuses the per-part aggregate (ReusedExchange), no second scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nat_sup = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_1")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        l.join(F.broadcast(nat_sup), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).alias("value_d"))
+    )
+    total = vals.agg(F.sum("value_d").alias("total_d"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value_d").cast("double") > F.lit(0.001) * F.col("total_d").cast("double"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_d"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+Q11_SQL = """
+WITH nat_sup AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+), vals AS (
+  -- operand widths chosen so the product type is DECIMAL(38,12): DuckDB
+  -- sizes a product as (w1+w2, s1+s2) and overflows rather than widen
+  SELECT l_partkey,
+         sum(l_extendedprice::DECIMAL(24,6) * l_quantity::DECIMAL(14,6)) AS value_d
+  FROM lineitem JOIN nat_sup ON l_suppkey = s_suppkey
+  GROUP BY 1
+), tot AS (
+  SELECT sum(value_d) AS total_d FROM vals
+)
+SELECT l_partkey, CAST(round(value_d, 2) AS DOUBLE) AS part_value
+FROM vals, tot
+WHERE CAST(value_d AS DOUBLE) > 0.001 * CAST(total_d AS DOUBLE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: shipping-delay priority audit.  Adaptation: no
+# l_shipmode/l_commitdate — "mode" is l_linestatus and "late" is a
+# ship-after-order lag over 60 days.
+# ---------------------------------------------------------------------------
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: among lineitems shipped > 60 days after their
+    order date in 1996, per linestatus count critical-priority
+    (1-URGENT/2-HIGH) vs other orders.  Plan: one orderkey join (the
+    only fact shuffle) + conditional-sum aggregate over a 2-value key;
+    the date-range filter pushes to the lineitem scan."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 60)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_shipdate::DATE - o_orderdate::DATE > 60
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: top supplier by quarterly revenue — revenue view + max
+# scalar + equality join back (ties all emitted).
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier 1996Q1 revenue, returning the
+    supplier(s) achieving the maximum.  Exact DECIMAL revenue rounded
+    to 2 before the max/equality, so the tie set is bit-deterministic
+    across engines.  Plan: one keyed aggregate, a 1-row broadcast max
+    (ReusedExchange of the same aggregate), broadcast supplier names."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), rev.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(round(sum({REV_SQL}), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: supplier counts by part attribute, excluding flagged
+# suppliers.  Adaptation: the (partkey, suppkey) relation comes from
+# lineitem (no partsupp); "complaint" suppliers = negative acctbal.
+# ---------------------------------------------------------------------------
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for non-Brand#1, non-PROMO parts in six sizes, excluding suppliers
+    with negative balances via a broadcast ANTI join.  Plan: the
+    distinct-pair projection shuffles (partkey, suppkey) once; the
+    count-distinct agg keys on the 3 attributes; every dim side is
+    broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    parts = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 11, 20, 35, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), l.l_partkey == parts.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 11, 20, 35, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: suppliers with excess shipped volume — nested IN with a
+# self-referential scalar threshold.
+# ---------------------------------------------------------------------------
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1996 shipped quantity of
+    'small *' parts exceeds half the average such quantity — a nested
+    aggregate feeding an IN-list, threshold self-referential so the
+    semantics are scale-free.  Quantities are integral by data contract
+    (1..50), summed as BIGINT — the threshold comparison
+    ``2 * n * qty > total`` is pure integer arithmetic, bit-identical
+    on both engines.  Plan: one keyed BIGINT aggregate over the
+    part-filtered scan + a 1-row broadcast (total, n) scalar; supplier
+    and nation names broadcast onto the survivors."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    small = p.filter(F.col("p_name").startswith("small ")).select("p_partkey")
+    qty = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(small), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    scalar = qty.agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("n_sup")
+    )
+    keep = (
+        qty.crossJoin(F.broadcast(scalar))
+        .filter(F.lit(2) * F.col("n_sup") * F.col("qty") > F.col("total_qty"))
+        .select("l_suppkey", "qty")
+    )
+    nm = n.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation"))
+    return (
+        keep.join(F.broadcast(s), keep.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nm), F.col("s_nationkey") == F.col("nk"))
+        .select("s_suppkey", "s_name", "nation", "qty")
+    )
+
+
+Q20_SQL = """
+WITH qty AS (
+  SELECT l_suppkey, sum(l_quantity::BIGINT)::BIGINT AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+), scalar AS (
+  SELECT sum(qty)::BIGINT AS total_qty, count(*) AS n_sup FROM qty
+)
+SELECT s_suppkey, s_name, n_name AS nation, qty.qty AS qty
+FROM qty, scalar
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE 2 * n_sup * qty.qty > total_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: suppliers who kept orders waiting — per-order exists /
+# not-exists over the same fact.  Adaptation: no receipt/commit dates, so
+# "the one who kept the order waiting" = the UNIQUE latest-shipping
+# supplier on a multi-supplier finalized order.
+# ---------------------------------------------------------------------------
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finalized ('F') multi-supplier orders where
+    exactly ONE supplier shipped last, count such orders per supplier
+    (numwait).  EXISTS (another supplier on the order) and NOT EXISTS
+    (another supplier also at the max ship date) fold into one per-order
+    aggregate: n_suppliers > 1 AND n at max = 1 — one orderkey-keyed
+    aggregate + one join back on (orderkey, max date), no correlated
+    per-row probes.  Restricted to EUROPE suppliers (broadcast dim
+    chain)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    lines = l.join(f_orders, l.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_sup"),
+    )
+    # suppliers at the max ship date, per order (explicit aliases: both
+    # sides derive from the same `lines` frame — a self-join by lineage)
+    at_max = (
+        lines.alias("ln")
+        .join(
+            per_order.alias("po"),
+            (F.col("ln.l_orderkey") == F.col("po.l_orderkey"))
+            & (F.col("ln.l_shipdate") == F.col("po.max_ship")),
+        )
+        .select(
+            F.col("ln.l_orderkey").alias("ok"),
+            F.col("ln.l_suppkey").alias("l_suppkey"),
+            F.col("po.n_sup").alias("n_sup"),
+        )
+        .distinct()
+    )
+    waiting = (
+        at_max.withColumn("n_at_max", F.count("*").over(W.partitionBy("ok")))
+        .filter((F.col("n_sup") > 1) & (F.col("n_at_max") == 1))
+    )
+    eu_sup = (
+        s.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+                    n.n_regionkey == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            s.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(F.broadcast(eu_sup), waiting.l_suppkey == eu_sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship,
+         count(DISTINCT l_suppkey) AS n_sup
+  FROM lines GROUP BY 1
+), at_max AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey, p.n_sup
+  FROM lines l JOIN per_order p
+    ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.max_ship
+), waiting AS (
+  SELECT ok, l_suppkey FROM (
+    SELECT ok, l_suppkey, n_sup, count(*) OVER (PARTITION BY ok) AS n_at_max
+    FROM at_max
+  ) WHERE n_sup > 1 AND n_at_max = 1
+), eu_sup AS (
+  SELECT s_suppkey, s_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM waiting JOIN eu_sup ON l_suppkey = s_suppkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q12_shipping_delay": q12_shipping_delay,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_parts_supplier_counts": q16_parts_supplier_counts,
+    "q20_excess_suppliers": q20_excess_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -517,6 +952,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
+    "q11_important_stock": Q11_SQL,
+    "q12_shipping_delay": Q12_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q16_parts_supplier_counts": Q16_SQL,
+    "q20_excess_suppliers": Q20_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "q6_revenue_forecast": Q6_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,

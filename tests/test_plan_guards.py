@@ -49,6 +49,11 @@ BNLJ_ALLOWED = {
     # q22_idle_rich_customers: crossJoin(broadcast(<1-row aggregate>)) —
     # the canonical scalar-attach (global avg balance), build side 1 row.
     "q22_idle_rich_customers",
+    # q11/q15/q20: crossJoin(broadcast(<1-row scalar>)) — global total /
+    # max-revenue / (total, n) threshold scalars, build side 1 row each.
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_excess_suppliers",
     # text_char_bigram_novelty: crossJoin(broadcast(<1-row total>)) onto
     # the bounded (|charset|²) bigram table — scalar-attach again.
     "text_char_bigram_novelty",
