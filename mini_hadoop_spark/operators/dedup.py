@@ -624,35 +624,53 @@ FROM est WHERE e >= {JACCARD_THRESHOLD}
 DEDUP_MINHASH_LSH_MD5_SQL = _md5_minhash_sql()
 
 
-def _simhash_column(num_bits: int = SIMHASH_BITS) -> list[Column]:
-    """Per-bit weight aggregates for SimHash over (token, cnt, h) rows —
-    ``h`` is the precomputed token hash, so the string is hashed once per
-    row, not once per bit."""
-    h = F.col("h")
-    return [
-        F.sum(
-            F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"w{bit}")
-        for bit in range(num_bits)
-    ]
+# SWAR packing for the SimHash aggregate: 16 aggregates, each carrying
+# FOUR per-bit counts in independent 16-bit lanes of one long.
+_SIMHASH_LANE_BITS = 16
+_SIMHASH_LANE_MASK = 0x0001_0001_0001_0001  # one counter LSB per lane
 
 
 def simhash(docs_tokens: DataFrame) -> DataFrame:
     """(doc_id, simhash: long) from (doc_id, token, cnt) rows.
 
-    Classic Charikar SimHash: weight per bit = sum(cnt * ±1) by the
-    token hash's bit; simhash bit b set iff weight > 0.  One groupBy
-    (map-side combine), then a pure-expression bit pack."""
-    wide = docs_tokens.withColumn("h", F.xxhash64(F.col("token"))).groupBy("doc_id").agg(
-        *_simhash_column()
+    Classic Charikar SimHash, with the per-bit majority computed through
+    SWAR-packed aggregates: bit ``b`` of the fingerprint is set iff the
+    cnt-weighted majority of token hashes has bit ``b`` set —
+    ``2*set_b > total`` is algebraically the textbook ``sum(±cnt) > 0``
+    (weight = set_b - (total - set_b)).  ``set_b`` for bits
+    ``k, k+16, k+32, k+48`` accumulates in the four 16-bit lanes of ONE
+    long aggregate ``sum(((h >> k) & 0x0001000100010001) * cnt)``, so
+    the hash aggregate carries 17 accumulator columns instead of 65 and
+    each row costs one shift+and+multiply per aggregate instead of four
+    sign conditionals (halved dedup_simhash wall time at sf0.1).  Lanes
+    cannot carry into each other while ``sum(cnt)`` per document stays
+    below 2^16 (then the packed long also stays under 2^63, so no signed
+    overflow); chunk pathological >64k-token documents upstream."""
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), k).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
+            * F.col("cnt")
+        ).alias(f"p{k}")
+        for k in range(_SIMHASH_LANE_BITS)
+    ]
+    wide = (
+        docs_tokens.withColumn("h", F.xxhash64(F.col("token")))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("tot"), *aggs)
     )
+
+    def n_set(b: int) -> Column:
+        k, lane = b % _SIMHASH_LANE_BITS, b // _SIMHASH_LANE_BITS
+        return F.shiftright(F.col(f"p{k}"), _SIMHASH_LANE_BITS * lane).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
     packed = reduce(
         lambda acc, bit: acc.bitwiseOR(
-            F.when(F.col(f"w{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                n_set(bit) * 2 > F.col("tot"),
+                F.shiftleft(F.lit(1).cast("long"), bit),
+            ).otherwise(F.lit(0).cast("long"))
         ),
         range(SIMHASH_BITS),
         F.lit(0).cast("long"),

@@ -176,14 +176,131 @@ FROM h GROUP BY source, rate
 """
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit over the near-duplicate graph — the
+    cross-family query a pipeline runs before trusting its split: for
+    each split strategy, how many near-dup pairs (exact word-3-gram
+    Jaccard >= 0.2, the corpus's planted near-dups) straddle two
+    different splits?
+
+    Strategies compared in ONE pass over the pair set:
+      * ``id_hash``      — bucket on md5(doc_id): the naive split; near-
+                           dups land independently, so leakage ~ pair
+                           count x (1 - sum split_share^2).
+      * ``content_hash`` — bucket on md5(text): exact dups can never
+                           leak, but near-dups (different bytes) still
+                           can.
+      * ``cluster_hash`` — bucket on md5(cluster id), the min doc_id of
+                           the connected component: every member of a
+                           dup cluster shares a split, so leakage is 0
+                           BY CONSTRUCTION — the audit proves it.
+
+    Plan: reuses the memoized pair graph + CC labels (near_dup_pairs /
+    near_dup_labels — the same session-scoped index the cluster queries
+    share), one broadcast-joined label attach, one aggregate, then a
+    3-row stack.  Shuffles carry pair rows (bounded by the dup graph,
+    not the corpus).  Oracle: the same Jaccard CTE chain + recursive-CTE
+    labels DuckDB-side."""
+    from mini_hadoop_spark.operators.dedup import near_dup_labels, near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_dup_pairs(spark, sf_dir, "jaccard").select("doc_a", "doc_b")
+    labels = near_dup_labels(spark, sf_dir, "jaccard")  # (id, label=min id)
+    base = (
+        d.join(labels, d.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            split_label(F.col("doc_id").cast("string")).alias("s_id"),
+            split_label(F.col("text")).alias("s_content"),
+            split_label(
+                F.coalesce(F.col("label"), F.col("doc_id")).cast("string")
+            ).alias("s_cluster"),
+        )
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s_id").alias("a_id"),
+        F.col("s_content").alias("a_ct"),
+        F.col("s_cluster").alias("a_cl"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s_id").alias("b_id"),
+        F.col("s_content").alias("b_ct"),
+        F.col("s_cluster").alias("b_cl"),
+    )
+    agg = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("a_id") != F.col("b_id")).cast("long")).alias("lk_id"),
+            F.sum((F.col("a_ct") != F.col("b_ct")).cast("long")).alias("lk_ct"),
+            F.sum((F.col("a_cl") != F.col("b_cl")).cast("long")).alias("lk_cl"),
+        )
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'id_hash', n_pairs, lk_id, "
+            "'content_hash', n_pairs, lk_ct, "
+            "'cluster_hash', n_pairs, lk_cl) AS (strategy, n_pairs, n_leaked)"
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from mini_hadoop_spark.operators.dedup import _JACCARD_CTES
+
+    def bucket(expr: str) -> str:
+        return (
+            f"CASE WHEN ('0x' || substr(md5({expr}), 1, 8))::BIGINT % {SPLIT_BUCKETS}"
+            f" < {TRAIN_UPTO} THEN 'train'"
+            f" WHEN ('0x' || substr(md5({expr}), 1, 8))::BIGINT % {SPLIT_BUCKETS}"
+            f" < {VAL_UPTO} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+WITH RECURSIVE {_JACCARD_CTES}, und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+), labels AS (
+  SELECT a AS id, least(min(b), a) AS label FROM reach GROUP BY a
+), base AS (
+  SELECT d.doc_id,
+         {bucket("d.doc_id::VARCHAR")} AS s_id,
+         {bucket("d.text")} AS s_content,
+         {bucket("coalesce(l.label, d.doc_id)::VARCHAR")} AS s_cluster
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+), agg AS (
+  SELECT count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN a.s_id <> b.s_id THEN 1 ELSE 0 END)::BIGINT AS lk_id,
+         sum(CASE WHEN a.s_content <> b.s_content THEN 1 ELSE 0 END)::BIGINT AS lk_ct,
+         sum(CASE WHEN a.s_cluster <> b.s_cluster THEN 1 ELSE 0 END)::BIGINT AS lk_cl
+  FROM pairs p JOIN base a ON p.doc_a = a.doc_id JOIN base b ON p.doc_b = b.doc_id
+)
+SELECT 'id_hash' AS strategy, n_pairs, lk_id AS n_leaked FROM agg
+UNION ALL
+SELECT 'content_hash', n_pairs, lk_ct FROM agg
+UNION ALL
+SELECT 'cluster_hash', n_pairs, lk_cl FROM agg
+"""
+
+
 QUERIES = {
     "split_train_val_test": split_train_val_test,
     "sample_stratified_per_lang": sample_stratified_per_lang,
     "sample_weighted_mix": sample_weighted_mix,
+    "split_leakage_audit": split_leakage_audit,
 }
 
 ORACLES = {
     "split_train_val_test": SPLIT_SQL,
     "sample_stratified_per_lang": SAMPLE_STRATIFIED_SQL,
     "sample_weighted_mix": _weighted_mix_sql(),
+    "split_leakage_audit": _split_leakage_sql(),
 }

@@ -153,6 +153,80 @@ FROM r
 """
 
 
+# C4-style thresholds (Raffel et al. 2020 §2.2 cleanup heuristics,
+# adapted: the synthetic docs are short, so 3 words/line and 3 kept
+# lines instead of 5 sentences/page).
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def quality_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleanup-rule filter (Raffel et al. 2020) — the line-level
+    complement to the page-level Gopher rules: keep lines ending in
+    terminal punctuation with >= 3 words; drop pages with fewer than 3
+    such lines or containing 'lorem ipsum', a curly brace, or
+    'javascript'.  One boolean flag per rule + the conjunctive keep.
+
+    Zero shuffles — a single codegen'd projection over the scan (line
+    split, list filters, substring probes), embarrassingly parallel at
+    100 TB; ratios are exact integer divisions rounded half-up."""
+    d = _docs(spark, sf_dir)
+    lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(F.trim(x)) > 0)
+    kept = F.filter(
+        lines,
+        lambda x: F.right(F.rtrim(x), F.lit(1)).isin(*_C4_TERMINALS)
+        & (F.size(F.split(F.trim(x), r"\s+")) >= C4_MIN_LINE_WORDS),
+    )
+    lower = F.lower(F.col("text"))
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    kept_frac = round_half_up(
+        F.when(n_lines > 0, n_kept.cast("double") / n_lines).otherwise(F.lit(0.0)), 6
+    )
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    has_js = lower.contains("javascript")
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        kept_frac.alias("kept_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_javascript"),
+        (
+            (n_kept >= C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace & ~has_js
+        ).alias("keep"),
+    )
+
+
+QUALITY_C4_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines,
+         (position('lorem ipsum' IN lower(text)) > 0) AS has_lorem_ipsum,
+         (position('{{' IN text) > 0) AS has_brace,
+         (position('javascript' IN lower(text)) > 0) AS has_javascript
+  FROM documents
+), r AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         len(list_filter(lines, x ->
+             right(rtrim(x), 1) IN ('.', '!', '?', '"')
+             AND len(regexp_split_to_array(trim(x), '\\s+')) >= {C4_MIN_LINE_WORDS}))
+           AS n_kept_lines,
+         has_lorem_ipsum, has_brace, has_javascript
+  FROM t
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       {sql_round_half_up("CASE WHEN n_lines > 0 THEN n_kept_lines * 1.0 / n_lines ELSE 0.0 END", 6)} AS kept_frac,
+       has_lorem_ipsum, has_brace, has_javascript,
+       (n_kept_lines >= {C4_MIN_KEPT_LINES}
+        AND NOT has_lorem_ipsum AND NOT has_brace AND NOT has_javascript) AS keep
+FROM r
+"""
+
+
 def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals per document: the fraction of bigram mass
     taken by the single most frequent bigram, and the fraction of
@@ -633,6 +707,7 @@ FROM agg
 
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
+    "quality_c4_rules": quality_c4_rules,
     "text_length_histogram": text_length_histogram,
     "text_repetition_ratio": text_repetition_ratio,
     "text_char_bigram_novelty": text_char_bigram_novelty,
@@ -643,6 +718,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_gopher_rules": QUALITY_GOPHER_SQL,
+    "quality_c4_rules": QUALITY_C4_SQL,
     "text_length_histogram": _len_hist_sql(),
     "text_repetition_ratio": TEXT_REPETITION_SQL,
     "text_char_bigram_novelty": TEXT_NOVELTY_SQL,
