@@ -525,8 +525,135 @@ GROUP BY label
 """
 
 
+#: matryoshka truncation prefixes audited (full dim is 64 by data contract)
+MATRYOSHKA_DIMS = (8, 16, 32)
+
+
+def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (Kusupati et al. 2022, MRL): can the
+    first k dimensions stand in for the full embedding?  Per truncation
+    prefix k ∈ {8, 16, 32}: (a) the fraction of full-dim top-5 neighbor
+    slots the truncated top-5 reproduces (exact integer overlap over the
+    same deterministic ranking), and (b) the mean share of vector energy
+    (squared norm) the prefix retains — the go/no-go report before
+    serving truncated vectors from a cheaper index.
+
+    Determinism: overlap counts are integers; the energy share is
+    rounded per-vector at 9 decimals to a BIGINT before the sum (the
+    same order-independence idiom as embedding_label_centroids), so both
+    engines agree bit-for-bit.  Plan: each prefix re-runs the brute
+    scoring shape (broadcast ~N/50 queries over the vector scan, one
+    row_number window per query group) + one zero-shuffle energy
+    aggregate; the output is |MATRYOSHKA_DIMS| rows.  At 100 TB the
+    truncated rankings would come from the LSH/IVF index family instead
+    of brute force — this query is the exactness baseline for them."""
+    v = _vectors(spark, sf_dir).select("vec_id", "e")
+
+    def ranked_pairs(dim: int | None) -> DataFrame:
+        if dim is None:
+            qe, e = F.col("qe"), F.col("e")
+        else:
+            qe, e = F.slice(F.col("qe"), 1, dim), F.slice(F.col("e"), 1, dim)
+        queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        )
+        scored = v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(qe, e) / F.sqrt(dot(qe, qe)) / F.sqrt(dot(e, e))).alias("cos"),
+        )
+        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = ranked_pairs(None).localCheckpoint(eager=False)
+    rows = []
+    for k in MATRYOSHKA_DIMS:
+        ov = full.join(ranked_pairs(k), ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("n_overlap"),
+        )
+        nq = full.agg(F.countDistinct("query_id").alias("n_queries"))
+        sl = F.slice(F.col("e"), 1, k)
+        r9 = F.floor(dot(sl, sl) / dot(F.col("e"), F.col("e")) * F.lit(1e9) + F.lit(0.5)).cast(
+            "long"
+        )
+        en = v.select(r9.alias("r9")).agg(
+            F.sum("r9").alias("s9"), F.count("*").alias("n_vec")
+        )
+        rows.append(
+            ov.crossJoin(F.broadcast(nq))
+            .crossJoin(F.broadcast(en))
+            .select(
+                F.lit(k).alias("trunc_dim"),
+                "n_queries",
+                "n_overlap",
+                round_half_up(
+                    F.col("n_overlap").cast("double")
+                    / (F.col("n_queries") * F.lit(float(TOP_K))),
+                    6,
+                ).alias("topk_agreement"),
+                round_half_up(
+                    F.col("s9").cast("double") / (F.col("n_vec") * F.lit(1e9)), 6
+                ).alias("mean_energy_share"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _matryoshka_sql() -> str:
+    arms = []
+    for k in MATRYOSHKA_DIMS:
+        arms.append(f"""
+SELECT {k} AS trunc_dim,
+       (SELECT count(DISTINCT query_id) FROM full_ranked) AS n_queries,
+       (SELECT count(*)::BIGINT
+        FROM full_ranked f JOIN (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+            FROM (
+              SELECT q.query_id, v.vec_id AS neighbor_id,
+                     list_dot_product(qe[1:{k}], e[1:{k}])
+                       / sqrt(list_dot_product(qe[1:{k}], qe[1:{k}]))
+                       / sqrt(list_dot_product(e[1:{k}], e[1:{k}])) AS cos
+              FROM q JOIN v ON v.vec_id <> q.query_id)
+          ) WHERE rnk <= {TOP_K}
+        ) t USING (query_id, neighbor_id)) AS n_overlap,
+       {sql_round_half_up(f"(SELECT count(*) FROM full_ranked f JOIN (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk FROM (SELECT q.query_id, v.vec_id AS neighbor_id, list_dot_product(qe[1:{k}], e[1:{k}]) / sqrt(list_dot_product(qe[1:{k}], qe[1:{k}])) / sqrt(list_dot_product(e[1:{k}], e[1:{k}])) AS cos FROM q JOIN v ON v.vec_id <> q.query_id)) WHERE rnk <= {TOP_K}) t USING (query_id, neighbor_id)) * 1.0 / ((SELECT count(DISTINCT query_id) FROM full_ranked) * {float(TOP_K)})", 6)} AS topk_agreement,
+       {sql_round_half_up(f"(SELECT CAST(sum(CAST(floor(list_dot_product(e[1:{k}], e[1:{k}]) / list_dot_product(e, e) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) FROM v) / ((SELECT count(*) FROM v) * 1e9)", 6)} AS mean_energy_share""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {QUERY_MODULUS} = 0
+), full_ranked AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+    FROM (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             list_dot_product(qe, e) / sqrt(list_dot_product(qe, qe))
+               / sqrt(list_dot_product(e, e)) AS cos
+      FROM q JOIN v ON v.vec_id <> q.query_id)
+  ) WHERE rnk <= {TOP_K}
+)
+{body}
+"""
+
+
+MATRYOSHKA_SQL = _matryoshka_sql()
+
+
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
+    "similarity_matryoshka_agreement": similarity_matryoshka_agreement,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
     "embedding_norm_stats": embedding_norm_stats,
@@ -537,6 +664,7 @@ QUERIES = {
 
 ORACLES = {
     "similarity_topk_brute": SIMILARITY_TOPK_SQL,
+    "similarity_matryoshka_agreement": MATRYOSHKA_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,

@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     "q11_important_stock",
     "q15_top_supplier",
     "q20_excess_suppliers",
+    # similarity_matryoshka_agreement: per-prefix crossJoin(broadcast(
+    # <1-row overlap/query-count/energy scalars>)) — scalar-attach again.
+    "similarity_matryoshka_agreement",
     # text_char_bigram_novelty: crossJoin(broadcast(<1-row total>)) onto
     # the bounded (|charset|²) bigram table — scalar-attach again.
     "text_char_bigram_novelty",
