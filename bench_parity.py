@@ -78,6 +78,18 @@ def main() -> int:
 
     # warm up codegen/scheduler once so workload timings exclude JVM startup
     spark.range(1000).select(F.sum("id")).write.format("noop").mode("overwrite").save()
+    # pre-fork the Python worker pool + Arrow serialization (same warmup
+    # as bench.py): the first mapInPandas plan otherwise pays ~8 s of
+    # daemon spawn + codegen inside whichever workload runs it first —
+    # measured on split_binary_100mb: 10.2 s cold vs 1.6 s warm
+    n = spark.sparkContext.defaultParallelism
+    (
+        spark.range(0, n, 1, n)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     sizes = [4, 16]
     if os.environ.get("SPARK_GRAFT_PARITY_LARGE") == "1":

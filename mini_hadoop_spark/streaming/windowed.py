@@ -191,9 +191,62 @@ def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #3: the foreachBatch-maintained
+    persistent dedup fingerprint index run END-TO-END (file source →
+    per-batch in-batch dedup + anti-join against the on-disk index →
+    parquet append → availableNow drain), then the final index read
+    back.  The whole documents table arrives as ONE availableNow batch
+    (single staged file), so the drained index equals the batch
+    ``dedup_exact`` output exactly — which is precisely what the shared
+    DuckDB oracle asserts.  This puts the third streaming state shape —
+    foreachBatch read-modify-append maintenance — inside the driver's
+    oracle gate, alongside tumbling windows and merging session windows
+    (multi-batch incremental semantics are pinned by
+    tests/test_streaming.py)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mini_hadoop_spark.sources.catalog import table_path
+    from mini_hadoop_spark.streaming.index_maintenance import (
+        read_index,
+        run_incremental_dedup_index,
+    )
+
+    src = table_path(sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="stream_dedup_")
+    try:
+        docs_dir = os.path.join(root, "docs")
+        os.makedirs(docs_dir)
+        dst = os.path.join(docs_dir, "part-000.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        index_dir = os.path.join(root, "index")
+        ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
+        run_incremental_dedup_index(spark, docs_dir, index_dir, ckpt_dir)
+        # materialize before the staging tree is removed
+        out = (
+            read_index(spark, index_dir)
+            .select(
+                "content_hash",
+                "keep_doc_id",
+                F.col("n_batch_copies").alias("n_copies"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "streaming_hourly_drain": streaming_hourly_drain,
     "streaming_session_drain": streaming_session_drain,
+    "streaming_dedup_drain": streaming_dedup_drain,
 }
 
 
@@ -209,9 +262,16 @@ def _session_oracle() -> str:
     return EVENTS_SESSION_WINDOW_SQL
 
 
+def _dedup_oracle() -> str:
+    from mini_hadoop_spark.operators.dedup import DEDUP_EXACT_SQL
+
+    return DEDUP_EXACT_SQL
+
+
 ORACLES = {
     # the batch twins' oracles verbatim: each streaming drain must land
     # on the identical rows
     "streaming_hourly_drain": _hourly_oracle(),
     "streaming_session_drain": _session_oracle(),
+    "streaming_dedup_drain": _dedup_oracle(),
 }
