@@ -68,10 +68,19 @@ def main() -> int:
     failures: dict[str, str] = {}
 
     def timed(name, fn):
-        t0 = time.perf_counter()
+        # MIN-OF-2 passes, like bench.py: this host shows external load
+        # spikes (load-average bursts with no local process) that can
+        # inflate a single pass 3x — the min measures the engine, not
+        # the neighbor.  ``fn`` receives the pass number so side-effecting
+        # workloads (FileStore names) can disambiguate.
+        best = None
         try:
-            fn()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for p in (1, 2):
+                t0 = time.perf_counter()
+                fn(p)
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            timings[name] = round(best, 4)
         except Exception as exc:  # noqa: BLE001 — record and keep benching
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"parity: {name} FAILED: {failures[name]}", file=sys.stderr)
@@ -101,7 +110,7 @@ def main() -> int:
             docs = spark.read.text(path).withColumnRenamed("value", "text")
             timed(
                 f"wordcount_df_{mb}mb",
-                lambda d=docs: word_count(d).write.format("noop").mode("overwrite").save(),
+                lambda _p, d=docs: word_count(d).write.format("noop").mode("overwrite").save(),
             )
 
         # the reference-shaped generic-MapReduce path (engine shim) on the
@@ -128,7 +137,7 @@ def main() -> int:
         )
         timed(
             "wordcount_shim_4mb",
-            lambda: run_job(spark, spec).pairs.write.format("noop").mode("overwrite").save(),
+            lambda _p: run_job(spark, spec).pairs.write.format("noop").mode("overwrite").save(),
         )
 
         # the reference's split benchmark (benchmark_split.exs:4-58):
@@ -144,14 +153,14 @@ def main() -> int:
         store = FileStore(spark, os.path.join(tmp, "split_store"))
         timed(
             f"split_binary_{split_mb}mb",
-            lambda: store.store_file(
-                f"bin_{split_mb}", split_src, split_on_newline=False, block_size=64 * 1024
+            lambda p: store.store_file(
+                f"bin_{split_mb}_p{p}", split_src, split_on_newline=False, block_size=64 * 1024
             ),
         )
         timed(
             f"split_newline_{split_mb}mb",
-            lambda: store.store_file(
-                f"nl_{split_mb}", split_src, split_on_newline=True, block_size=64 * 1024
+            lambda p: store.store_file(
+                f"nl_{split_mb}_p{p}", split_src, split_on_newline=True, block_size=64 * 1024
             ),
         )
 
@@ -159,7 +168,7 @@ def main() -> int:
         edges = adjacency_edges(spark, REF_ADJACENCY)
         timed(
             "pagerank_2iter_ref_graph",
-            lambda: pagerank(
+            lambda _p: pagerank(
                 edges, iterations=2, damping=0.85, total_pages=REF_TOTAL_PAGES
             ).write.format("noop").mode("overwrite").save(),
         )
@@ -170,6 +179,7 @@ def main() -> int:
         "metric": "parity_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "timing": "min_of_2_passes",
         "workloads": timings,
     }
     if failures:
