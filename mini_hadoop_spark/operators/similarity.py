@@ -548,40 +548,54 @@ def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     truncated rankings would come from the LSH/IVF index family instead
     of brute force — this query is the exactness baseline for them."""
     v = _vectors(spark, sf_dir).select("vec_id", "e")
+    queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
 
-    def ranked_pairs(dim: int | None) -> DataFrame:
+    def cos_at(dim: int | None) -> Column:
         if dim is None:
             qe, e = F.col("qe"), F.col("e")
         else:
             qe, e = F.slice(F.col("qe"), 1, dim), F.slice(F.col("e"), 1, dim)
-        queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-        )
-        scored = v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot(qe, e) / F.sqrt(dot(qe, qe)) / F.sqrt(dot(e, e))).alias("cos"),
-        )
-        w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+        return dot(qe, e) / F.sqrt(dot(qe, qe)) / F.sqrt(dot(e, e))
+
+    # ONE broadcast join scoring full + every prefix in the same
+    # projection (the join is the expensive part — |corpus| x |queries|
+    # rows), then one rank window per ranking over the shared frame.
+    scored = v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cos_at(None).alias("cos_full"),
+        *[cos_at(k).alias(f"cos_{k}") for k in MATRYOSHKA_DIMS],
+    ).localCheckpoint(eager=False)
+
+    def topk(col: str) -> DataFrame:
+        w = W.partitionBy("query_id").orderBy(F.col(col).desc(), F.col("neighbor_id"))
         return (
             scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= TOP_K)
             .select("query_id", "neighbor_id")
         )
 
-    full = ranked_pairs(None).localCheckpoint(eager=False)
+    full = topk("cos_full").localCheckpoint(eager=False)
+    nq = full.agg(F.countDistinct("query_id").alias("n_queries"))
+
+    def r9(k: int) -> Column:
+        sl = F.slice(F.col("e"), 1, k)
+        return F.floor(
+            dot(sl, sl) / dot(F.col("e"), F.col("e")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long")
+
+    # all prefix energies in one zero-shuffle aggregate over the scan
+    en = v.agg(
+        F.count("*").alias("n_vec"),
+        *[F.sum(r9(k)).alias(f"s9_{k}") for k in MATRYOSHKA_DIMS],
+    )
+
     rows = []
     for k in MATRYOSHKA_DIMS:
-        ov = full.join(ranked_pairs(k), ["query_id", "neighbor_id"]).agg(
-            F.count("*").alias("n_overlap"),
-        )
-        nq = full.agg(F.countDistinct("query_id").alias("n_queries"))
-        sl = F.slice(F.col("e"), 1, k)
-        r9 = F.floor(dot(sl, sl) / dot(F.col("e"), F.col("e")) * F.lit(1e9) + F.lit(0.5)).cast(
-            "long"
-        )
-        en = v.select(r9.alias("r9")).agg(
-            F.sum("r9").alias("s9"), F.count("*").alias("n_vec")
+        ov = full.join(topk(f"cos_{k}"), ["query_id", "neighbor_id"]).agg(
+            F.count("*").alias("n_overlap")
         )
         rows.append(
             ov.crossJoin(F.broadcast(nq))
@@ -596,7 +610,7 @@ def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFra
                     6,
                 ).alias("topk_agreement"),
                 round_half_up(
-                    F.col("s9").cast("double") / (F.col("n_vec") * F.lit(1e9)), 6
+                    F.col(f"s9_{k}").cast("double") / (F.col("n_vec") * F.lit(1e9)), 6
                 ).alias("mean_energy_share"),
             )
         )
