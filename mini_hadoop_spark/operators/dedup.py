@@ -280,7 +280,7 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.content_hash = b.content_hash
 # family swaps to LSH candidates with one argument.
 # ---------------------------------------------------------------------------
 
-_PAIR_METHODS = ("jaccard", "minhash")
+_PAIR_METHODS = ("jaccard", "minhash", "minhash_md5")
 _memo: dict[tuple, DataFrame] = {}
 
 
@@ -302,7 +302,11 @@ def near_dup_pairs(spark: SparkSession, sf_dir: str, method: str = "jaccard") ->
         raise ValueError(f"unknown near-dup method {method!r}; expected one of {_PAIR_METHODS}")
     key = _memo_key(spark, sf_dir, "pairs", method)
     if key not in _memo:
-        plan = {"jaccard": _near_jaccard_plan, "minhash": _minhash_lsh_plan}[method]
+        plan = {
+            "jaccard": _near_jaccard_plan,
+            "minhash": _minhash_lsh_plan,
+            "minhash_md5": _minhash_lsh_md5_plan,
+        }[method]
         _memo[key] = plan(spark, sf_dir).localCheckpoint(eager=True)
     return _memo[key]
 
@@ -570,8 +574,10 @@ def _minhash_lsh_md5_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered query: the oracle-auditable md5 MinHash+LSH pair set."""
-    return _minhash_lsh_md5_plan(spark, sf_dir)
+    """Registered query: the oracle-auditable md5 MinHash+LSH pair set
+    (memoized build-once index like its xxhash64 sibling; the build cost
+    is itemized in bench.py's index_build)."""
+    return near_dup_pairs(spark, sf_dir, "minhash_md5")
 
 
 def _md5_minhash_sql() -> str:
