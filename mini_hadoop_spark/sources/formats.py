@@ -40,9 +40,21 @@ _EXT_FORMATS = {
     ".txt": "text",
     ".text": "text",
     ".orc": "orc",
+    ".avro": "avro",
 }
 
-FORMATS = ("parquet", "jsonl", "csv", "tsv", "text", "orc")
+FORMATS = ("parquet", "jsonl", "csv", "tsv", "text", "orc", "avro")
+
+
+def _avro_unavailable_hint(exc: Exception) -> Exception:
+    """Spark ships avro-core jars but NOT the spark-avro connector by
+    default; map the bare 'Failed to find data source' failure to an
+    actionable message instead of letting callers degrade silently."""
+    return RuntimeError(
+        "avro datasource is not available in this Spark distribution; add "
+        "the org.apache.spark:spark-avro package (spark.jars.packages) to "
+        f"read/write avro (underlying error: {exc})"
+    )
 
 
 def infer_format(path: str) -> str:
@@ -91,6 +103,13 @@ def read_any(
         return spark.read.text(path)
     if fmt == "orc":
         return spark.read.orc(path)
+    if fmt == "avro":
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception as exc:  # noqa: BLE001 — re-raise with guidance
+            if "Failed to find data source" in str(exc):
+                raise _avro_unavailable_hint(exc) from exc
+            raise
     raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")
 
 
@@ -110,5 +129,12 @@ def write_any(df: DataFrame, path: str, fmt: str | None = None, mode: str = "err
         w.text(path)
     elif fmt == "orc":
         w.orc(path)
+    elif fmt == "avro":
+        try:
+            w.format("avro").save(path)
+        except Exception as exc:  # noqa: BLE001 — re-raise with guidance
+            if "Failed to find data source" in str(exc):
+                raise _avro_unavailable_hint(exc) from exc
+            raise
     else:
         raise ValueError(f"unknown format {fmt!r}; expected one of {FORMATS}")

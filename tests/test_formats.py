@@ -112,3 +112,20 @@ def test_text_format_lines(spark, tmp_path):
     p.write_text("line one\nline two\n")
     back = read_any(spark, str(p))
     assert {r.value for r in back.collect()} == {"line one", "line two"}
+
+
+def test_avro_roundtrip_or_actionable_error(spark, docs, tmp_path):
+    """Avro is registered but the spark-avro connector isn't bundled in
+    every distribution: with the jar, the round-trip must match; without
+    it, the failure must carry the spark-avro package hint, not a bare
+    'Failed to find data source'."""
+    from mini_hadoop_spark.sources.formats import read_any, write_any
+
+    p = str(tmp_path / "docs.avro")
+    try:
+        write_any(docs, p, fmt="avro")
+    except RuntimeError as exc:
+        assert "spark-avro" in str(exc)
+        pytest.skip("spark-avro connector not bundled in this distribution")
+    back = read_any(spark, p)
+    assert _as_set(back) == _as_set(docs)
