@@ -636,8 +636,15 @@ _SIMHASH_LANE_BITS = 16
 _SIMHASH_LANE_MASK = 0x0001_0001_0001_0001  # one counter LSB per lane
 
 
-def simhash(docs_tokens: DataFrame) -> DataFrame:
+def simhash(
+    docs_tokens: DataFrame, num_bits: int = SIMHASH_BITS, h_col: str | None = None
+) -> DataFrame:
     """(doc_id, simhash: long) from (doc_id, token, cnt) rows.
+
+    ``h_col`` names a precomputed per-token hash column (any long whose
+    low ``num_bits`` bits are the fingerprint domain — the md5 twin
+    passes a 60-bit base-16-parsed digest); default hashes with
+    xxhash64.  ``num_bits`` <= 64; bits above it are never set.
 
     Classic Charikar SimHash, with the per-bit majority computed through
     SWAR-packed aggregates: bit ``b`` of the fingerprint is set iff the
@@ -652,18 +659,20 @@ def simhash(docs_tokens: DataFrame) -> DataFrame:
     cannot carry into each other while ``sum(cnt)`` per document stays
     below 2^16 (then the packed long also stays under 2^63, so no signed
     overflow); chunk pathological >64k-token documents upstream."""
+    hashed = (
+        docs_tokens
+        if h_col is not None
+        else docs_tokens.withColumn("h", F.xxhash64(F.col("token")))
+    )
+    hname = h_col or "h"
     aggs = [
         F.sum(
-            F.shiftright(F.col("h"), k).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
+            F.shiftright(F.col(hname), k).bitwiseAND(F.lit(_SIMHASH_LANE_MASK))
             * F.col("cnt")
         ).alias(f"p{k}")
         for k in range(_SIMHASH_LANE_BITS)
     ]
-    wide = (
-        docs_tokens.withColumn("h", F.xxhash64(F.col("token")))
-        .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("tot"), *aggs)
-    )
+    wide = hashed.groupBy("doc_id").agg(F.sum("cnt").alias("tot"), *aggs)
 
     def n_set(b: int) -> Column:
         k, lane = b % _SIMHASH_LANE_BITS, b // _SIMHASH_LANE_BITS
@@ -678,7 +687,7 @@ def simhash(docs_tokens: DataFrame) -> DataFrame:
                 F.shiftleft(F.lit(1).cast("long"), bit),
             ).otherwise(F.lit(0).cast("long"))
         ),
-        range(SIMHASH_BITS),
+        range(num_bits),
         F.lit(0).cast("long"),
     )
     return wide.select("doc_id", packed.alias("simhash"))
@@ -707,7 +716,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint pipeline (the same build-the-index-once pattern as the
     # LSH/IVF/shingle indexes; |docs| rows of 2 longs)
     fp = simhash(toks).localCheckpoint(eager=False)
-    block_width = SIMHASH_BITS // SIMHASH_BLOCKS
+    return _simhash_block_pairs(fp, SIMHASH_BITS)
+
+
+def _simhash_block_pairs(fp: DataFrame, num_bits: int) -> DataFrame:
+    """Pigeonhole candidate join + exact Hamming over a (doc_id,
+    simhash) fingerprint table: split ``num_bits`` into SIMHASH_BLOCKS
+    equal blocks; Hamming <= SIMHASH_MAX_HAMMING guarantees at least one
+    whole equal block, so candidates come from equality self-joins on
+    (block_id, block_val) — never all-pairs."""
+    block_width = num_bits // SIMHASH_BLOCKS
     blocks = F.array(
         *[
             F.struct(
@@ -736,10 +754,77 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+# 60-bit md5 SimHash twin: 15 hex chars of md5 parse to a POSITIVE
+# 60-bit BIGINT on both engines (16 would overflow DuckDB's signed
+# parse), so the whole fingerprint pipeline — per-bit majorities,
+# packing, 4x15-bit pigeonhole blocks, xor+bit_count Hamming — is
+# engine-portable and the driver gets a full hash-match for the SimHash
+# family (the 64-bit xxhash64 form above stays the production path;
+# same plan shape, cheaper hash).
+SIMHASH_MD5_BITS = 60
+
+
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-auditable SimHash near-dup twin (md5-derived 60-bit
+    hashes): identical plan shape to ``dedup_simhash`` — SWAR-packed
+    majority aggregate, block-pigeonhole candidates, exact Hamming."""
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    toks = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .withColumn("cnt", F.lit(1).cast("long"))
+        .withColumn(
+            "hm", F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+        )
+    )
+    fp = simhash(toks, num_bits=SIMHASH_MD5_BITS, h_col="hm").localCheckpoint(eager=False)
+    return _simhash_block_pairs(fp, SIMHASH_MD5_BITS)
+
+
+def _simhash_md5_sql() -> str:
+    nb = SIMHASH_MD5_BITS
+    width = nb // SIMHASH_BLOCKS
+    set_cols = ",\n         ".join(
+        f"sum((hm >> {b}) & 1)::BIGINT AS s{b}" for b in range(nb)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * s{b} > tot THEN {1 << b} ELSE 0 END)" for b in range(nb)
+    )
+    block_arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS block_id, "
+        f"(simhash >> {i * width}) & {(1 << width) - 1} AS block_val FROM fp"
+        for i in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hm FROM toks
+), wide AS (
+  SELECT doc_id, count(*)::BIGINT AS tot,
+         {set_cols}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, ({fp_terms})::BIGINT AS simhash FROM wide
+), blocks AS (
+{block_arms}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM blocks a
+JOIN blocks b ON a.block_id = b.block_id AND a.block_val = b.block_val
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+DEDUP_SIMHASH_MD5_SQL = _simhash_md5_sql()
 
 
 COSINE_DUP_THRESHOLD = 0.95
@@ -1310,6 +1395,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_md5": dedup_simhash_md5,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_lsh": dedup_clusters_lsh,
@@ -1325,6 +1411,7 @@ ORACLES = {
     "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_minhash_lsh_md5": DEDUP_MINHASH_LSH_MD5_SQL,
+    "dedup_simhash_md5": DEDUP_SIMHASH_MD5_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
