@@ -580,7 +580,11 @@ def dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir, "minhash_md5")
 
 
-def _md5_minhash_sql() -> str:
+def _md5_minhash_ctes() -> str:
+    """The shared CTE chain ending in ``mpairs`` (the qualifying md5-LSH
+    pair set) — used by BOTH the pair oracle and the cluster oracle
+    (which closes it transitively with a recursive CTE, mirroring the
+    exact-Jaccard pattern)."""
     p = MD5_MINHASH_P
     sig_cols = ",\n         ".join(
         f"min(({a} * h0p + {b}) % {p}) AS h{i}"
@@ -597,8 +601,7 @@ def _md5_minhash_sql() -> str:
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
         for i in range(NUM_HASHES)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
@@ -621,13 +624,41 @@ WITH toks AS (
   FROM cand
   JOIN sig sa ON cand.doc_a = sa.doc_id
   JOIN sig sb ON cand.doc_b = sb.doc_id
-)
+), mpairs AS (
+  SELECT doc_a, doc_b, e FROM est WHERE e >= {JACCARD_THRESHOLD}
+)"""
+
+
+DEDUP_MINHASH_LSH_MD5_SQL = f"""
+WITH {_md5_minhash_ctes()}
 SELECT doc_a, doc_b, {sql_round_half_up('e', 6)} AS est_jaccard
-FROM est WHERE e >= {JACCARD_THRESHOLD}
+FROM mpairs
+"""
+
+DEDUP_CLUSTERS_LSH_MD5_SQL = f"""
+WITH RECURSIVE {_md5_minhash_ctes()}, und AS (
+  SELECT doc_a AS a, doc_b AS b FROM mpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM mpairs
+), reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS doc_id,
+       least(min(b), a) AS cluster_id,
+       least(min(b), a) = a AS is_survivor
+FROM reach GROUP BY a
 """
 
 
-DEDUP_MINHASH_LSH_MD5_SQL = _md5_minhash_sql()
+def dedup_clusters_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-auditable clusters over the md5 MinHash-LSH pair set —
+    the full 100 TB dedup pipeline (banded LSH candidates → CC labeling
+    → survivor pick) with a DuckDB hash-match end to end; the xxhash64
+    ``dedup_clusters_lsh`` is the same plan with the cheaper
+    production hash."""
+    return dedup_clusters(spark, sf_dir, method="minhash_md5")
 
 
 # SWAR packing for the SimHash aggregate: 16 aggregates, each carrying
@@ -1399,6 +1430,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_lsh": dedup_clusters_lsh,
+    "dedup_clusters_lsh_md5": dedup_clusters_lsh_md5,
     "graph_triangle_count": graph_triangle_count,
 }
 
@@ -1412,6 +1444,7 @@ ORACLES = {
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_minhash_lsh_md5": DEDUP_MINHASH_LSH_MD5_SQL,
     "dedup_simhash_md5": DEDUP_SIMHASH_MD5_SQL,
+    "dedup_clusters_lsh_md5": DEDUP_CLUSTERS_LSH_MD5_SQL,
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "graph_triangle_count": GRAPH_TRIANGLES_SQL,
