@@ -197,6 +197,59 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_bucket_duckdb(table: int) -> str:
+    """DuckDB twin of ``_srp_bucket_sql``: bit j of the bucket = sign of
+    the SAME ±1-plane projection.  The projection is emitted as an
+    explicit left-associated term chain ``e[1]*s1 + e[2]*s2 + ...`` —
+    IEEE-identical to Spark's ``aggregate(zip_with(...), 0.0, +)`` fold
+    (0.0 + x == x exactly, then the same sequential add order), so the
+    bucket ids agree bit-for-bit; disjoint power-of-two terms sum
+    instead of OR-ing."""
+    bits = []
+    for j in range(LSH_BITS):
+        plane = table * LSH_BITS + j
+        terms = " + ".join(
+            f"e[{i + 1}] * {'1.0' if _hyperplane_sign(plane, i) > 0 else '-1.0'}"
+            for i in range(EMBEDDING_DIM)
+        )
+        bits.append(f"(CASE WHEN ({terms}) > 0.0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ann_lsh_sql() -> str:
+    table_arms = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, e, {t} AS table_id, {_srp_bucket_duckdb(t)} AS bucket FROM v"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), keyed AS (
+{table_arms}
+), q AS (
+  SELECT vec_id AS query_id, e AS qe, table_id, bucket
+  FROM keyed WHERE vec_id % {QUERY_MODULUS} = 0
+), cand AS (
+  SELECT DISTINCT q.query_id, k.vec_id AS neighbor_id,
+         list_dot_product(qe, k.e)
+           / sqrt(list_dot_product(qe, qe))
+           / sqrt(list_dot_product(k.e, k.e)) AS cos
+  FROM keyed k
+  JOIN q ON k.table_id = q.table_id AND k.bucket = q.bucket
+        AND k.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, rnk, {sql_round_half_up('cos', 6)} AS cos_sim
+FROM ranked WHERE rnk <= 3
+"""
+
+
+SIMILARITY_ANN_LSH_SQL = _ann_lsh_sql()
+
+
 IVF_CENTROIDS = 32
 IVF_NPROBE = 4
 
@@ -683,6 +736,11 @@ ORACLES = {
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "centroid_classify_eval": CENTROID_CLASSIFY_SQL,
-    # similarity_ann_lsh: SRP-LSH bucketing has no practical DuckDB twin —
-    # rows-only driver check; recall vs brute asserted in tests.
+    # similarity_ann_lsh IS directly oracle-able: the ±1 planes are
+    # literals and every float op sequence (projection fold, cosine,
+    # rounding) is IEEE-identical on both engines (r6 upgrade from
+    # rows-only).  similarity_ann_ivf stays rows-only: its quantizer is
+    # a Lloyd iteration whose DuckDB twin would need the whole k-means
+    # loop in SQL; recall vs brute asserted in tests instead.
+    "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
 }

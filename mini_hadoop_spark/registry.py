@@ -61,8 +61,8 @@ DRIVER_WINDOW = [
     "dedup_clusters",
     "graph_triangle_count",
     "similarity_topk_brute",
+    "similarity_ann_lsh",
     "embedding_norm_stats",
-    "embedding_dim_stats",
     "embedding_label_centroids",
     "centroid_classify_eval",
     "wordcount",
