@@ -358,6 +358,75 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir, "jaccard")
 
 
+# Containment output threshold: at sf0.01 the planted sub-document pairs
+# sit at containment >= 0.9 while incidental overlap tops out below 0.3 —
+# 0.5 has a wide margin on both sides (no boundary instability).
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-CONTAINMENT pairs: C(a→b) = |S_a ∩ S_b| / |S_a| —
+    the sub-document duplication detector Jaccard misses.  When a short
+    document is wholly embedded in a much longer one, Jaccard is diluted
+    by the big doc's size (|S_a∩S_b| / |S_a∪S_b| → small) but containment
+    of the inner doc stays ≈ 1.  Pipelines use this to catch quote-farms,
+    boilerplate wrappers, and page-of-pages aggregators that survive a
+    symmetric near-dup pass.
+
+    Output: (doc_inner, doc_outer, containment) — one DIRECTED row per
+    qualifying ordered pair (both directions evaluated independently).
+
+    Plan: the same inverted shingle index as ``dedup_near_jaccard`` —
+    shared counts fall out of the shingle equi-join (never all-pairs),
+    the two direction rows are a union over one joined pair set, and the
+    division is integer/integer → one double op, bit-identical across
+    engines.  Scale: identical posture to the Jaccard pass (candidate
+    count bounded by Σ df(shingle)²; swap in the MinHash index when hot
+    shingles explode it) — containment is a POST-join scoring change,
+    not a new join."""
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    both = shared.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(
+        F.col("doc_a").alias("doc_inner"),
+        F.col("doc_b").alias("doc_outer"),
+        (F.col("shared") / F.col("na")).alias("c"),
+    )
+    rev = both.select(
+        F.col("doc_b").alias("doc_inner"),
+        F.col("doc_a").alias("doc_outer"),
+        (F.col("shared") / F.col("nb")).alias("c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("c") >= CONTAINMENT_THRESHOLD)
+        .select("doc_inner", "doc_outer", round_half_up(F.col("c"), 6).alias("containment"))
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_JACCARD_CTES}, directed AS (
+  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+         shared * 1.0 / sa.n_shingles AS c
+  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+  UNION ALL
+  SELECT doc_b, doc_a, shared * 1.0 / sb.n_shingles
+  FROM shared JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT doc_inner, doc_outer, {sql_round_half_up('c', 6)} AS containment
+FROM directed WHERE c >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 # Shared CTE chain: shingle index → sizes → shared-count → qualifying
 # pairs.  Used by BOTH the near-dup oracle and the cluster oracle (which
 # builds its recursive closure on top of the same pair set).
