@@ -413,20 +413,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CONTAINMENT_SQL = f"""
-WITH {_JACCARD_CTES}, directed AS (
-  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
-         shared * 1.0 / sa.n_shingles AS c
-  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
-  UNION ALL
-  SELECT doc_b, doc_a, shared * 1.0 / sb.n_shingles
-  FROM shared JOIN sizes sb ON doc_b = sb.doc_id
-)
-SELECT doc_inner, doc_outer, {sql_round_half_up('c', 6)} AS containment
-FROM directed WHERE c >= {CONTAINMENT_THRESHOLD}
-"""
-
-
 # Shared CTE chain: shingle index → sizes → shared-count → qualifying
 # pairs.  Used by BOTH the near-dup oracle and the cluster oracle (which
 # builds its recursive closure on top of the same pair set).
@@ -454,6 +440,19 @@ DEDUP_NEAR_JACCARD_SQL = f"""
 WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b, {sql_round_half_up('jac', 6)} AS jaccard
 FROM pairs
+"""
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_JACCARD_CTES}, directed AS (
+  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+         shared * 1.0 / sa.n_shingles AS c
+  FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+  UNION ALL
+  SELECT doc_b, doc_a, shared * 1.0 / sb.n_shingles
+  FROM shared JOIN sizes sb ON doc_b = sb.doc_id
+)
+SELECT doc_inner, doc_outer, {sql_round_half_up('c', 6)} AS containment
+FROM directed WHERE c >= {CONTAINMENT_THRESHOLD}
 """
 
 
@@ -757,8 +756,14 @@ def simhash(
     each row costs one shift+and+multiply per aggregate instead of four
     sign conditionals (halved dedup_simhash wall time at sf0.1).  Lanes
     cannot carry into each other while ``sum(cnt)`` per document stays
-    below 2^16 (then the packed long also stays under 2^63, so no signed
-    overflow); chunk pathological >64k-token documents upstream."""
+    below 2^16; but the TOP lane occupies bits 48-63 of the signed long,
+    so its accumulator spills into the sign bit once ``sum(cnt)`` reaches
+    2^15 (32k tokens).  With ``spark.sql.ansi.enabled=false`` (this
+    engine's setting) the sum wraps two's-complement and the subsequent
+    ``& 0xFFFF`` lane extraction still recovers the exact lane value, so
+    results stay correct up to 2^16; under ANSI mode the overflow would
+    THROW at 2^15 instead.  Chunk pathological >32k-token documents
+    upstream if ANSI is ever enabled."""
     hashed = (
         docs_tokens
         if h_col is not None
@@ -1492,6 +1497,7 @@ QUERIES = {
     "dedup_funnel_report": dedup_funnel_report,
     "contamination_ngram": contamination_ngram,
     "dedup_near_jaccard": dedup_near_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
@@ -1511,6 +1517,7 @@ ORACLES = {
     "dedup_funnel_report": DEDUP_FUNNEL_SQL,
     "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_minhash_lsh_md5": DEDUP_MINHASH_LSH_MD5_SQL,
     "dedup_simhash_md5": DEDUP_SIMHASH_MD5_SQL,
     "dedup_clusters_lsh_md5": DEDUP_CLUSTERS_LSH_MD5_SQL,
