@@ -580,6 +580,12 @@ GROUP BY label
 
 #: matryoshka truncation prefixes audited (full dim is 64 by data contract)
 MATRYOSHKA_DIMS = (8, 16, 32)
+# Absolute query budget for the matryoshka audit.  A FRACTIONAL query set
+# (vec_id % 50) makes the brute scoring join quadratic at scale —
+# 100x corpus -> 100x queries -> 10_000x scored rows.  A fixed md5-ranked
+# budget keeps the audit LINEAR in corpus size (budget x corpus), and the
+# md5 ranking is deterministic + engine-portable (same sample both sides).
+MATRYOSHKA_QUERY_BUDGET = 32
 
 
 def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,9 +605,25 @@ def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     row_number window per query group) + one zero-shuffle energy
     aggregate; the output is |MATRYOSHKA_DIMS| rows.  At 100 TB the
     truncated rankings would come from the LSH/IVF index family instead
-    of brute force — this query is the exactness baseline for them."""
+    of brute force — this query is the exactness baseline for them.
+
+    Query set: the MATRYOSHKA_QUERY_BUDGET vectors whose md5(vec_id)
+    ranks lowest — a deterministic, engine-portable sample with an
+    ABSOLUTE size, so the scored-row count is budget x corpus (linear at
+    100x data) instead of the quadratic (corpus/50) x corpus the old
+    modulus sample gave.  The ranking window sorts only (vec_id, md5)
+    id rows — negligible next to the scoring join it bounds."""
     v = _vectors(spark, sf_dir).select("vec_id", "e")
-    queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+    picked = (
+        v.select("vec_id")
+        .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("mh"), F.col("vec_id")))
+        )
+        .filter(F.col("rn") <= MATRYOSHKA_QUERY_BUDGET)
+        .select("vec_id")
+    )
+    queries = v.join(F.broadcast(picked), "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
 
@@ -699,7 +721,11 @@ SELECT {k} AS trunc_dim,
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ), q AS (
-  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {QUERY_MODULUS} = 0
+  SELECT vec_id AS query_id, qe FROM (
+    SELECT vec_id, e AS qe,
+           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+    FROM v)
+  WHERE rn <= {MATRYOSHKA_QUERY_BUDGET}
 ), full_ranked AS (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id,

@@ -620,3 +620,35 @@ def test_cluster_kmeans_topics_contract(spark):
         assert r.top_label in labels
     again = cluster_kmeans_topics(spark, SF_DIR).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_matryoshka_agreement_go_no_go_semantics(spark):
+    """Pin the audit's decision semantics under the md5-budget sample:
+    the report must still answer "can prefix k stand in for the full
+    vector" — energy share must be strictly monotone in k (guaranteed by
+    nested prefixes), agreement must be a valid fraction that does not
+    DEGRADE as the prefix grows, and the query-set size must be the
+    absolute budget (the linear-at-scale property the sample buys)."""
+    from mini_hadoop_spark.operators.similarity import (
+        MATRYOSHKA_DIMS,
+        MATRYOSHKA_QUERY_BUDGET,
+        similarity_matryoshka_agreement,
+    )
+
+    rows = {
+        r["trunc_dim"]: r
+        for r in similarity_matryoshka_agreement(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == sorted(MATRYOSHKA_DIMS)
+    dims = sorted(MATRYOSHKA_DIMS)
+    for k in dims:
+        r = rows[k]
+        assert r["n_queries"] == MATRYOSHKA_QUERY_BUDGET
+        assert 0.0 <= r["topk_agreement"] <= 1.0
+        assert 0.0 < r["mean_energy_share"] <= 1.0
+    # nested prefixes: energy share strictly grows with k
+    for lo, hi in zip(dims, dims[1:]):
+        assert rows[lo]["mean_energy_share"] < rows[hi]["mean_energy_share"]
+    # go/no-go ordering: a longer prefix may not agree WORSE than the
+    # shortest one (the monotone trend the serving decision reads)
+    assert rows[dims[-1]]["topk_agreement"] >= rows[dims[0]]["topk_agreement"]

@@ -12,9 +12,10 @@ The 10x corpus is 10 shifted copies of the sf0.1 tables:
 * lineitem/orders — l_orderkey/o_orderkey + i*10^9 (same part/supp/cust
   keys, so dim joins still resolve); events — event_id shifted,
   user_id + i*10^6 (10x users, same per-user density).
-* embeddings — vec_id + i*10^7 (10x vectors AND 10x query points for
-  the %50 query-selection rule — quadratic brute-force queries are
-  excluded here by design; ANN is their scale path).
+* embeddings — vec_id + i*10^7 (10x vectors; brute-force topk with its
+  %50 fractional query rule stays excluded by design — ANN is its scale
+  path — but the matryoshka audit is INCLUDED since r7: its md5-ranked
+  ABSOLUTE query budget makes it linear in corpus size).
 * dims (region nation customer supplier part) — copied as-is.
 
 Usage: python tools/scale_smoke.py [query ...]
@@ -39,6 +40,7 @@ DEFAULT_QUERIES = [
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
     "orders_rfm_segmentation_approx",
+    "similarity_matryoshka_agreement",
 ]
 
 
