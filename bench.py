@@ -104,6 +104,9 @@ def main() -> int:
 
     from mini_hadoop_spark.operators import dedup as _dedup, similarity as _sim
 
+    # the shared shingle index first, so per-method pair timings measure
+    # the method, not a repeated tokenize+explode (memoized since r7)
+    _build("shingle_index", lambda: _dedup._doc_shingles(spark, sf_dir))
     _build("pairs_jaccard", lambda: _dedup.near_dup_pairs(spark, sf_dir, "jaccard"))
     _build("pairs_minhash", lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash"))
     _build("pairs_minhash_md5", lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash_md5"))

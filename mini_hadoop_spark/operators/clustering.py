@@ -6,9 +6,11 @@ vector space, built on the memoized IVF machinery
 (vs. the ANN use in similarity_ann_ivf): cluster the corpus embeddings,
 then report per-cluster size, label purity, and cohesion — the report a
 curation pipeline reads to balance topic mix or drop degenerate
-clusters.  No DuckDB oracle (iterative float k-means has no reasonable
-SQL twin) — the driver applies a rows-only check; determinism, full
-assignment, and purity bounds are pinned in tests/test_llm_pipeline.py.
+clusters.  Fully DuckDB-oracled since r7: the quantizer's Lloyd mean is
+an order-independent fixed-point sum (similarity.ivf_index), so the
+oracle reproduces centroids, assignments, and the decimal cohesion sum
+bit-for-bit; determinism, full assignment, and purity bounds are
+additionally pinned in tests/test_llm_pipeline.py.
 
 Determinism contract: seeds are the first K vectors by vec_id (no RNG),
 assignment tiebreaks on cid, majority labels tiebreak on label, and the
@@ -75,8 +77,49 @@ def cluster_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_topics_sql() -> str:
+    from mini_hadoop_spark.functions.text import sql_round_half_up
+    from mini_hadoop_spark.operators.similarity import _ivf_ctes
+
+    cos9 = sql_round_half_up(
+        "list_dot_product(l.e, c.ce) / l.nv / sqrt(list_dot_product(c.ce, c.ce))", 9
+    )
+    return f"""
+WITH {_ivf_ctes()}, member AS (
+  SELECT l.cid, l.vec_id,
+         CAST({cos9} AS DECIMAL(18,9)) AS cos,
+         emb.label
+  FROM lists l
+  JOIN cent c USING (cid)
+  JOIN embeddings emb ON l.vec_id = emb.vec_id
+), majority AS (
+  SELECT cid, label AS top_label, n AS top_n FROM (
+    SELECT cid, label, count(*) AS n,
+           row_number() OVER (PARTITION BY cid ORDER BY count(*) DESC, label) AS r
+    FROM member GROUP BY cid, label)
+  WHERE r = 1
+), stats AS (
+  SELECT cid, count(*) AS n_vecs,
+         CAST(sum(cos) AS DOUBLE) / count(*) AS coh
+  FROM member GROUP BY cid
+)
+SELECT s.cid, s.n_vecs, m.top_label,
+       {sql_round_half_up('CAST(m.top_n AS DOUBLE) / s.n_vecs', 6)} AS top_label_frac,
+       {sql_round_half_up('s.coh', 6)} AS cohesion
+FROM stats s JOIN majority m USING (cid)
+"""
+
+
+# Oracle-able since r7: the IVF quantizer's Lloyd mean is an
+# order-independent fixed-point sum (see similarity.ivf_index), so the
+# centroids — and therefore assignments, majorities, and the decimal
+# cohesion sum — are bit-identical between Spark and DuckDB.
+CLUSTER_KMEANS_TOPICS_SQL = _kmeans_topics_sql()
+
 QUERIES = {
     "cluster_kmeans_topics": cluster_kmeans_topics,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    "cluster_kmeans_topics": CLUSTER_KMEANS_TOPICS_SQL,
+}

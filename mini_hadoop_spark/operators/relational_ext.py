@@ -705,30 +705,40 @@ FROM scored
 """
 
 
-#: approx_percentile sketch accuracy for the scale-safe RFM variant
-#: (relative rank error <= 1/accuracy)
-RFM_SKETCH_ACCURACY = 10_000
+#: Sample budget for the scale-safe RFM variant's quartile cuts — the
+#: cuts are type-1 (pure row selection, no interpolation) quantiles of a
+#: deterministic md5-ranked customer sample, so they are bit-identical
+#: across engines (full value-hash oracle) while staying one broadcast
+#: of 9 scalars at any scale.  Rank error ~ 1/sqrt(budget) ≈ 2%.
+RFM_SAMPLE_BUDGET = 2048
 
 
 def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe twin of :func:`orders_rfm_segmentation` — the 100 TB
     form the exact query's docstring promises.
 
-    Same per-customer metrics, but the quartile CUTS come from one
-    ``approx_percentile`` aggregate (Greenwald-Khanna sketch: one pass,
-    map-side mergeable, no sort) broadcast as 9 doubles; each customer is
-    then labeled by a pure projection.  No global window anywhere — the
-    exact form's three single-task whole-corpus ntile sorts (its
-    documented 100x weakness) are replaced by one aggregate + a
-    broadcast, both linear and fully parallel.
+    Same per-customer metrics, but the quartile CUTS come from a
+    deterministic md5-ranked sample of RFM_SAMPLE_BUDGET customers:
+    per metric, the cut at quantile q is the value at row
+    ceil(q * |sample|) of the sorted sample (a type-1 quantile — pure
+    row selection, no float interpolation), broadcast as 9 scalars;
+    each customer is then labeled by a pure projection.  No global
+    window over the data anywhere — the exact form's three single-task
+    whole-corpus ntile sorts (its documented 100x weakness) are replaced
+    by three windows over a BOUNDED sample (the ranking shuffles only
+    (custkey, 3 metrics) rows, and the sample itself is fixed-size at
+    any corpus scale).
 
-    Differences vs the exact twin, by construction: bucket assignment can
-    differ near cuts by the sketch's rank error (<= 1/{accuracy}) and tie
-    groups are NOT split across buckets (ntile splits ties by the custkey
-    tiebreak to force equal bucket sizes).  tests/test_relational_ext.py
-    asserts every customer lands within +-1 quartile of the exact form on
-    all three metrics.  Sketch implementations differ across engines, so
-    there is no DuckDB oracle (driver: rows-only check)."""
+    r7 change: previously the cuts came from approx_percentile (GK
+    sketch) — scale-equivalent, but sketch implementations differ across
+    engines, so the query could only get a rows-only driver check.  The
+    md5-sample cuts are bit-identical in DuckDB, upgrading this to a
+    full value-hash oracle while keeping the approximate-cuts contract
+    (rank error ~ 1/sqrt(budget); every customer still lands within
+    +-1 quartile of the exact form — asserted in
+    tests/test_oracle_battery.py).  Ties are NOT split across buckets
+    (ntile splits ties by the custkey tiebreak to force equal bucket
+    sizes), same as before."""
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -741,38 +751,54 @@ def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_order")))
         .withColumn("m_dbl", F.col("m_total").cast("double"))
     )
-    acc = RFM_SKETCH_ACCURACY
-    cuts = F.broadcast(
-        per.agg(
-            F.expr(
-                f"approx_percentile(r_days, array(0.25, 0.5, 0.75), {acc})"
-            ).alias("rc"),
-            F.expr(
-                f"approx_percentile(f_orders, array(0.75, 0.5, 0.25), {acc})"
-            ).alias("fc"),
-            F.expr(
-                f"approx_percentile(m_dbl, array(0.75, 0.5, 0.25), {acc})"
-            ).alias("mc"),
-        )
+    samp = (
+        per.select("o_custkey", "r_days", "f_orders", "m_dbl")
+        .withColumn("mh", F.md5(F.col("o_custkey").cast("string")))
+        .withColumn("srn", F.row_number().over(W.orderBy("mh", "o_custkey")))
+        .filter(F.col("srn") <= RFM_SAMPLE_BUDGET)
+        .drop("mh", "srn")
     )
+    ns = samp.agg(F.count("*").alias("n_s"))
+
+    def qcuts(colname: str, prefix: str) -> DataFrame:
+        """One tiny aggregate: the metric's type-1 quartile cuts over the
+        sample (<= budget rows), emitted as 3 scalar columns."""
+        ranked = samp.select(colname, "o_custkey").withColumn(
+            "rr", F.row_number().over(W.orderBy(F.col(colname).asc(), F.col("o_custkey")))
+        )
+        return ranked.crossJoin(F.broadcast(ns)).agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col("rr") == F.ceil(F.lit(q) * F.col("n_s")), F.col(colname)
+                    )
+                ).alias(f"{prefix}{int(q * 100)}")
+                for q in (0.25, 0.5, 0.75)
+            ]
+        )
+
+    cuts = F.broadcast(
+        qcuts("r_days", "r").crossJoin(qcuts("f_orders", "f")).crossJoin(qcuts("m_dbl", "m"))
+    )
+
     # ascending metric (recency: fewer days = better = bucket 1):
     #   q = 1 + [x > p25] + [x > p50] + [x > p75]
     # descending metrics (frequency/monetary: more = bucket 1):
     #   q = 1 + [x < p75] + [x < p50] + [x < p25]
-    def asc_bucket(x: Column, c: str) -> Column:
+    def asc_bucket(x: Column, p: str) -> Column:
         return (
             F.lit(1)
-            + (x > F.col(c).getItem(0)).cast("int")
-            + (x > F.col(c).getItem(1)).cast("int")
-            + (x > F.col(c).getItem(2)).cast("int")
+            + (x > F.col(f"{p}25")).cast("int")
+            + (x > F.col(f"{p}50")).cast("int")
+            + (x > F.col(f"{p}75")).cast("int")
         )
 
-    def desc_bucket(x: Column, c: str) -> Column:
+    def desc_bucket(x: Column, p: str) -> Column:
         return (
             F.lit(1)
-            + (x < F.col(c).getItem(0)).cast("int")
-            + (x < F.col(c).getItem(1)).cast("int")
-            + (x < F.col(c).getItem(2)).cast("int")
+            + (x < F.col(f"{p}75")).cast("int")
+            + (x < F.col(f"{p}50")).cast("int")
+            + (x < F.col(f"{p}25")).cast("int")
         )
 
     return (
@@ -782,12 +808,56 @@ def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFram
             "r_days",
             "f_orders",
             F.col("m_dbl").alias("m_total"),
-            asc_bucket(F.col("r_days"), "rc").alias("r_q"),
-            desc_bucket(F.col("f_orders"), "fc").alias("f_q"),
-            desc_bucket(F.col("m_dbl"), "mc").alias("m_q"),
+            asc_bucket(F.col("r_days"), "r").alias("r_q"),
+            desc_bucket(F.col("f_orders"), "f").alias("f_q"),
+            desc_bucket(F.col("m_dbl"), "m").alias("m_q"),
         )
         .withColumn("segment", F.concat_ws("-", F.col("r_q"), F.col("f_q"), F.col("m_q")))
     )
+
+
+def _rfm_approx_sql() -> str:
+    def cut_cte(name: str, col: str, prefix: str) -> str:
+        return f"""{name} AS (
+  SELECT max(CASE WHEN rr = ceil(0.25 * n_s) THEN {col} END) AS {prefix}25,
+         max(CASE WHEN rr = ceil(0.50 * n_s) THEN {col} END) AS {prefix}50,
+         max(CASE WHEN rr = ceil(0.75 * n_s) THEN {col} END) AS {prefix}75
+  FROM (SELECT {col}, row_number() OVER (ORDER BY {col}, o_custkey) AS rr FROM samp), ns
+)"""
+
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS f_orders,
+         CAST(sum(o_totalprice::DECIMAL(18,6)) AS DOUBLE) AS m_dbl
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         (SELECT max(o_orderdate) FROM orders)::DATE - last_order::DATE AS r_days,
+         f_orders, m_dbl
+  FROM per
+), samp AS (
+  SELECT o_custkey, r_days, f_orders, m_dbl FROM (
+    SELECT s.*, row_number() OVER (ORDER BY md5(o_custkey::VARCHAR), o_custkey) AS srn
+    FROM scored s)
+  WHERE srn <= {RFM_SAMPLE_BUDGET}
+), ns AS (
+  SELECT count(*) AS n_s FROM samp
+), {cut_cte('rcut', 'r_days', 'r')}, {cut_cte('fcut', 'f_orders', 'f')}, {cut_cte('mcut', 'm_dbl', 'm')}
+SELECT o_custkey, r_days, f_orders, m_dbl AS m_total,
+       r_q, f_q, m_q,
+       r_q || '-' || f_q || '-' || m_q AS segment
+FROM (
+  SELECT s.o_custkey, s.r_days, s.f_orders, s.m_dbl,
+         1 + (s.r_days > r25)::INT + (s.r_days > r50)::INT + (s.r_days > r75)::INT AS r_q,
+         1 + (s.f_orders < f75)::INT + (s.f_orders < f50)::INT + (s.f_orders < f25)::INT AS f_q,
+         1 + (s.m_dbl < m75)::INT + (s.m_dbl < m50)::INT + (s.m_dbl < m25)::INT AS m_q
+  FROM scored s, rcut, fcut, mcut)
+"""
+
+
+ORDERS_RFM_APPROX_SQL = _rfm_approx_sql()
 
 
 #: minimum co-purchase support for the basket-affinity report
@@ -1357,6 +1427,7 @@ ORACLES = {
     "window_cume_dist": WINDOW_CUME_DIST_SQL,
     "window_topk_with_ties": WINDOW_TOPK_TIES_SQL,
     "orders_rfm_segmentation": ORDERS_RFM_SQL,
+    "orders_rfm_segmentation_approx": ORDERS_RFM_APPROX_SQL,
     "basket_pair_affinity": BASKET_AFFINITY_SQL,
     "window_first_last_orders": WINDOW_FIRST_LAST_SQL,
     "corr_quantity_price": CORR_QTY_PRICE_SQL,

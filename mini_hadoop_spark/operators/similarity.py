@@ -254,6 +254,79 @@ IVF_CENTROIDS = 32
 IVF_NPROBE = 4
 
 
+def _ivf_ctes() -> str:
+    """Shared DuckDB CTE chain reproducing the IVF build bit-for-bit:
+    ``v`` (vectors + hoisted norm) → ``seeds`` (first K by vec_id) →
+    first Lloyd assignment → fixed-point per-(cid,pos) mean → ``cent``
+    (refined centroids) → ``lists`` (final inverted lists).  Every float
+    op matches the Spark plan's order (dot fold, / norm / norm, window
+    tiebreak on cid), and the centroid mean is the same integer
+    fixed-point sum, so downstream rankings agree exactly.  Used by both
+    the ANN oracle and the kmeans-topics oracle."""
+    cos = "list_dot_product({v}.e, {c}.ce) / {v}.nv / sqrt(list_dot_product({c}.ce, {c}.ce))"
+    return f"""v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT {IVF_CENTROIDS}
+), assign0 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, s.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.e, s.ce) / v.nv / sqrt(list_dot_product(s.ce, s.ce)) DESC,
+             s.cid) AS r
+    FROM v CROSS JOIN seeds s)
+  WHERE r = 1
+), comp AS (
+  SELECT cid, i AS pos, e[i] AS x
+  FROM assign0, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+), cent AS (
+  SELECT cid, list(m ORDER BY pos) AS ce FROM (
+    SELECT cid, pos,
+           CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e9) AS m
+    FROM comp GROUP BY cid, pos)
+  GROUP BY cid
+), lists AS (
+  SELECT vec_id, e, nv, cid FROM (
+    SELECT v.vec_id, v.e, v.nv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             {cos.format(v='v', c='c')} DESC, c.cid) AS r
+    FROM v CROSS JOIN cent c)
+  WHERE r = 1
+)"""
+
+
+def _ann_ivf_sql() -> str:
+    return f"""
+WITH {_ivf_ctes()}, probes AS (
+  SELECT vec_id AS query_id, e AS qe, nv AS nq, cid FROM (
+    SELECT v.vec_id, v.e, v.nv, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.e, c.ce) / v.nv / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+             c.cid) AS r
+    FROM v CROSS JOIN cent c
+    WHERE v.vec_id % {QUERY_MODULUS} = 0)
+  WHERE r <= {IVF_NPROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id,
+         list_dot_product(p.qe, l.e) / p.nq / l.nv AS cos
+  FROM lists l JOIN probes p USING (cid)
+  WHERE l.vec_id <> p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM cand
+)
+SELECT query_id, neighbor_id, rnk, {sql_round_half_up('cos', 6)} AS cos_sim
+FROM ranked WHERE rnk <= 3
+"""
+
+
+SIMILARITY_ANN_IVF_SQL = _ann_ivf_sql()
+
+
 def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) -> DataFrame:
     """Assign each vector its ``n_nearest`` centroids by cosine (the
     centroid table is tiny — broadcast; argmax via a rank window over
@@ -281,8 +354,19 @@ def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> Data
     state to leak across runs); ``refine`` runs ONE distributed Lloyd
     step: assign all vectors to their nearest seed, then recompute each
     centroid as the element-wise mean of its members (posexplode →
-    per-(cid, pos) avg → re-pack), which is the standard k-means
-    iteration expressed as two shuffles."""
+    per-(cid, pos) mean → re-pack), which is the standard k-means
+    iteration expressed as two shuffles.
+
+    The mean is an INTEGER fixed-point sum (per-member components
+    rounded half-up at 1e-9 to BIGINT, summed, divided once) —
+    order-independent, so the centroid doubles are bit-identical across
+    partitionings AND across engines (DuckDB reproduces the arithmetic
+    exactly), which is what lets similarity_ann_ivf and
+    cluster_kmeans_topics carry full value-hash oracles.  A float avg
+    drifts in the last ulp with summation order and can flip near-tie
+    rankings downstream.  Bound: |sum| < 2^63 needs
+    members x 1e9 x max|x| < 9.2e18 — fine for billions of members of
+    unit-norm-ish vectors."""
     seeds = (
         v.orderBy("vec_id")
         .limit(k)
@@ -294,7 +378,14 @@ def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> Data
     means = (
         assigned.select("cid", F.posexplode("e").alias("pos", "x"))
         .groupBy("cid", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / (F.count("*") * F.lit(1e9))
+            ).alias("m")
+        )
         .groupBy("cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.col("pm.m").alias("ce"))
@@ -765,8 +856,11 @@ ORACLES = {
     # similarity_ann_lsh IS directly oracle-able: the ±1 planes are
     # literals and every float op sequence (projection fold, cosine,
     # rounding) is IEEE-identical on both engines (r6 upgrade from
-    # rows-only).  similarity_ann_ivf stays rows-only: its quantizer is
-    # a Lloyd iteration whose DuckDB twin would need the whole k-means
-    # loop in SQL; recall vs brute asserted in tests instead.
+    # rows-only).  similarity_ann_ivf joined it in r7: the quantizer's
+    # one Lloyd step uses an order-independent fixed-point mean, so the
+    # whole build (seeds -> assign -> mean -> assign -> topk) is
+    # reproduced exactly by _ivf_ctes(); recall vs brute additionally
+    # asserted in tests.
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
+    "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
 }
