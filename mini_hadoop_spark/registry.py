@@ -36,24 +36,27 @@ _MODULES = [
 # queries() in registration order.  DRIVER_WINDOW pins those 50 explicitly:
 # one block from every north-star family (dedup, similarity, the
 # reference-parity workloads, the streaming drains, events, temporal, skew,
-# sampling, multimodal, text, retrieval, relational), and — as of r6 —
-# EVERY window entry is DuckDB-oracled, so all 50 driver slots produce
-# rows+schema+hash evidence.  The xxhash64-based entries with no DuckDB
-# twin (dedup_minhash_lsh, dedup_simhash, dedup_clusters_lsh,
-# similarity_ann_lsh, similarity_ann_ivf) sit PAST the window — the
-# MinHash family is driver-evidenced through its bit-identical md5 twin
-# (dedup_minhash_lsh_md5), and the xxhash64 forms stay recall/determinism
-# pytest-gated.  tfidf_top_terms / bm25_search / window_cume_dist /
-# customer_segment_value are promoted in their place (the latter two are
-# the r5 relational_ext additions that had never appeared in a driver
-# artifact — ADVICE r5).  Everything outside the window runs in the local
-# oracle battery (tests/test_oracle_battery.py) every round.
+# sampling, multimodal, text, retrieval, relational), and EVERY window
+# entry is DuckDB-oracled, so all 50 driver slots produce
+# rows+schema+hash evidence.  The 4 rows-only queries (xxhash64 dedup
+# forms + agg_approx_sketches) sit PAST the window — driver-evidenced
+# through their bit-identical oracled md5 twins (see COVERAGE.md).
+#
+# r7 ROTATION (VERDICT r6 #6): 12 long-stable slots (4 hash-dedup rungs
+# green since r2-r3, 8 events queries green since r3-r5) swapped out for
+# 12 queries with zero driver rows ever: the r7 containment detector,
+# the r6 md5 twins + audits (simhash_md5, clusters_lsh_md5, matryoshka,
+# split_leakage, c4_rules), the r7 newly-oracled trio (ann_ivf,
+# kmeans_topics, rfm_approx), and 3 TPC-H completion shapes
+# (q2/q12/q21).  Rotated-out queries keep running in the local oracle
+# battery (tests/test_oracle_battery.py) every round, as does everything
+# else outside the window.
 DRIVER_WINDOW = [
     "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_incremental",
-    "dedup_histogram",
-    "dedup_funnel_report",
+    "dedup_containment",
+    "dedup_simhash_md5",
+    "dedup_clusters_lsh_md5",
+    "similarity_matryoshka_agreement",
     "contamination_ngram",
     "dedup_near_jaccard",
     "dedup_minhash_lsh_md5",
@@ -70,15 +73,15 @@ DRIVER_WINDOW = [
     "pagerank_2iter",
     "streaming_hourly_drain",
     "streaming_session_drain",
-    "events_gap_quantiles",
-    "events_type_transitions",
-    "events_first_touch_attribution",
-    "events_hourly_window",
-    "events_funnel",
-    "events_dau_wau",
+    "similarity_ann_ivf",
+    "cluster_kmeans_topics",
+    "orders_rfm_segmentation_approx",
+    "split_leakage_audit",
+    "quality_c4_rules",
+    "q2_min_cost_supplier",
+    "q12_shipping_delay",
+    "q21_waiting_suppliers",
     "events_sessionization",
-    "events_session_window",
-    "events_type_value_stats",
     "events_weekly_retention",
     "join_asof_latest_order",
     "join_asof_next_order",
