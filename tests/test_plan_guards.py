@@ -69,8 +69,9 @@ BNLJ_ALLOWED = {
     # orders_rfm_segmentation: crossJoin(broadcast(<1-row corpus max
     # date>)) onto the per-customer aggregate — scalar-attach again.
     "orders_rfm_segmentation",
-    # orders_rfm_segmentation_approx: two scalar-attaches (corpus max
-    # date + the 1-row approx_percentile cuts).
+    # orders_rfm_segmentation_approx: scalar-attaches only (corpus max
+    # date + the 1-row md5-sample quartile-cut row + the 1-row sample
+    # count attached to the bounded sample ranking).
     "orders_rfm_segmentation_approx",
     # basket_pair_affinity: crossJoin(broadcast(<1-row order total>))
     # onto the supported pair table — scalar-attach again.
