@@ -328,23 +328,56 @@ SIMILARITY_ANN_IVF_SQL = _ann_ivf_sql()
 
 
 def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) -> DataFrame:
-    """Assign each vector its ``n_nearest`` centroids by cosine (the
-    centroid table is tiny — broadcast; argmax via a rank window over
-    |v| x K scored rows).  ``v`` carries its hoisted ``nv`` norm; the
-    centroid norm is computed once per centroid inside the broadcast."""
-    from pyspark.sql import Window as W
+    """Assign each vector its ``n_nearest`` centroids by cosine —
+    ZERO-SHUFFLE: the K centroids collapse into one broadcast row
+    carrying a cid-sorted array of (cid, ce, nce) structs, each vector
+    scores all K inline (transform + dot fold), and the top-n falls out
+    of an array_sort comparator + slice — a pure codegen projection.
 
-    c = centroids.withColumn("nce", norm(F.col("ce")))
-    scored = v.crossJoin(F.broadcast(c)).select(
-        "vec_id", "e", "nv", "cid",
-        (dot(F.col("e"), F.col("ce")) / F.col("nv") / F.col("nce")).alias("cs"),
+    The previous form (crossJoin K rows + row_number window partitioned
+    by vec_id) shuffled |v| x K rows EACH CARRYING THE 64-double vector
+    — at 100 TB that is a K-times-corpus shuffle of array payloads for
+    what is per-row arithmetic over a broadcast model.  Results are
+    identical (same dot/div op order, same (cs desc, cid asc) ordering),
+    so the DuckDB oracles reproduce either plan.
+
+    ``v`` carries its hoisted ``nv`` norm; centroid norms are computed
+    once per centroid inside the 1-row aggregate."""
+    c_arr = F.broadcast(
+        centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("cid"), F.col("ce"), norm(F.col("ce")).alias("nce"))
+                )
+            ).alias("cents")
+        )
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cid"))
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_nearest)
-        .select("vec_id", "e", "nv", F.col("cid").alias(out_col))
+    scored = v.crossJoin(c_arr).select(
+        "vec_id", "e", "nv",
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                (dot(F.col("e"), s["ce"]) / F.col("nv") / s["nce"]).alias("cs"),
+                s["cid"].alias("cid"),
+            ),
+        ).alias("scores"),
     )
+
+    def by_cos_desc_then_cid(l, r):
+        return (
+            F.when(l["cs"] > r["cs"], F.lit(-1))
+            .when(l["cs"] < r["cs"], F.lit(1))
+            .when(l["cid"] < r["cid"], F.lit(-1))
+            .when(l["cid"] > r["cid"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return scored.select(
+        "vec_id", "e", "nv",
+        F.explode(
+            F.slice(F.array_sort("scores", by_cos_desc_then_cid), 1, n_nearest)
+        ).alias("_pick"),
+    ).select("vec_id", "e", "nv", F.col("_pick.cid").alias(out_col))
 
 
 def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> DataFrame:
