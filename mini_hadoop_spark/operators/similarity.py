@@ -761,12 +761,22 @@ def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     # ONE broadcast join scoring full + every prefix in the same
     # projection (the join is the expensive part — |corpus| x |queries|
     # rows), then one rank window per ranking over the shared frame.
-    scored = v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cos_at(None).alias("cos_full"),
-        *[cos_at(k).alias(f"cos_{k}") for k in MATRYOSHKA_DIMS],
-    ).localCheckpoint(eager=False)
+    # The frame is REPARTITIONED BY query_id before the checkpoint: all
+    # four ranking windows require exactly that distribution, so they
+    # each run as a local sort over the materialized blocks instead of
+    # re-shuffling the scored rows four times (DESIGN lesson 6 —
+    # pre-partition the shared invariant on its consumer key).
+    scored = (
+        v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos_at(None).alias("cos_full"),
+            *[cos_at(k).alias(f"cos_{k}") for k in MATRYOSHKA_DIMS],
+        )
+        .repartition("query_id")
+        .localCheckpoint(eager=False)
+    )
 
     def topk(col: str) -> DataFrame:
         w = W.partitionBy("query_id").orderBy(F.col(col).desc(), F.col("neighbor_id"))
