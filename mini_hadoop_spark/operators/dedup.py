@@ -468,6 +468,151 @@ FROM directed WHERE c >= {CONTAINMENT_THRESHOLD}
 """
 
 
+# Window size for positional duplicated-span detection (tokens).  5-gram
+# repeats are long enough to be non-accidental in natural text and short
+# enough to catch boilerplate fragments; the classic ExactSubstr dedup
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better") uses a 50-BYTE threshold — roughly this order in tokens.
+SPAN_K = 5
+
+
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional span-excision report — the ExactSubstr-style dedup the
+    shingle-coverage audit (``dup_span_coverage``) only hints at: for
+    each document, find every token POSITION covered by a word-5-gram
+    that also appears in some OTHER document, merge covered positions
+    into maximal spans, and report what excising those spans would
+    remove: (doc_id, n_tokens, n_dup_positions, n_spans, longest_span,
+    removed_frac).  A curation pipeline reads this to cut duplicated
+    boilerplate OUT of long documents instead of dropping whole docs
+    (the case where doc-level near-dup passes either over-delete or
+    under-delete).
+
+    Plan: tokenize once; 5-grams with their start position come from one
+    ``transform`` over the token array (no window); cross-doc duplicated
+    grams fall out of one gram aggregate (count distinct docs >= 2);
+    covered positions explode from qualifying gram starts and dedupe on
+    (doc, pos); maximal spans are the classic gaps-and-islands
+    lag/running-sum pair over each doc's covered positions — the only
+    per-doc window, partitioned by doc_id, linear rows.  Scale: the gram
+    aggregate is the heavy shuffle (same class as the shingle index —
+    at 100 TB group on xxhash64(gram) to shrink the shuffle width; the
+    string form here keeps the DuckDB oracle bit-identical); everything
+    after is bounded by duplicated-position counts."""
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    t = tokens("text")
+    gram_structs = F.when(
+        F.size(t) >= F.lit(SPAN_K),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(SPAN_K - 1)),
+            lambda i: F.struct(
+                (i - F.lit(1)).cast("long").alias("pos"),
+                F.concat_ws(" ", F.slice(t, i, SPAN_K)).alias("gram"),
+            ),
+        ),
+    )
+    grams = (
+        d.select("doc_id", F.explode(gram_structs).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("cpos")
+    spans = cov.withColumn(
+        "brk",
+        F.when(F.col("cpos") - F.lag("cpos").over(w) == 1, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn(
+        "span_id",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_span = spans.groupBy("doc_id", "span_id").agg(F.count("*").alias("span_len"))
+    per_doc = per_span.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_len").alias("n_dup_positions"),
+        F.max("span_len").alias("longest_span"),
+    )
+    nt = d.select("doc_id", F.size(t).cast("long").alias("n_tokens"))
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("double")
+        / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    return nt.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long").alias("n_dup_positions"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("longest_span"), F.lit(0)).cast("long").alias("longest_span"),
+        round_half_up(frac, 6).alias("removed_frac"),
+    )
+
+
+def _span_gram_concat_sql() -> str:
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(SPAN_K))
+    return parts
+
+
+DEDUP_SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), grams AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, {_span_gram_concat_sql()} AS gram
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - {SPAN_K - 1}, 0))) AS i) g
+), dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + d.k AS cpos
+  FROM grams g
+  JOIN dup USING (gram),
+       LATERAL (SELECT unnest(generate_series(0, {SPAN_K - 1})) AS k) d
+), runs AS (
+  SELECT doc_id, cpos,
+         CASE WHEN cpos - lag(cpos) OVER (PARTITION BY doc_id ORDER BY cpos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM cov
+), spans AS (
+  SELECT doc_id, cpos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY cpos) AS span_id
+  FROM runs
+), per_span AS (
+  SELECT doc_id, span_id, count(*) AS span_len FROM spans GROUP BY doc_id, span_id
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(span_len) AS n_dup_positions,
+         max(span_len) AS longest_span
+  FROM per_span GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, len(t)::BIGINT AS n_tokens FROM toks
+)
+SELECT n.doc_id, n.n_tokens,
+       COALESCE(p.n_dup_positions, 0)::BIGINT AS n_dup_positions,
+       COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(p.longest_span, 0)::BIGINT AS longest_span,
+       {sql_round_half_up(
+           "CASE WHEN n.n_tokens > 0"
+           " THEN COALESCE(p.n_dup_positions, 0) * 1.0 / n.n_tokens ELSE 0.0 END",
+           6,
+       )} AS removed_frac
+FROM nt n LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """(doc_id, sig: array<long>) — MinHash signature per document.
 
@@ -1510,6 +1655,7 @@ QUERIES = {
     "contamination_ngram": contamination_ngram,
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_containment": dedup_containment,
+    "dedup_span_removal": dedup_span_removal,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
@@ -1530,6 +1676,7 @@ ORACLES = {
     "contamination_ngram": CONTAMINATION_SQL,
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "dedup_span_removal": DEDUP_SPAN_REMOVAL_SQL,
     "dedup_minhash_lsh_md5": DEDUP_MINHASH_LSH_MD5_SQL,
     "dedup_simhash_md5": DEDUP_SIMHASH_MD5_SQL,
     "dedup_clusters_lsh_md5": DEDUP_CLUSTERS_LSH_MD5_SQL,

@@ -652,3 +652,33 @@ def test_matryoshka_agreement_go_no_go_semantics(spark):
     # go/no-go ordering: a longer prefix may not agree WORSE than the
     # shortest one (the monotone trend the serving decision reads)
     assert rows[dims[-1]]["topk_agreement"] >= rows[dims[0]]["topk_agreement"]
+
+
+def test_dedup_span_removal_planted_spans(spark, tmp_path):
+    """Two docs share an 8-token run (positions 3-10 of doc 1, 0-7 of
+    doc 2) and doc 3 is clean: the 4 overlapping duplicated 5-grams must
+    merge into ONE maximal span of 8 positions in each sharing doc, the
+    clean doc reports zeros, and removed_frac is exact."""
+    from mini_hadoop_spark.operators.dedup import dedup_span_removal
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    sf = _write_docs(
+        tmp_path,
+        [
+            f"one two three {shared} tail1 tail2",       # 13 tokens, span at 3..10
+            f"{shared} extra1 extra2 extra3 extra4",      # 12 tokens, span at 0..7
+            "totally unrelated words with no overlap at all here",  # 9 tokens
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup_span_removal(spark, sf).collect()}
+    assert rows[1]["n_tokens"] == 13 and rows[2]["n_tokens"] == 12
+    for doc in (1, 2):
+        r = rows[doc]
+        assert r["n_spans"] == 1, f"doc {doc}: overlapping grams must merge"
+        assert r["n_dup_positions"] == 8
+        assert r["longest_span"] == 8
+    assert rows[1]["removed_frac"] == round(8 / 13, 6)
+    assert rows[2]["removed_frac"] == round(8 / 12, 6)
+    assert rows[3]["n_spans"] == 0
+    assert rows[3]["n_dup_positions"] == 0
+    assert rows[3]["removed_frac"] == 0.0
