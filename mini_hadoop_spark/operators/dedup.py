@@ -370,6 +370,47 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(spark, sf_dir, "jaccard")
 
 
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: the near-dup pair graph rolled up
+    to an unordered source x source matrix — (source_x, source_y,
+    n_pairs, pair_share).  A curation team reads this to find copy
+    FLOWS (mirror sites, syndication, cross-crawl overlap) before
+    deciding per-source dedup policy; within-source rows (x == y) are
+    internal duplication, cross rows are syndication.
+
+    Plan: the pair set is the MEMOIZED exact-Jaccard graph (built once
+    per session — this query adds two broadcast-able joins of the tiny
+    (doc_id, source) projection onto dozens of pair rows plus one
+    bounded |sources|^2 aggregate and a 1-row total attach.  Scale: swap
+    the jaccard pair method for the LSH one with one argument, matrix
+    stays |sources|^2."""
+    pairs = near_dup_pairs(spark, sf_dir, "jaccard").select("doc_a", "doc_b")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    labeled = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    mat = labeled.groupBy("source_x", "source_y").agg(F.count("*").alias("n_pairs"))
+    total = F.broadcast(mat.agg(F.sum("n_pairs").alias("n_total")))
+    return mat.crossJoin(total).select(
+        "source_x",
+        "source_y",
+        "n_pairs",
+        round_half_up(F.col("n_pairs").cast("double") / F.col("n_total"), 6).alias(
+            "pair_share"
+        ),
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = None  # assigned below _JACCARD_CTES (import-order)
+
+
 # Containment output threshold: at sf0.01 the planted sub-document pairs
 # sit at containment >= 0.9 while incidental overlap tops out below 0.3 —
 # 0.5 has a wide margin on both sides (no boundary instability).
@@ -465,6 +506,25 @@ WITH {_JACCARD_CTES}, directed AS (
 )
 SELECT doc_inner, doc_outer, {sql_round_half_up('c', 6)} AS containment
 FROM directed WHERE c >= {CONTAINMENT_THRESHOLD}
+"""
+
+# (defined here, BELOW _JACCARD_CTES — module-level f-strings evaluate at
+# import, in file order; see the r6 NameError lesson)
+DEDUP_CROSS_SOURCE_SQL = f"""
+WITH {_JACCARD_CTES}, labeled AS (
+  SELECT least(da.source, db.source) AS source_x,
+         greatest(da.source, db.source) AS source_y
+  FROM pairs
+  JOIN documents da ON pairs.doc_a = da.doc_id
+  JOIN documents db ON pairs.doc_b = db.doc_id
+), mat AS (
+  SELECT source_x, source_y, count(*) AS n_pairs
+  FROM labeled GROUP BY source_x, source_y
+)
+SELECT source_x, source_y, n_pairs,
+       {sql_round_half_up(
+           "n_pairs * 1.0 / (SELECT sum(n_pairs) FROM mat)", 6)} AS pair_share
+FROM mat
 """
 
 
@@ -1656,6 +1716,7 @@ QUERIES = {
     "dedup_near_jaccard": dedup_near_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_span_removal": dedup_span_removal,
+    "dedup_cross_source_matrix": dedup_cross_source_matrix,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_minhash_lsh_md5": dedup_minhash_lsh_md5,
     "dedup_simhash": dedup_simhash,
@@ -1677,6 +1738,7 @@ ORACLES = {
     "dedup_near_jaccard": DEDUP_NEAR_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_span_removal": DEDUP_SPAN_REMOVAL_SQL,
+    "dedup_cross_source_matrix": DEDUP_CROSS_SOURCE_SQL,
     "dedup_minhash_lsh_md5": DEDUP_MINHASH_LSH_MD5_SQL,
     "dedup_simhash_md5": DEDUP_SIMHASH_MD5_SQL,
     "dedup_clusters_lsh_md5": DEDUP_CLUSTERS_LSH_MD5_SQL,

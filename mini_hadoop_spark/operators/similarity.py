@@ -110,6 +110,94 @@ FROM ranked WHERE rnk <= {TOP_K}
 """
 
 
+# Hard-negative mining: absolute md5-ranked query budget (linear at any
+# corpus scale — DESIGN lesson 18), top-K other-label neighbors each.
+HARD_NEG_BUDGET = 32
+HARD_NEG_K = 5
+
+
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever/reranker training: for each of
+    HARD_NEG_BUDGET md5-selected query vectors, the HARD_NEG_K corpus
+    vectors most cosine-similar to the query but carrying a DIFFERENT
+    label — the near-miss negatives contrastive training needs (random
+    negatives are too easy; the hard ones sit just across the decision
+    boundary).  Output: (query_id, query_label, neighbor_id,
+    neighbor_label, rnk, cos_sim).
+
+    Plan: identical brute shape to ``similarity_topk_brute`` (broadcast
+    the bounded query set over one corpus scan, one rank window) plus a
+    label-mismatch predicate INSIDE the join condition, so same-label
+    rows never reach the window.  The md5-ranked ABSOLUTE budget keeps
+    the scored-row count budget x corpus — linear at 100x data.  At
+    100 TB the candidate generation swaps to the shared LSH/IVF index
+    family (equi-join on bucket/list, filter label, same ranking)."""
+    v = _vectors(spark, sf_dir).select("vec_id", "label", "e", "nv")
+    picked = (
+        v.select("vec_id")
+        .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.col("mh"), F.col("vec_id"))))
+        .filter(F.col("rn") <= HARD_NEG_BUDGET)
+        .select("vec_id")
+    )
+    queries = v.join(F.broadcast(picked), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("e").alias("qe"),
+        F.col("nv").alias("nq"),
+    )
+    scored = v.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("query_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        (dot(F.col("qe"), F.col("e")) / F.col("nq") / F.col("nv")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rnk",
+            round_half_up(F.col("cos"), 6).alias("cos_sim"),
+        )
+    )
+
+
+SIMILARITY_HARD_NEG_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS query_label, e AS qe, nv AS nq FROM (
+    SELECT vec_id, label, e, nv,
+           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+    FROM v)
+  WHERE rn <= {HARD_NEG_BUDGET}
+), pairs AS (
+  SELECT q.query_id, q.query_label, v.vec_id AS neighbor_id,
+         v.label AS neighbor_label,
+         list_dot_product(qe, e) / nq / nv AS cos
+  FROM q JOIN v ON v.vec_id <> q.query_id AND v.label <> q.query_label
+), ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM pairs
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, rnk,
+       {sql_round_half_up('cos', 6)} AS cos_sim
+FROM ranked WHERE rnk <= {HARD_NEG_K}
+"""
+
+
 def _srp_bucket_sql(e_col: str, table: int) -> str:
     """SQL text for the LSH_BITS-bit sign-random-projection bucket id of
     hash table ``table``: bit j = (sum_i sign(table,j,i) * e[i]) > 0,
@@ -880,6 +968,7 @@ MATRYOSHKA_SQL = _matryoshka_sql()
 
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
+    "similarity_hard_negatives": similarity_hard_negatives,
     "similarity_matryoshka_agreement": similarity_matryoshka_agreement,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
@@ -891,6 +980,7 @@ QUERIES = {
 
 ORACLES = {
     "similarity_topk_brute": SIMILARITY_TOPK_SQL,
+    "similarity_hard_negatives": SIMILARITY_HARD_NEG_SQL,
     "similarity_matryoshka_agreement": MATRYOSHKA_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
