@@ -32,6 +32,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_hadoop_spark.functions.partitioning import spread_small_scan
+from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
 from mini_hadoop_spark.sources.catalog import load_table
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -357,11 +358,83 @@ GROUP BY 1, 2
 """
 
 
+def multimodal_storage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality storage planning report — what a 100 TB multimodal
+    lake's capacity review reads: asset count, total/avg bytes, distinct
+    payloads, and RECLAIMABLE bytes (what payload-level dedup would free:
+    for each digest, (copies - 1) x payload size).  One row per modality:
+    (modality, n_assets, total_bytes, n_distinct_payloads, dup_assets,
+    reclaimable_bytes, avg_bytes).
+
+    Plan: digest + size in the scan projection, one (modality, digest)
+    map-combined aggregate (shuffle carries 64-hex digests + two longs,
+    never payload bytes), then one |modalities|-key rollup.  avg_bytes is
+    a ratio of exact integer sums rounded half-up — bit-identical across
+    engines."""
+    b = synth_binary_docs(spark, sf_dir)
+    per_digest = (
+        b.select(
+            "modality",
+            F.sha2("payload", 256).alias("digest"),
+            F.octet_length("payload").alias("n_bytes"),
+        )
+        .groupBy("modality", "digest")
+        .agg(F.count("*").alias("n_copies"), F.min("n_bytes").alias("n_bytes"))
+    )
+    return (
+        per_digest.groupBy("modality")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_assets"),
+            F.sum(F.col("n_copies") * F.col("n_bytes")).cast("long").alias("total_bytes"),
+            F.count("*").alias("n_distinct_payloads"),
+            F.sum(F.col("n_copies") - F.lit(1)).cast("long").alias("dup_assets"),
+            F.sum((F.col("n_copies") - F.lit(1)) * F.col("n_bytes"))
+            .cast("long")
+            .alias("reclaimable_bytes"),
+        )
+        .select(
+            "modality",
+            "n_assets",
+            "total_bytes",
+            "n_distinct_payloads",
+            "dup_assets",
+            "reclaimable_bytes",
+            round_half_up(
+                F.col("total_bytes").cast("double") / F.col("n_assets"), 6
+            ).alias("avg_bytes"),
+        )
+    )
+
+
+MULTIMODAL_STORAGE_SQL = f"""
+WITH per_digest AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS modality,
+         sha256(text) AS digest,
+         count(*) AS n_copies,
+         min(octet_length(encode(text))) AS n_bytes
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT modality,
+       sum(n_copies)::BIGINT AS n_assets,
+       sum(n_copies * n_bytes)::BIGINT AS total_bytes,
+       count(*)::BIGINT AS n_distinct_payloads,
+       sum(n_copies - 1)::BIGINT AS dup_assets,
+       sum((n_copies - 1) * n_bytes)::BIGINT AS reclaimable_bytes,
+       {sql_round_half_up('CAST(sum(n_copies * n_bytes) AS DOUBLE) / sum(n_copies)', 6)} AS avg_bytes
+FROM per_digest
+GROUP BY modality
+"""
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_payload_dedup": multimodal_payload_dedup,
+    "multimodal_storage_report": multimodal_storage_report,
 }
 
 def _features_sql() -> str:
@@ -402,4 +475,5 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "multimodal_payload_dedup": MULTIMODAL_PAYLOAD_DEDUP_SQL,
+    "multimodal_storage_report": MULTIMODAL_STORAGE_SQL,
 }

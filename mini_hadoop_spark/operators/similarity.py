@@ -648,6 +648,95 @@ FROM d GROUP BY dim
 """
 
 
+OUTLIER_TOP = 20
+OUTLIER_EPS = 1e-9  # variance floor: dead dims contribute ~0, never inf
+
+
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-OUTLIER_TOP most-anomalous vectors per the per-label diagonal
+    z-score: score(v) = Σ_d (x_d − μ_{label,d})² / (σ²_{label,d} + eps).
+    The mislabeled-or-corrupt detector an embedding pipeline runs before
+    training a classifier or building a label-routed index — a vector
+    far from its own label's distribution is either noise, a labeling
+    error, or genuine drift worth a look.
+
+    Determinism: the (label, dim) moment sums AND the per-vector score
+    sum are INTEGER fixed-point accumulations (round half-up at 1e-9 →
+    BIGINT), so both are order-independent and bit-identical in DuckDB;
+    mean/variance/score derive from the exact sums with one identical
+    IEEE op sequence.  Ranking compares the integer score — no float
+    tie ambiguity.
+
+    Scale: the moment table is |labels| x |dims| rows (map-combined
+    partial sums; broadcast back), the score is one per-vector
+    aggregate, and only the top-N window touches a global ordering —
+    over (vec_id, score9) id-rows."""
+    v = _vectors(spark, sf_dir).select("vec_id", "label", "e")
+    ex = v.select("vec_id", "label", F.posexplode("e").alias("pos", "x"))
+
+    def r9(col: Column) -> Column:
+        return F.floor(col * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    stats = ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n"),
+        F.sum(r9(F.col("x"))).alias("s1"),
+        F.sum(r9(F.col("x") * F.col("x"))).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / (F.col("n") * F.lit(1e9))
+    ex2 = F.col("s2").cast("double") / (F.col("n") * F.lit(1e9))
+    stats = stats.select(
+        "label", "pos", mean.alias("mu"), (ex2 - mean * mean).alias("var")
+    )
+    term = (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) / (
+        F.col("var") + F.lit(OUTLIER_EPS)
+    )
+    scored = (
+        ex.join(F.broadcast(stats), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(r9(term)).alias("score9"))
+    )
+    w = W.orderBy(F.col("score9").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= OUTLIER_TOP)
+        .select(
+            "vec_id",
+            "label",
+            "rnk",
+            round_half_up(F.col("score9").cast("double") / F.lit(1e9), 6).alias(
+                "outlier_score"
+            ),
+        )
+    )
+
+
+EMBEDDING_OUTLIER_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, label, (i - 1) AS pos, (embedding::DOUBLE[])[i] AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+), stats AS (
+  SELECT label, pos,
+         CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 1e9) AS mu,
+         CAST(sum(CAST(floor(x * x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 1e9)
+           - (CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 1e9))
+             * (CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / (count(*) * 1e9)) AS var
+  FROM ex GROUP BY label, pos
+), scored AS (
+  SELECT e.vec_id, e.label,
+         sum(CAST(floor((e.x - s.mu) * (e.x - s.mu) / (s.var + {OUTLIER_EPS}) * 1e9 + 0.5) AS BIGINT)) AS score9
+  FROM ex e JOIN stats s ON e.label = s.label AND e.pos = s.pos
+  GROUP BY e.vec_id, e.label
+), ranked AS (
+  SELECT vec_id, label, score9,
+         row_number() OVER (ORDER BY score9 DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT vec_id, label, rnk,
+       {sql_round_half_up('CAST(score9 AS DOUBLE) / 1e9', 6)} AS outlier_score
+FROM ranked WHERE rnk <= {OUTLIER_TOP}
+"""
+
+
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label class centroids — the nearest-centroid-classifier /
     class-prototype primitive (and the k-means update step as a
@@ -974,6 +1063,7 @@ QUERIES = {
     "similarity_ann_ivf": similarity_ann_ivf,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_outlier_audit": embedding_outlier_audit,
     "embedding_label_centroids": embedding_label_centroids,
     "centroid_classify_eval": centroid_classify_eval,
 }
@@ -984,6 +1074,7 @@ ORACLES = {
     "similarity_matryoshka_agreement": MATRYOSHKA_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "embedding_outlier_audit": EMBEDDING_OUTLIER_SQL,
     "embedding_label_centroids": EMBEDDING_CENTROIDS_SQL,
     "centroid_classify_eval": CENTROID_CLASSIFY_SQL,
     # similarity_ann_lsh IS directly oracle-able: the ±1 planes are
