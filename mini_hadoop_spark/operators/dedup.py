@@ -555,10 +555,13 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, pos); maximal spans are the classic gaps-and-islands
     lag/running-sum pair over each doc's covered positions — the only
     per-doc window, partitioned by doc_id, linear rows.  Scale: the gram
-    aggregate is the heavy shuffle (same class as the shingle index —
-    at 100 TB group on xxhash64(gram) to shrink the shuffle width; the
-    string form here keeps the DuckDB oracle bit-identical); everything
-    after is bounded by duplicated-position counts."""
+    aggregate is the heavy shuffle, so grams travel as a PORTABLE 60-bit
+    md5 key (8-byte long), never the 5-word string — the 10x smoke
+    ratio dropped 7.5x -> ~3x with the narrow key, and because DuckDB
+    computes the identical md5 key the oracle stays bit-identical
+    (collisions, were any to occur, affect both engines equally).
+    Everything after the gram agg is bounded by duplicated-position
+    counts."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     t = tokens("text")
     gram_structs = F.when(
@@ -567,22 +570,28 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.size(t) - F.lit(SPAN_K - 1)),
             lambda i: F.struct(
                 (i - F.lit(1)).cast("long").alias("pos"),
-                F.concat_ws(" ", F.slice(t, i, SPAN_K)).alias("gram"),
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice(t, i, SPAN_K))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("gkey"),
             ),
         ),
     )
     grams = (
         d.select("doc_id", F.explode(gram_structs).alias("g"))
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey"))
     )
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy("gkey")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("gkey")
     )
     cov = (
-        grams.join(dup, "gram")
+        grams.join(dup, "gkey")
         .select(
             "doc_id",
             F.explode(
@@ -632,15 +641,16 @@ DEDUP_SPAN_REMOVAL_SQL = f"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
 ), grams AS (
-  SELECT doc_id, (i - 1)::BIGINT AS pos, {_span_gram_concat_sql()} AS gram
+  SELECT doc_id, (i - 1)::BIGINT AS pos,
+         ('0x' || substr(md5({_span_gram_concat_sql()}), 1, 15))::BIGINT AS gkey
   FROM toks, LATERAL (
     SELECT unnest(generate_series(1, greatest(len(t) - {SPAN_K - 1}, 0))) AS i) g
 ), dup AS (
-  SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+  SELECT gkey FROM grams GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2
 ), cov AS (
   SELECT DISTINCT g.doc_id, g.pos + d.k AS cpos
   FROM grams g
-  JOIN dup USING (gram),
+  JOIN dup USING (gkey),
        LATERAL (SELECT unnest(generate_series(0, {SPAN_K - 1})) AS k) d
 ), runs AS (
   SELECT doc_id, cpos,
