@@ -243,10 +243,58 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #4: the watermarked INTERVAL
+    stream-stream self-join (clicks_with_errors — every click paired
+    with the same user's errors in the following 30 minutes) run
+    END-TO-END through the streaming engine: file source → two filtered
+    branches → symmetric join state bounded by watermark + time-range →
+    availableNow drain, 'append' mode (joins emit rows as they
+    finalize, not windowed state).  With the hourly (window state),
+    session (session state) and dedup (foreachBatch index) drains this
+    puts the FOURTH streaming state shape Spark maintains — join
+    buffers — inside the driver's oracle gate; the oracle is the plain
+    batch interval-join SQL, which a drained bounded input must equal
+    exactly.  Timestamps are emitted as formatted strings so both
+    engines canonicalize identically."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mini_hadoop_spark.sources.catalog import table_path
+    from mini_hadoop_spark.streaming.joins import clicks_with_errors
+
+    src = table_path(sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_join_")
+    table = f"stream_join_{uuid.uuid4().hex[:8]}"
+    try:
+        dst = os.path.join(stage, "part-000.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        run_stream_to_memory(
+            clicks_with_errors(read_events_stream(spark, stage)),
+            table,
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(table).select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "error_id",
+        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+
+
 QUERIES = {
     "streaming_hourly_drain": streaming_hourly_drain,
     "streaming_session_drain": streaming_session_drain,
     "streaming_dedup_drain": streaming_dedup_drain,
+    "streaming_join_drain": streaming_join_drain,
 }
 
 
@@ -268,10 +316,34 @@ def _dedup_oracle() -> str:
     return DEDUP_EXACT_SQL
 
 
+def _join_oracle() -> str:
+    from mini_hadoop_spark.streaming.joins import CLICK_ERROR_GAP_SEC
+
+    return f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.click_id,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       e.error_id,
+       strftime(e.error_ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM clicks c
+JOIN errors e
+  ON c.user_id = e.user_id
+ AND e.error_ts >= c.click_ts
+ AND e.error_ts <= c.click_ts + INTERVAL {CLICK_ERROR_GAP_SEC} SECONDS
+"""
+
+
 ORACLES = {
     # the batch twins' oracles verbatim: each streaming drain must land
     # on the identical rows
     "streaming_hourly_drain": _hourly_oracle(),
     "streaming_session_drain": _session_oracle(),
     "streaming_dedup_drain": _dedup_oracle(),
+    "streaming_join_drain": _join_oracle(),
 }
