@@ -682,3 +682,24 @@ def test_dedup_span_removal_planted_spans(spark, tmp_path):
     assert rows[3]["n_spans"] == 0
     assert rows[3]["n_dup_positions"] == 0
     assert rows[3]["removed_frac"] == 0.0
+
+
+def test_quantize_pq_codes_contract(spark):
+    """PQ audit invariants: every vector is fully encoded (8 codes, each
+    a seed-derived centroid id), reconstruction error is non-negative,
+    and codes are deterministic across runs (no RNG anywhere)."""
+    from mini_hadoop_spark.operators.compression import PQ_KS, PQ_M, quantize_pq_codes
+
+    df = quantize_pq_codes(spark, SF_DIR)
+    rows = {r["vec_id"]: r for r in df.collect()}
+    n_vec = len(rows)
+    assert n_vec > 0
+    seed_ids = set(sorted(rows)[:PQ_KS])  # first PQ_KS vec_ids are the seeds
+    for r in rows.values():
+        for i in range(PQ_M):
+            assert r[f"code_{i}"] in seed_ids, "codes must be seed centroid ids"
+        assert r["recon_mse"] >= 0.0
+    again = {r["vec_id"]: r for r in quantize_pq_codes(spark, SF_DIR).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
