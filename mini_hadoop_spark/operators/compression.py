@@ -166,6 +166,143 @@ PQ_SUBDIM = 8  # PQ_M * PQ_SUBDIM = embedding dim (64)
 PQ_KS = 16
 
 
+def _pq_d9(sv, ce):
+    """Integer fixed-point squared distance between two equal-length
+    double arrays: per-element squared diffs round half-up at 1e-9 to
+    BIGINT and integer-sum — order-independent, bit-identical in DuckDB
+    (no float tie ambiguity in any downstream argmin/ranking)."""
+    return F.aggregate(
+        F.zip_with(
+            sv,
+            ce,
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e9) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_subvectors(v: DataFrame, vec_col: str = "e", id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sv) — split each vector into PQ_M contiguous PQ_SUBDIM-dim
+    subvectors (one transform + posexplode, no shuffle)."""
+    return v.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+            )
+        ).alias("m", "sv"),
+    )
+
+
+def _pq_assign(sub_df: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Per-(vec, m) nearest centroid via one broadcast codebook array
+    — pure projection, no shuffle (the similarity._assign idiom).
+    The codebook broadcasts as an m-INDEXED array-of-arrays
+    (element_at by m, no per-row linear scan of all PQ_M x PQ_KS
+    entries), and the argmin is a single aggregate fold over the
+    PQ_KS scored structs instead of a comparator sort — both cut
+    the interpreted higher-order-function work per row (measured
+    ~10x together on the 10x corpus; DESIGN lesson 22)."""
+    per_m = codebook.groupBy("m").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("entries")
+    )
+    cb = F.broadcast(
+        per_m.agg(
+            F.array_sort(F.collect_list(F.struct("m", "entries"))).alias("cbs")
+        )
+    )
+    mine = F.element_at(F.col("cbs"), (F.col("m") + 1).cast("int"))["entries"]
+    scores = F.transform(
+        mine, lambda s: F.struct(_pq_d9(F.col("sv"), s["ce"]).alias("d"), s["cid"].alias("cid"))
+    )
+    best = F.aggregate(
+        scores,
+        F.struct(
+            F.lit(2**63 - 1).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, s: F.when(
+            (s["d"] < acc["d"]) | ((s["d"] == acc["d"]) & (s["cid"] < acc["cid"])),
+            s,
+        ).otherwise(acc),
+    )
+    return sub_df.crossJoin(cb).select(
+        "vec_id", "m", "sv", best["cid"].alias("cid"), best["d"].alias("d9")
+    )
+
+
+# (application, sf_dir) -> materialized PQ artifacts.  Like the IVF
+# quantizer/lists: the codebook and the full-corpus code assignment are
+# build-once session-scoped indexes shared by the audit query and the
+# IVF-PQ ANN query.
+_pq_memo: dict[tuple, DataFrame] = {}
+
+
+def _pq_key(spark: SparkSession, sf_dir: str, what: str) -> tuple:
+    import os
+
+    return (spark.sparkContext.applicationId, os.path.normpath(sf_dir), what)
+
+
+def pq_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized, materialized PQ codebook (m, cid, ce): deterministic
+    seeds = the first PQ_KS vectors' subvectors, one Lloyd step with the
+    order-independent fixed-point mean."""
+    key = _pq_key(spark, sf_dir, "cent")
+    if key not in _pq_memo:
+        emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
+        v = emb.select("vec_id", as_double("embedding").alias("e"))
+        sub = pq_subvectors(v)
+        seeds = (
+            sub.join(
+                F.broadcast(v.orderBy("vec_id").limit(PQ_KS).select("vec_id")), "vec_id"
+            ).select(F.col("m"), F.col("vec_id").alias("cid"), F.col("sv").alias("ce"))
+        )
+        a0 = _pq_assign(sub, seeds)
+        comp = a0.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+        cent = (
+            comp.groupBy("m", "cid", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long")
+                    ).cast("double")
+                    / (F.count("*") * F.lit(1e9))
+                ).alias("mm")
+            )
+            .groupBy("m", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mm"))).alias("pm"))
+            .select("m", "cid", F.col("pm.mm").alias("ce"))
+        )
+        _pq_memo[key] = cent.localCheckpoint(eager=True)
+    return _pq_memo[key]
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized full-corpus PQ code assignment (vec_id, m, cid, d9)
+    against the refined codebook."""
+    key = _pq_key(spark, sf_dir, "codes")
+    if key not in _pq_memo:
+        emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
+        v = emb.select("vec_id", as_double("embedding").alias("e"))
+        sub = pq_subvectors(v)
+        _pq_memo[key] = (
+            _pq_assign(sub, pq_model(spark, sf_dir))
+            .select("vec_id", "m", "cid", "d9")
+            .localCheckpoint(eager=True)
+        )
+    return _pq_memo[key]
+
+
+def clear_pq_memo() -> None:
+    """Drop memoized PQ artifacts (tests that rewrite an sf_dir call this)."""
+    _pq_memo.clear()
+
+
 def quantize_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization audit: train one ``PQ_KS``-centroid codebook
     per ``PQ_M`` subspace (deterministic seeds = the first PQ_KS vectors
@@ -173,7 +310,8 @@ def quantize_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ_M nearest-centroid codes, and report the codes plus the
     reconstruction MSE — (vec_id, code_0..code_7, recon_mse).  The
     compression go/no-go a vector store runs before switching its ANN
-    index to IVF-PQ.
+    index to IVF-PQ (similarity_ann_ivfpq shares the memoized codebook
+    and code assignment).
 
     Cross-engine exactness (the same round-7 discipline as the IVF
     quantizer): centroid means are integer fixed-point sums, and every
@@ -182,96 +320,14 @@ def quantize_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (no float tie ambiguity anywhere) and DuckDB reproduces
     codes and MSE bit-for-bit.
 
-    Scale: codebooks are 2 x (PQ_M x PQ_KS)-row broadcast artifacts;
-    both assignment passes are ZERO-SHUFFLE per-row projections over a
-    broadcast codebook array (the similarity._assign pattern); the only
-    shuffles are the (m, cid, pos) fixed-point mean (bounded key space)
-    and the final per-vector pivot."""
-    emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
-    v = emb.select("vec_id", as_double("embedding").alias("e"))
-    sub = v.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda m: F.slice(F.col("e"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
-            )
-        ).alias("m", "sv"),
-    )
-
-    def d9(sv, ce):
-        # integer fixed-point squared distance: order-independent sum
-        return F.aggregate(
-            F.zip_with(
-                sv,
-                ce,
-                lambda x, y: F.floor((x - y) * (x - y) * F.lit(1e9) + F.lit(0.5)).cast(
-                    "long"
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + t,
-        )
-
-    def assign(sub_df, codebook):
-        """Per-(vec, m) nearest centroid via one broadcast codebook array
-        — pure projection, no shuffle (the similarity._assign idiom).
-        The codebook broadcasts as an m-INDEXED array-of-arrays
-        (element_at by m, no per-row linear scan of all PQ_M x PQ_KS
-        entries), and the argmin is a single aggregate fold over the
-        PQ_KS scored structs instead of a comparator sort — both cut
-        the interpreted higher-order-function work per row (measured
-        ~2x on the 10x corpus)."""
-        per_m = codebook.groupBy("m").agg(
-            F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("entries")
-        )
-        cb = F.broadcast(
-            per_m.agg(
-                F.array_sort(F.collect_list(F.struct("m", "entries"))).alias("cbs")
-            )
-        )
-        mine = F.element_at(F.col("cbs"), (F.col("m") + 1).cast("int"))["entries"]
-        scores = F.transform(
-            mine, lambda s: F.struct(d9(F.col("sv"), s["ce"]).alias("d"), s["cid"].alias("cid"))
-        )
-        best = F.aggregate(
-            scores,
-            F.struct(
-                F.lit(2**63 - 1).cast("long").alias("d"),
-                F.lit(-1).cast("long").alias("cid"),
-            ),
-            lambda acc, s: F.when(
-                (s["d"] < acc["d"]) | ((s["d"] == acc["d"]) & (s["cid"] < acc["cid"])),
-                s,
-            ).otherwise(acc),
-        )
-        return sub_df.crossJoin(cb).select(
-            "vec_id", "m", "sv", best["cid"].alias("cid"), best["d"].alias("d9")
-        )
-
-    seeds = (
-        sub.join(F.broadcast(v.orderBy("vec_id").limit(PQ_KS).select("vec_id")), "vec_id")
-        .select(F.col("m"), F.col("vec_id").alias("cid"), F.col("sv").alias("ce"))
-    )
-    a0 = assign(sub, seeds)
-    comp = a0.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
-    cent = (
-        comp.groupBy("m", "cid", "pos")
-        .agg(
-            (
-                F.sum(F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long")).cast(
-                    "double"
-                )
-                / (F.count("*") * F.lit(1e9))
-            ).alias("mm")
-        )
-        .groupBy("m", "cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mm"))).alias("pm"))
-        .select("m", "cid", F.col("pm.mm").alias("ce"))
-    )
-    a1 = assign(sub, cent)
+    Scale: codebooks are (PQ_M x PQ_KS)-row broadcast artifacts; both
+    assignment passes are ZERO-SHUFFLE per-row projections over an
+    m-indexed broadcast codebook array (fold argmin — DESIGN lesson
+    22); the only shuffles are the (m, cid, pos) fixed-point mean
+    (bounded key space) and the final per-vector pivot."""
+    codes = pq_codes(spark, sf_dir)
     total_dims = PQ_M * PQ_SUBDIM
-    return a1.groupBy("vec_id").agg(
+    return codes.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("m") == i, F.col("cid"))).cast("long").alias(f"code_{i}")
             for i in range(PQ_M)
@@ -282,58 +338,67 @@ def quantize_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
+def pq_ctes() -> str:
+    """Shared DuckDB CTE chain for the PQ build — assumes a CTE ``v``
+    with (vec_id, e: DOUBLE[]) is already defined; ends in ``pq_a1``
+    (vec_id, m, cid, d9) and ``pq_cent`` (m, cid, ce).  Reproduces
+    pq_model/pq_codes bit-for-bit (fixed-point means + integer
+    distances).  Used by the PQ audit oracle AND the IVF-PQ ANN oracle."""
     dist9 = (
         "sum(CAST(floor((s.sv[i] - c.ce[i]) * (s.sv[i] - c.ce[i]) * 1e9 + 0.5) AS BIGINT))"
     )
+    return f"""pq_sub AS (
+  SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS sv
+  FROM v, LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) g
+), pq_seeds AS (
+  SELECT m, vec_id AS cid, sv AS ce FROM pq_sub
+  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {PQ_KS})
+), pq_d0 AS (
+  SELECT s.vec_id, s.m, c.cid, {dist9} AS d9
+  FROM pq_sub s JOIN pq_seeds c ON c.m = s.m,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) g
+  GROUP BY s.vec_id, s.m, c.cid
+), pq_a0 AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT vec_id, m, cid,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d9, cid) AS r
+    FROM pq_d0) WHERE r = 1
+), pq_comp AS (
+  SELECT a.m, a.cid, i AS pos, s.sv[i] AS x
+  FROM pq_a0 a JOIN pq_sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) g
+), pq_cent AS (
+  SELECT m, cid, list(mm ORDER BY pos) AS ce FROM (
+    SELECT m, cid, pos,
+           CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e9) AS mm
+    FROM pq_comp GROUP BY m, cid, pos)
+  GROUP BY m, cid
+), pq_d1 AS (
+  SELECT s.vec_id, s.m, c.cid, {dist9} AS d9
+  FROM pq_sub s JOIN pq_cent c ON c.m = s.m,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) g
+  GROUP BY s.vec_id, s.m, c.cid
+), pq_a1 AS (
+  SELECT vec_id, m, cid, d9 FROM (
+    SELECT vec_id, m, cid, d9,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d9, cid) AS r
+    FROM pq_d1) WHERE r = 1
+)"""
+
+
+def _pq_sql() -> str:
     codes = ",\n       ".join(
         f"max(CASE WHEN m = {i} THEN cid END)::BIGINT AS code_{i}" for i in range(PQ_M)
     )
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), sub AS (
-  SELECT vec_id, m, e[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS sv
-  FROM v, LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) g
-), seeds AS (
-  SELECT m, vec_id AS cid, sv AS ce FROM sub
-  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {PQ_KS})
-), d0 AS (
-  SELECT s.vec_id, s.m, c.cid, {dist9} AS d9
-  FROM sub s JOIN seeds c ON c.m = s.m,
-       LATERAL (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) g
-  GROUP BY s.vec_id, s.m, c.cid
-), a0 AS (
-  SELECT vec_id, m, cid FROM (
-    SELECT vec_id, m, cid,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d9, cid) AS r
-    FROM d0) WHERE r = 1
-), comp AS (
-  SELECT a.m, a.cid, i AS pos, s.sv[i] AS x
-  FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
-       LATERAL (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) g
-), cent AS (
-  SELECT m, cid, list(mm ORDER BY pos) AS ce FROM (
-    SELECT m, cid, pos,
-           CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
-             / (count(*) * 1e9) AS mm
-    FROM comp GROUP BY m, cid, pos)
-  GROUP BY m, cid
-), d1 AS (
-  SELECT s.vec_id, s.m, c.cid, {dist9} AS d9
-  FROM sub s JOIN cent c ON c.m = s.m,
-       LATERAL (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) g
-  GROUP BY s.vec_id, s.m, c.cid
-), a1 AS (
-  SELECT vec_id, m, cid, d9 FROM (
-    SELECT vec_id, m, cid, d9,
-           row_number() OVER (PARTITION BY vec_id, m ORDER BY d9, cid) AS r
-    FROM d1) WHERE r = 1
-)
+), {pq_ctes()}
 SELECT vec_id,
        {codes},
        {sql_round_half_up(f'CAST(sum(d9) AS DOUBLE) / ({PQ_M * PQ_SUBDIM} * 1e9)', 6)} AS recon_mse
-FROM a1 GROUP BY vec_id
+FROM pq_a1 GROUP BY vec_id
 """
 
 

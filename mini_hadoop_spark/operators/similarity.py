@@ -587,6 +587,123 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the full modern vector-store stack (Jegou et al.
+    2011 IVFADC, non-residual variant): the IVF coarse quantizer routes
+    each query to its IVF_NPROBE nearest inverted lists, and candidates
+    are scored by ASYMMETRIC DISTANCE over their 8 product-quantization
+    codes (sum over subspaces of ||q_sub − codeword||²) instead of their
+    raw vectors — at 100 TB the scan reads 8 small codes per candidate,
+    not 64 doubles, an ~8x read-volume cut on the hot path.  Returns
+    top-3 candidates per query by approximate distance:
+    (query_id, neighbor_id, rnk, approx_dist).
+
+    Composition: shares the memoized IVF quantizer/lists (coarse stage)
+    and the memoized PQ codebook/codes (compression.pq_model/pq_codes)
+    — all four are build-once session artifacts.  Every distance is an
+    integer fixed-point sum, so ranking is exact and the DuckDB oracle
+    (the _ivf_ctes + pq_ctes chains composed) reproduces the result
+    bit-for-bit.  Recall loss vs similarity_ann_ivf comes only from PQ
+    approximation — bounded in tests."""
+    from mini_hadoop_spark.operators.compression import (
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_d9,
+        pq_codes,
+        pq_model,
+        pq_subvectors,
+    )
+
+    v = _vectors(spark, sf_dir).select("vec_id", "e", "nv")
+    centroids = ivf_quantizer(spark, sf_dir)
+    lists = ivf_lists(spark, sf_dir)
+    probes = _assign(
+        v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, IVF_NPROBE, "cid"
+    ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cid")
+    cand = (
+        lists.select("vec_id", "cid")
+        .join(probes.select("query_id", "cid"), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    qsub = pq_subvectors(
+        probes.select("query_id", "qe").distinct(), vec_col="qe", id_col="query_id"
+    ).select(F.col("query_id"), "m", F.col("sv").alias("qsv"))
+    codes = pq_codes(spark, sf_dir).select("vec_id", "m", "cid")
+    cent = pq_model(spark, sf_dir)
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(cent), ["m", "cid"])
+        .join(F.broadcast(qsub), ["query_id", "m"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_d9(F.col("qsv"), F.col("ce")).alias("d9m"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d9m").alias("dist9"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist9").asc(), F.col("neighbor_id"))
+    total_dims = PQ_M * PQ_SUBDIM
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rnk",
+            round_half_up(
+                F.col("dist9").cast("double") / F.lit(float(total_dims) * 1e9), 6
+            ).alias("approx_dist"),
+        )
+    )
+
+
+def _ann_ivfpq_sql() -> str:
+    from mini_hadoop_spark.operators.compression import PQ_M, PQ_SUBDIM, pq_ctes
+
+    return f"""
+WITH {_ivf_ctes()}, {pq_ctes()}, probes AS (
+  SELECT vec_id AS query_id, e AS qe, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_dot_product(v.e, c.ce) / v.nv / sqrt(list_dot_product(c.ce, c.ce)) DESC,
+             c.cid) AS r
+    FROM v CROSS JOIN cent c
+    WHERE v.vec_id % {QUERY_MODULUS} = 0)
+  WHERE r <= {IVF_NPROBE}
+), cnd AS (
+  SELECT DISTINCT p.query_id, l.vec_id
+  FROM lists l JOIN probes p USING (cid)
+  WHERE l.vec_id <> p.query_id
+), qsub AS (
+  SELECT query_id, m, qe[(m * {PQ_SUBDIM} + 1):((m + 1) * {PQ_SUBDIM})] AS qsv
+  FROM (SELECT DISTINCT query_id, qe FROM probes) q,
+       LATERAL (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) g
+), adc AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         sum(CAST(floor((q.qsv[i] - ct.ce[i]) * (q.qsv[i] - ct.ce[i]) * 1e9 + 0.5) AS BIGINT)) AS dist9
+  FROM cnd c
+  JOIN pq_a1 a ON a.vec_id = c.vec_id
+  JOIN pq_cent ct ON ct.m = a.m AND ct.cid = a.cid
+  JOIN qsub q ON q.query_id = c.query_id AND q.m = a.m,
+       LATERAL (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS i) g
+  GROUP BY c.query_id, c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, dist9,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist9, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT query_id, neighbor_id, rnk,
+       {sql_round_half_up(f'CAST(dist9 AS DOUBLE) / ({PQ_M * PQ_SUBDIM} * 1e9)', 6)} AS approx_dist
+FROM ranked WHERE rnk <= 3
+"""
+
+
+SIMILARITY_ANN_IVFPQ_SQL = _ann_ivfpq_sql()
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics: count, avg L2 norm, avg first
     component — the kind of sanity aggregation a training pipeline runs
@@ -1061,6 +1178,7 @@ QUERIES = {
     "similarity_matryoshka_agreement": similarity_matryoshka_agreement,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
+    "similarity_ann_ivfpq": similarity_ann_ivfpq,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_outlier_audit": embedding_outlier_audit,
@@ -1087,4 +1205,5 @@ ORACLES = {
     # asserted in tests.
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
+    "similarity_ann_ivfpq": SIMILARITY_ANN_IVFPQ_SQL,
 }

@@ -79,6 +79,22 @@ BNLJ_ALLOWED = {
     # centroid_classify_eval: crossJoin(broadcast(<=|labels| centroid
     # rows>)) — the model side is bounded by construction.
     "centroid_classify_eval",
+    # dedup_cross_source_matrix: crossJoin(broadcast(<1-row total>)) onto
+    # the bounded |sources|^2 matrix — the canonical scalar-attach.
+    "dedup_cross_source_matrix",
+    # similarity_hard_negatives: broadcast non-equi join of the 32-row
+    # md5-budget query set over one corpus scan — the same deliberate
+    # bounded brute shape as similarity_topk_brute.
+    "similarity_hard_negatives",
+    # quantize_pq_codes / similarity_ann_ivfpq: crossJoin(broadcast(
+    # <1-row m-indexed PQ codebook array>)) — bounded constant build
+    # side (PQ_M x PQ_KS entries packed into one row), the zero-shuffle
+    # assignment idiom.
+    "quantize_pq_codes",
+    "similarity_ann_ivfpq",
+    # cluster_kmeans_topics: shares similarity._assign's 1-row broadcast
+    # centroid-array attach (same bounded build side as similarity_ann_ivf).
+    "cluster_kmeans_topics",
 }
 
 
