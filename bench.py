@@ -114,6 +114,10 @@ def main() -> int:
     _build("labels_minhash", lambda: _dedup.near_dup_labels(spark, sf_dir, "minhash"))
     _build("ivf_index", lambda: _sim.ivf_lists(spark, sf_dir))
 
+    from mini_hadoop_spark.operators import compression as _comp
+
+    _build("pq_index", lambda: _comp.pq_codes(spark, sf_dir))
+
     # TWO timed passes per query; report the per-query MIN.  This host
     # shows external load spikes (load-average bursts with no local
     # process) that can inflate a single pass 3x; min-of-2 measures the

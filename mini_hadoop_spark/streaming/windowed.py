@@ -274,11 +274,24 @@ def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.link(src, dst)
         except OSError:
             shutil.copy(src, dst)
-        run_stream_to_memory(
-            clicks_with_errors(read_events_stream(spark, stage)),
-            table,
-            output_mode="append",
-        )
+        # A stateful stream-stream join instantiates FOUR state stores
+        # per shuffle partition per micro-batch (left/right keyed +
+        # key-with-index); at the session default of 32 partitions that
+        # store setup dominated the drain (~9.6 s measured at sf0.1).
+        # The stream's state partitioning is independent of result
+        # correctness, so the drain temporarily scopes
+        # shuffle.partitions down — queries run sequentially in both the
+        # driver and bench, making the temporary session tweak safe.
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            run_stream_to_memory(
+                clicks_with_errors(read_events_stream(spark, stage)),
+                table,
+                output_mode="append",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     return spark.table(table).select(
