@@ -215,6 +215,101 @@ GROUP BY w.week
 """
 
 
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: per calendar week, how many users are NEW
+    (first-ever activity), RETAINED (also active the previous week),
+    RESURRECTED (active after a gap of >= 2 weeks), and CHURNED (active
+    the previous week but not this one) — the standard user-base
+    decomposition (net change = new + resurrected − churned).  The
+    final corpus week is right-censored for churn by construction
+    (churn is only counted for weeks <= the corpus max week).
+
+    Plan: distinct (user, week) — one shuffle, bounded by users x weeks
+    — then one lag/lead window per user; activity rows classify from
+    the lag gap, churn rows emit at week+7 from the lead gap, and one
+    per-week conditional aggregate folds both row kinds.  The corpus
+    max week attaches as a 1-row broadcast scalar."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("week")
+    flagged = weekly.select(
+        "user_id",
+        "week",
+        F.datediff(F.col("week"), F.lag("week").over(w)).alias("gap"),
+        F.datediff(F.lead("week").over(w), F.col("week")).alias("next_gap"),
+    )
+    active = flagged.select(
+        "week",
+        F.when(F.col("gap").isNull(), "new")
+        .when(F.col("gap") == 7, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    max_week = F.broadcast(weekly.agg(F.max("week").alias("max_week")))
+    churned = (
+        flagged.filter(F.col("next_gap").isNull() | (F.col("next_gap") > 7))
+        .select(F.date_add(F.col("week"), 7).alias("week"))
+        .crossJoin(max_week)
+        .filter(F.col("week") <= F.col("max_week"))
+        .select("week", F.lit("churned").alias("cls"))
+    )
+    return (
+        active.unionByName(churned)
+        .groupBy("week")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("cls") == "new", 1)), F.lit(0)).alias("n_new"),
+            F.coalesce(F.sum(F.when(F.col("cls") == "retained", 1)), F.lit(0)).alias(
+                "n_retained"
+            ),
+            F.coalesce(F.sum(F.when(F.col("cls") == "resurrected", 1)), F.lit(0)).alias(
+                "n_resurrected"
+            ),
+            F.coalesce(F.sum(F.when(F.col("cls") == "churned", 1)), F.lit(0)).alias(
+                "n_churned"
+            ),
+        )
+        .withColumn("week", F.date_format("week", "yyyy-MM-dd"))
+    )
+
+
+EVENTS_LIFECYCLE_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week FROM events
+), flagged AS (
+  SELECT user_id, week,
+         week - lag(week) OVER (PARTITION BY user_id ORDER BY week) AS gap,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) - week AS next_gap
+  FROM weekly
+), active AS (
+  SELECT week,
+         CASE WHEN gap IS NULL THEN 'new'
+              WHEN gap = 7 THEN 'retained'
+              ELSE 'resurrected' END AS cls
+  FROM flagged
+), churned AS (
+  SELECT week + INTERVAL 7 DAY AS week, 'churned' AS cls
+  FROM flagged
+  WHERE (next_gap IS NULL OR next_gap > 7)
+    AND week + INTERVAL 7 DAY <= (SELECT max(week) FROM weekly)
+), unioned AS (
+  SELECT week::DATE AS week, cls FROM active
+  UNION ALL
+  SELECT week::DATE, cls FROM churned
+)
+SELECT strftime(week, '%Y-%m-%d') AS week,
+       coalesce(sum(CASE WHEN cls = 'new' THEN 1 END), 0)::BIGINT AS n_new,
+       coalesce(sum(CASE WHEN cls = 'retained' THEN 1 END), 0)::BIGINT AS n_retained,
+       coalesce(sum(CASE WHEN cls = 'resurrected' THEN 1 END), 0)::BIGINT AS n_resurrected,
+       coalesce(sum(CASE WHEN cls = 'churned' THEN 1 END), 0)::BIGINT AS n_churned
+FROM unioned
+GROUP BY week
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -503,6 +598,7 @@ QUERIES = {
     "events_session_window": events_session_window,
     "events_type_value_stats": events_type_value_stats,
     "events_weekly_retention": events_weekly_retention,
+    "events_user_lifecycle": events_user_lifecycle,
 }
 
 ORACLES = {
@@ -512,6 +608,7 @@ ORACLES = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_dau_wau": _dau_wau_sql(),
     "events_weekly_retention": EVENTS_RETENTION_SQL,
+    "events_user_lifecycle": EVENTS_LIFECYCLE_SQL,
     "events_hourly_window": EVENTS_HOURLY_SQL,
     "events_sessionization": EVENTS_SESSION_SQL,
     "events_session_window": EVENTS_SESSION_WINDOW_SQL,

@@ -95,6 +95,9 @@ BNLJ_ALLOWED = {
     # cluster_kmeans_topics: shares similarity._assign's 1-row broadcast
     # centroid-array attach (same bounded build side as similarity_ann_ivf).
     "cluster_kmeans_topics",
+    # events_user_lifecycle: crossJoin(broadcast(<1-row corpus max week>))
+    # onto the candidate churn rows — the canonical scalar-attach.
+    "events_user_lifecycle",
 }
 
 
