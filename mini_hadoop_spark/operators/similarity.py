@@ -912,9 +912,11 @@ def centroid_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin ties break on label.  Accuracy is one exact-int division.
 
     Scale posture: the model side is |labels| rows of |dims| values —
-    broadcast by construction; assignment is a per-row map over the
-    vector scan (one crossJoin against ≤|labels| rows, argmin via a
-    vec_id window); the final agg is |labels| rows."""
+    packed into ONE broadcast row; assignment is a pure per-row fold
+    argmin over the label-sorted centroid array (zero shuffle — the
+    r7 _assign/PQ idiom; previously a crossJoin fanout + row_number
+    window that shuffled |v| x |labels| rows carrying the vectors);
+    the final agg is |labels| rows."""
     emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     cents = (
         embedding_label_centroids(spark, sf_dir)
@@ -926,27 +928,46 @@ def centroid_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
+    cb = F.broadcast(
+        cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cent_label"), F.col("cvec")))
+            ).alias("cbs")
+        )
+    )
     v = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
-    term = F.zip_with(
-        F.col("e"),
-        F.col("cvec"),
-        lambda a, b: (
-            F.floor((a - b) * (a - b) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-        ).cast("decimal(18,6)"),
+
+    def dist_to(cv):
+        term = F.zip_with(
+            F.col("e"),
+            cv,
+            lambda a, b: (
+                F.floor((a - b) * (a - b) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            ).cast("decimal(18,6)"),
+        )
+        return F.aggregate(
+            term,
+            F.lit(0).cast("decimal(28,6)"),
+            # re-cast: decimal addition widens the type per element, and
+            # aggregate() requires the merge result to keep the zero's type
+            lambda acc, x: (acc + x).cast("decimal(28,6)"),
+        )
+
+    scores = F.transform(
+        F.col("cbs"),
+        lambda s: F.struct(dist_to(s["cvec"]).alias("dist"), s["cent_label"].alias("cent_label")),
     )
-    dist = F.aggregate(
-        term,
-        F.lit(0).cast("decimal(28,6)"),
-        # re-cast: decimal addition widens the type per element, and
-        # aggregate() requires the merge result to keep the zero's type
-        lambda acc, x: (acc + x).cast("decimal(28,6)"),
+    best = F.aggregate(
+        F.slice(scores, 2, F.size(scores) - 1),
+        F.element_at(scores, 1),
+        lambda acc, s: F.when(
+            (s["dist"] < acc["dist"])
+            | ((s["dist"] == acc["dist"]) & (s["cent_label"] < acc["cent_label"])),
+            s,
+        ).otherwise(acc),
     )
-    scored = v.crossJoin(F.broadcast(cents)).withColumn("dist", dist)
-    w = W.partitionBy("vec_id").orderBy("dist", "cent_label")
-    pred = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", F.col("cent_label").alias("pred_label"))
+    pred = v.crossJoin(cb).select(
+        "vec_id", "label", best["cent_label"].alias("pred_label")
     )
     return pred.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
