@@ -110,6 +110,8 @@ def main() -> int:
     _build("pairs_jaccard", lambda: _dedup.near_dup_pairs(spark, sf_dir, "jaccard"))
     _build("pairs_minhash", lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash"))
     _build("pairs_minhash_md5", lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash_md5"))
+    _build("pairs_simhash", lambda: _dedup.dedup_simhash(spark, sf_dir))
+    _build("pairs_simhash_md5", lambda: _dedup.dedup_simhash_md5(spark, sf_dir))
     _build("labels_jaccard", lambda: _dedup.near_dup_labels(spark, sf_dir, "jaccard"))
     _build("labels_minhash", lambda: _dedup.near_dup_labels(spark, sf_dir, "minhash"))
     _build("ivf_index", lambda: _sim.ivf_lists(spark, sf_dir))
