@@ -749,3 +749,71 @@ def test_ann_ivfpq_selects_genuinely_similar(spark):
         f"ADC-selected neighbors carry no similarity signal: mean cosine "
         f"{mean_sel} vs background {bg}"
     )
+
+
+def test_hard_negatives_contract(spark):
+    """Every mined negative must carry a label different from its
+    query's, ranks are dense 1..K per query, and the query set has
+    exactly the md5 budget (or the whole corpus if smaller)."""
+    from mini_hadoop_spark.operators.similarity import (
+        HARD_NEG_BUDGET,
+        HARD_NEG_K,
+        similarity_hard_negatives,
+    )
+
+    rows = similarity_hard_negatives(spark, SF_DIR).collect()
+    per_q = {}
+    for r in rows:
+        assert r["query_label"] != r["neighbor_label"]
+        per_q.setdefault(r["query_id"], []).append(r["rnk"])
+    assert len(per_q) == HARD_NEG_BUDGET
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, HARD_NEG_K + 1))
+
+
+def test_cross_source_matrix_shares_sum_to_one(spark):
+    from mini_hadoop_spark.operators.dedup import dedup_cross_source_matrix
+
+    rows = dedup_cross_source_matrix(spark, SF_DIR).collect()
+    assert rows, "sf corpus plants near-dup pairs; matrix must be non-empty"
+    total_share = sum(r["pair_share"] for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    for r in rows:
+        assert r["source_x"] <= r["source_y"], "matrix must be unordered-canonical"
+        assert r["n_pairs"] >= 1
+
+
+def test_storage_report_reclaimable_consistency(spark):
+    """reclaimable = total - bytes of one copy per distinct payload, and
+    dup_assets = n_assets - n_distinct_payloads — per modality."""
+    from mini_hadoop_spark.operators.multimodal import multimodal_storage_report
+
+    for r in multimodal_storage_report(spark, SF_DIR).collect():
+        assert r["dup_assets"] == r["n_assets"] - r["n_distinct_payloads"]
+        assert 0 <= r["reclaimable_bytes"] <= r["total_bytes"]
+        assert r["n_distinct_payloads"] <= r["n_assets"]
+
+
+def test_lifecycle_consistent_with_weekly_retention(spark):
+    """Growth-accounting identities vs the independent retention query:
+    new + retained + resurrected == n_active per week, retained matches
+    events_weekly_retention's count, and churned(w) == active(w-1) -
+    retained(w) for every week inside the corpus range."""
+    from mini_hadoop_spark.operators.events import (
+        events_user_lifecycle,
+        events_weekly_retention,
+    )
+
+    ret = {r["week"]: r for r in events_weekly_retention(spark, SF_DIR).collect()}
+    life = {r["week"]: r for r in events_user_lifecycle(spark, SF_DIR).collect()}
+    weeks = sorted(ret)
+    for w in weeks:
+        lr = life[w]
+        assert (
+            lr["n_new"] + lr["n_retained"] + lr["n_resurrected"] == ret[w]["n_active"]
+        ), f"week {w}: lifecycle classes must partition the active set"
+        assert lr["n_retained"] == ret[w]["n_retained"]
+    for prev, cur in zip(weeks, weeks[1:]):
+        assert life[cur]["n_churned"] == ret[prev]["n_active"] - life[cur]["n_retained"], (
+            f"week {cur}: churn must equal last week's active minus retained"
+        )
