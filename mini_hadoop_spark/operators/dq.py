@@ -252,14 +252,136 @@ FROM ranked WHERE rnk <= {ANOMALY_TOP_PER_TYPE}
 """
 
 
+DRIFT_BINS = 10  # decile bins cut on the reference split
+DRIFT_SPLIT_BUCKETS = 2  # md5(o_orderkey) % 2: split 0 = reference, 1 = current
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution-shift audit over ``o_totalprice`` — the
+    drift detector a pipeline runs between corpus snapshots before
+    retraining on the new one.  The data md5-splits into a REFERENCE
+    half and a CURRENT half (stand-ins for consecutive snapshots); bin
+    edges are the reference half's type-1 decile cuts; the report is
+    per-bin counts and shares for both halves plus the absolute share
+    difference — |p_cur − p_ref| per bin, whose half-sum is total
+    variation distance.  Deliberately LOG-FREE (no PSI): ln() is libm-
+    dependent and would break cross-engine bit-equality, while counts,
+    type-1 quantile cuts and rounded share ratios are exact.
+
+    Output: (bin_id, n_ref, n_cur, share_ref, share_cur, abs_diff) —
+    DRIFT_BINS rows.  Plan: one projection computes the md5 split, the
+    decile cuts are a tiny rank window over the reference half's
+    (price, key) rows packed into one broadcast row, bin assignment is
+    a per-row fold over the 9 cuts, and the report is one DRIFT_BINS-key
+    aggregate + a 1-row totals attach.  Scale: at 100 TB the cut
+    computation samples the reference half first (the RFM md5-sample
+    idiom); everything else is map-combined."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("x"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % DRIFT_SPLIT_BUCKETS
+        ).alias("split"),
+    )
+    ref = o.filter(F.col("split") == 0)
+    nref = ref.agg(F.count("*").alias("n_s"))
+    ranked = ref.select(
+        "x", F.row_number().over(W.orderBy(F.col("x"), F.col("o_orderkey"))).alias("rr")
+    )
+    cuts = F.broadcast(
+        ranked.crossJoin(F.broadcast(nref)).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.exists(
+                            F.sequence(F.lit(1), F.lit(DRIFT_BINS - 1)),
+                            lambda q: F.col("rr")
+                            == F.ceil(q.cast("double") * F.col("n_s") / F.lit(DRIFT_BINS)),
+                        ),
+                        F.col("x"),
+                    )
+                )
+            ).alias("cuts")
+        )
+    )
+    # bin = 1 + number of cuts strictly below x (fold over <=9 cut values)
+    bin_id = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + (F.col("x") > c).cast("int"),
+    )
+    binned = (
+        o.crossJoin(cuts)
+        .select("split", bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    totals = F.broadcast(
+        binned.agg(
+            F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+        )
+    )
+    share_r = F.col("n_ref").cast("double") / F.col("t_ref")
+    share_c = F.col("n_cur").cast("double") / F.col("t_cur")
+    return binned.crossJoin(totals).select(
+        "bin_id",
+        "n_ref",
+        "n_cur",
+        round_half_up(share_r, 6).alias("share_ref"),
+        round_half_up(share_c, 6).alias("share_cur"),
+        round_half_up(F.abs(share_c - share_r), 6).alias("abs_diff"),
+    )
+
+
+DQ_DRIFT_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_totalprice::DOUBLE AS x,
+         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % {DRIFT_SPLIT_BUCKETS} AS split
+  FROM orders
+), ref AS (
+  SELECT x, o_orderkey FROM o WHERE split = 0
+), ns AS (
+  SELECT count(*) AS n_s FROM ref
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, o_orderkey) AS rr FROM ref
+), cuts AS (
+  SELECT q, max(CASE WHEN rr = ceil(q * n_s / {DRIFT_BINS}.0) THEN x END) AS cut
+  FROM ranked, ns, LATERAL (SELECT unnest(generate_series(1, {DRIFT_BINS - 1})) AS q) g
+  GROUP BY q
+), binned AS (
+  SELECT 1 + (SELECT count(*) FROM cuts c WHERE o.x > c.cut) AS bin_id, split
+  FROM o
+), agg AS (
+  SELECT bin_id,
+         sum(CASE WHEN split = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         sum(CASE WHEN split = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM binned GROUP BY bin_id
+), tot AS (
+  SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM agg
+)
+SELECT bin_id, n_ref, n_cur,
+       {sql_round_half_up('CAST(n_ref AS DOUBLE) / t_ref', 6)} AS share_ref,
+       {sql_round_half_up('CAST(n_cur AS DOUBLE) / t_cur', 6)} AS share_cur,
+       {sql_round_half_up('abs(CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)', 6)} AS abs_diff
+FROM agg, tot
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "events_decayed_engagement": events_decayed_engagement,
     "events_hourly_anomalies": events_hourly_anomalies,
+    "dq_distribution_drift": dq_distribution_drift,
 }
 
 ORACLES = {
     "dq_expectations": DQ_EXPECTATIONS_SQL,
     "events_decayed_engagement": EVENTS_DECAYED_SQL,
     "events_hourly_anomalies": EVENTS_ANOMALY_SQL,
+    "dq_distribution_drift": DQ_DRIFT_SQL,
 }

@@ -98,6 +98,9 @@ BNLJ_ALLOWED = {
     # events_user_lifecycle: crossJoin(broadcast(<1-row corpus max week>))
     # onto the candidate churn rows — the canonical scalar-attach.
     "events_user_lifecycle",
+    # dq_distribution_drift: three 1-row broadcast attaches (reference
+    # count, 9-cut decile array, bin totals) — scalar-attach again.
+    "dq_distribution_drift",
 }
 
 
