@@ -569,6 +569,102 @@ FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """
 
 
+# The synthetic corpus draws from a ~31-type word list, so the curve's
+# candidate sizes are scaled to show real variation here; a production
+# corpus would use (1k, 4k, 16k, 64k, ...) with the identical plan.
+VOCAB_CURVE_KS = (4, 8, 16, 32)
+
+
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-sizing curve: for each candidate vocabulary size K in
+    ``VOCAB_CURVE_KS``, the share of all token INSTANCES covered by the
+    top-K most frequent token types — the plot a team reads to pick a
+    vocab size ("16k types cover 99.2%; 4k covers 94%").  Complements
+    ``vocab_oov_rate`` (which audits documents against ONE fixed vocab).
+
+    Output: (vocab_k, covered_tokens, total_tokens, covered_share),
+    one row per K.  Deterministic: the frequency ranking totals on
+    (count desc, token); every number is an exact integer until the one
+    rounded share division.
+
+    Plan: one vocabulary-bounded token count (map-side combine), one
+    global rank/cumsum window over |vocab| rows (types, not instances —
+    tiny relative to the corpus), and ONE aggregate folding every K;
+    rows out = |VOCAB_CURVE_KS|."""
+    d = _docs(spark, sf_dir)
+    cnts = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_rank = W.orderBy(F.desc("cnt"), "w")
+    ranked = cnts.select(
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("cnt")
+        .over(w_rank.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    )
+    agg = ranked.agg(
+        F.max("cum").alias("total"),
+        *[
+            F.coalesce(F.max(F.when(F.col("rk") <= k, F.col("cum"))), F.lit(0))
+            .cast("long")
+            .alias(f"c{k}")
+            for k in VOCAB_CURVE_KS
+        ],
+    )
+    stack_args = ", ".join(f"{k}L, c{k}" for k in VOCAB_CURVE_KS)
+    return agg.select(
+        F.expr(
+            f"stack({len(VOCAB_CURVE_KS)}, {stack_args}) as (vocab_k, covered_tokens)"
+        ),
+        F.col("total").cast("long").alias("total_tokens"),
+    ).select(
+        "vocab_k",
+        "covered_tokens",
+        "total_tokens",
+        round_half_up(
+            F.col("covered_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("covered_share"),
+    )
+
+
+def _vocab_curve_sql() -> str:
+    c_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN rk <= {k} THEN cum END), 0)::BIGINT AS c{k}"
+        for k in VOCAB_CURVE_KS
+    )
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS vocab_k, c{k} AS covered_tokens, total AS total_tokens FROM agg"
+        for k in VOCAB_CURVE_KS
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents
+), cnts AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+), ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rk,
+         sum(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cnts
+), agg AS (
+  SELECT max(cum)::BIGINT AS total,
+         {c_cols}
+  FROM ranked
+), stacked AS (
+  {arms}
+)
+SELECT vocab_k, covered_tokens, total_tokens,
+       {sql_round_half_up('CAST(covered_tokens AS DOUBLE) / total_tokens', 6)} AS covered_share
+FROM stacked
+"""
+
+
+VOCAB_CURVE_SQL = _vocab_curve_sql()
+
+
 def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication rate by quality decile — the cross-family curation
     question "do low-quality documents duplicate more?", answered with
@@ -713,6 +809,7 @@ QUERIES = {
     "text_char_bigram_novelty": text_char_bigram_novelty,
     "ngram_pmi_top": ngram_pmi_top,
     "vocab_oov_rate": vocab_oov_rate,
+    "vocab_coverage_curve": vocab_coverage_curve,
     "quality_dup_deciles": quality_dup_deciles,
 }
 
@@ -724,5 +821,6 @@ ORACLES = {
     "text_char_bigram_novelty": TEXT_NOVELTY_SQL,
     "ngram_pmi_top": NGRAM_PMI_SQL,
     "vocab_oov_rate": VOCAB_OOV_SQL,
+    "vocab_coverage_curve": VOCAB_CURVE_SQL,
     "quality_dup_deciles": _quality_dup_deciles_sql(),
 }
