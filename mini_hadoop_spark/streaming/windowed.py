@@ -303,11 +303,55 @@ def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #5: stream-STATIC broadcast enrichment
+    + global aggregation, end-to-end — every event joins its user's
+    customer market segment (the static dimension broadcasts per
+    micro-batch, the stream itself is never shuffled by the join), then
+    a complete-mode aggregate rolls up (segment, event_type) counts and
+    value sums.  Exercises the remaining streaming shape the other four
+    drains don't: a batch-side build in a streaming plan + un-windowed
+    aggregation state.  The oracle is the plain batch join+group SQL —
+    a drained bounded input must match it exactly."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from mini_hadoop_spark.sources.catalog import load_table, table_path
+    from mini_hadoop_spark.streaming.joins import stream_static_enrich
+
+    src = table_path(sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="stream_enrich_")
+    table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    try:
+        dst = os.path.join(stage, "part-000.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        enriched = stream_static_enrich(
+            read_events_stream(spark, stage), dim, "user_id", "c_custkey", how="inner"
+        )
+        agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        run_stream_to_memory(agg, table, output_mode="complete")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    return spark.table(table).select(
+        F.col("c_mktsegment").alias("mktsegment"), "event_type", "n_events", "total_value"
+    )
+
+
 QUERIES = {
     "streaming_hourly_drain": streaming_hourly_drain,
     "streaming_session_drain": streaming_session_drain,
     "streaming_dedup_drain": streaming_dedup_drain,
     "streaming_join_drain": streaming_join_drain,
+    "streaming_enrich_drain": streaming_enrich_drain,
 }
 
 
@@ -352,6 +396,15 @@ JOIN errors e
 """
 
 
+STREAMING_ENRICH_SQL = """
+SELECT c.c_mktsegment AS mktsegment, e.event_type,
+       count(*) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 ORACLES = {
     # the batch twins' oracles verbatim: each streaming drain must land
     # on the identical rows
@@ -359,4 +412,5 @@ ORACLES = {
     "streaming_session_drain": _session_oracle(),
     "streaming_dedup_drain": _dedup_oracle(),
     "streaming_join_drain": _join_oracle(),
+    "streaming_enrich_drain": STREAMING_ENRICH_SQL,
 }
