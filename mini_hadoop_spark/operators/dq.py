@@ -254,6 +254,12 @@ FROM ranked WHERE rnk <= {ANOMALY_TOP_PER_TYPE}
 
 DRIFT_BINS = 10  # decile bins cut on the reference split
 DRIFT_SPLIT_BUCKETS = 2  # md5(o_orderkey) % 2: split 0 = reference, 1 = current
+#: Cut-sample budget: the decile cuts come from a deterministic
+#: md5-ranked sample of the reference half (the RFM md5-sample idiom,
+#: relational_ext.RFM_SAMPLE_BUDGET) — rank error ~ 1/sqrt(budget) ≈ 2%,
+#: engine-portable because the sample is a pure md5 top-K selection and
+#: the cuts are type-1 (row selection, no interpolation).
+DRIFT_SAMPLE_BUDGET = 2048
 
 
 def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,21 +267,25 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift detector a pipeline runs between corpus snapshots before
     retraining on the new one.  The data md5-splits into a REFERENCE
     half and a CURRENT half (stand-ins for consecutive snapshots); bin
-    edges are the reference half's type-1 decile cuts; the report is
-    per-bin counts and shares for both halves plus the absolute share
-    difference — |p_cur − p_ref| per bin, whose half-sum is total
-    variation distance.  Deliberately LOG-FREE (no PSI): ln() is libm-
-    dependent and would break cross-engine bit-equality, while counts,
-    type-1 quantile cuts and rounded share ratios are exact.
+    edges are type-1 decile cuts of a deterministic md5-ranked SAMPLE of
+    the reference half (DRIFT_SAMPLE_BUDGET rows); the report is per-bin
+    counts and shares for both halves plus the absolute share difference
+    — |p_cur − p_ref| per bin, whose half-sum is total variation
+    distance.  Deliberately LOG-FREE (no PSI): ln() is libm-dependent
+    and would break cross-engine bit-equality, while counts, type-1
+    quantile cuts and rounded share ratios are exact.
 
     Output: (bin_id, n_ref, n_cur, share_ref, share_cur, abs_diff) —
-    DRIFT_BINS rows.  Plan: one projection computes the md5 split, the
-    decile cuts are a tiny rank window over the reference half's
-    (price, key) rows packed into one broadcast row, bin assignment is
-    a per-row fold over the 9 cuts, and the report is one DRIFT_BINS-key
-    aggregate + a 1-row totals attach.  Scale: at 100 TB the cut
-    computation samples the reference half first (the RFM md5-sample
-    idiom); everything else is map-combined."""
+    up to DRIFT_BINS rows.  Plan: one projection computes the md5 split;
+    the sample is a distributed top-K (TakeOrderedAndProject — each task
+    keeps its local md5-top-2048, one bounded merge); the cuts are a
+    rank window over that BOUNDED sample only (never the corpus — the r7
+    single-task global sort is gone) emitting exactly one cut per
+    quantile q (duplicate-rank quantiles yield duplicate cut values, so
+    both engines count the same cut multiset in the bin fold); bin
+    assignment is a per-row fold over the 9 cuts; the report is one
+    DRIFT_BINS-key aggregate + a 1-row totals attach.  Every shuffle is
+    bounded or map-combined at any corpus scale."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_totalprice").cast("double").alias("x"),
@@ -286,23 +296,29 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("split"),
     )
     ref = o.filter(F.col("split") == 0)
-    nref = ref.agg(F.count("*").alias("n_s"))
-    ranked = ref.select(
-        "x", F.row_number().over(W.orderBy(F.col("x"), F.col("o_orderkey"))).alias("rr")
+    samp = (
+        ref.select("x", "o_orderkey", F.md5(F.col("o_orderkey").cast("string")).alias("mh"))
+        .orderBy("mh", "o_orderkey")
+        .limit(DRIFT_SAMPLE_BUDGET)
+        .drop("mh")
     )
+    # One aggregate packs the bounded sample into a sorted array (struct
+    # sort = (x, o_orderkey) total order); the 9 cuts are type-1 row
+    # selections from it — one per quantile q, duplicates preserved, so
+    # both engines count the same cut multiset in the bin fold.  No
+    # window anywhere in this plan.
     cuts = F.broadcast(
-        ranked.crossJoin(F.broadcast(nref)).agg(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.exists(
-                            F.sequence(F.lit(1), F.lit(DRIFT_BINS - 1)),
-                            lambda q: F.col("rr")
-                            == F.ceil(q.cast("double") * F.col("n_s") / F.lit(DRIFT_BINS)),
-                        ),
-                        F.col("x"),
-                    )
-                )
+        samp.agg(
+            F.array_sort(F.collect_list(F.struct("x", "o_orderkey"))).alias("arr")
+        ).select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DRIFT_BINS - 1)),
+                lambda q: F.element_at(
+                    F.col("arr"),
+                    F.ceil(
+                        q.cast("double") * F.size(F.col("arr")) / F.lit(DRIFT_BINS)
+                    ).cast("int"),
+                )["x"],
             ).alias("cuts")
         )
     )
@@ -345,10 +361,14 @@ WITH o AS (
   FROM orders
 ), ref AS (
   SELECT x, o_orderkey FROM o WHERE split = 0
+), samp AS (
+  SELECT x, o_orderkey FROM ref
+  ORDER BY md5(o_orderkey::VARCHAR), o_orderkey
+  LIMIT {DRIFT_SAMPLE_BUDGET}
 ), ns AS (
-  SELECT count(*) AS n_s FROM ref
+  SELECT count(*) AS n_s FROM samp
 ), ranked AS (
-  SELECT x, row_number() OVER (ORDER BY x, o_orderkey) AS rr FROM ref
+  SELECT x, row_number() OVER (ORDER BY x, o_orderkey) AS rr FROM samp
 ), cuts AS (
   SELECT q, max(CASE WHEN rr = ceil(q * n_s / {DRIFT_BINS}.0) THEN x END) AS cut
   FROM ranked, ns, LATERAL (SELECT unnest(generate_series(1, {DRIFT_BINS - 1})) AS q) g

@@ -665,18 +665,29 @@ FROM stacked
 VOCAB_CURVE_SQL = _vocab_curve_sql()
 
 
+#: Cut-sample budget for the quality-decile thresholds — same md5-ranked
+#: type-1 sampled-cut idiom as relational_ext.RFM_SAMPLE_BUDGET /
+#: dq.DRIFT_SAMPLE_BUDGET: rank error ~ 1/sqrt(budget) ≈ 2%, bit-identical
+#: across engines (pure md5 top-K selection + row-selection quantiles).
+QDD_SAMPLE_BUDGET = 2048
+
+
 def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication rate by quality decile — the cross-family curation
     question "do low-quality documents duplicate more?", answered with
-    exact arithmetic: quality deciles cut by deterministic ntile
-    (score, doc_id total order), dup flag from the exact content-hash
-    group size, rates as exact-integer divisions, and the mean score
-    from a DECIMAL sum of already-rounded scores (order-independent).
+    exact arithmetic: decile thresholds are type-1 decile cuts of a
+    deterministic md5-ranked sample of the scores (value-threshold bins:
+    score ties stay in one bin, empty bins emit no row), dup flag from
+    the exact content-hash group size, rates as exact-integer divisions,
+    and the mean score from a DECIMAL sum of already-rounded scores
+    (order-independent).
 
     Plan: the quality projection is pure codegen; dup flags are one
-    digest-partition window; the decile cut is a global ntile
-    (single-task sort over |docs| rows — sampled thresholds at 100 TB,
-    as elsewhere); the report is 10 rows."""
+    digest-partition window; the decile cuts come from a distributed
+    top-K sample (TakeOrderedAndProject) packed into one sorted array —
+    the r7 single-task global ntile sort is gone and no unpartitioned
+    window remains anywhere in the plan; bin assignment is a per-row
+    fold over 9 broadcast cuts; the report is ≤10 rows."""
     from mini_hadoop_spark.operators.text_analysis import text_quality_score
 
     q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
@@ -688,8 +699,34 @@ def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_dup"),
     )
     j = q.join(dup, "doc_id")
-    decile = F.ntile(10).over(W.orderBy("quality_score", "doc_id"))
-    d = j.withColumn("decile", decile)
+    samp = (
+        q.select(
+            "quality_score", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("mh")
+        )
+        .orderBy("mh", "doc_id")
+        .limit(QDD_SAMPLE_BUDGET)
+    )
+    cuts = F.broadcast(
+        samp.agg(
+            F.array_sort(F.collect_list(F.struct("quality_score", "doc_id"))).alias("arr")
+        ).select(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(9)),
+                lambda qq: F.element_at(
+                    F.col("arr"),
+                    F.ceil(qq.cast("double") * F.size(F.col("arr")) / F.lit(10)).cast(
+                        "int"
+                    ),
+                )["quality_score"],
+            ).alias("cuts")
+        )
+    )
+    decile = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + (F.col("quality_score") > c).cast("int"),
+    )
+    d = j.crossJoin(cuts).withColumn("decile", decile).drop("cuts")
     agg = d.groupBy("decile").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dups"),
@@ -721,9 +758,21 @@ def _quality_dup_deciles_sql() -> str:
 WITH q AS ({TEXT_QUALITY_SQL}),
 h AS (
   SELECT doc_id, count(*) OVER (PARTITION BY sha256(text)) > 1 AS is_dup FROM documents
+), samp AS (
+  SELECT quality_score FROM q
+  ORDER BY md5(doc_id::VARCHAR), doc_id
+  LIMIT {QDD_SAMPLE_BUDGET}
+), ns AS (
+  SELECT count(*) AS n_s FROM samp
+), ranked AS (
+  SELECT quality_score, row_number() OVER (ORDER BY quality_score) AS rr FROM samp
+), cuts AS (
+  SELECT g.q AS qq, max(CASE WHEN rr = ceil(g.q * n_s / 10.0) THEN quality_score END) AS cut
+  FROM ranked, ns, LATERAL (SELECT unnest(generate_series(1, 9)) AS q) g
+  GROUP BY g.q
 ), j AS (
   SELECT q.doc_id, q.quality_score, h.is_dup,
-         ntile(10) OVER (ORDER BY q.quality_score, q.doc_id) AS decile
+         1 + (SELECT count(*) FROM cuts c WHERE q.quality_score > c.cut) AS decile
   FROM q JOIN h ON q.doc_id = h.doc_id
 ), agg AS (
   SELECT decile, count(*) AS n_docs,

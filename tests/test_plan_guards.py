@@ -104,10 +104,88 @@ BNLJ_ALLOWED = {
 }
 
 
+# Queries allowed to keep an unpartitioned window over unbounded input:
+# documented exact baselines whose registered scale twin ships the
+# sampled/sketched path (VERDICT r7 #2's allowlist).
+# - events_gap_quantiles: exact gap-quantile baseline; scale twin =
+#   agg_approx_sketches (named in its docstring).
+# - orders_rfm_segmentation: exact ntile baseline; scale twin =
+#   orders_rfm_segmentation_approx.
+# (orders_rfm_segmentation_approx needs no entry: its windows rank the
+# per-customer AGGREGATE / the bounded md5 sample, so every path below
+# them hits an aggregate and the walk proves them bounded.)
+GLOBAL_WINDOW_ALLOWED = {
+    "events_gap_quantiles",
+    "orders_rfm_segmentation",
+}
+
+
 def _names():
     import __spark_entry__ as entry_mod
 
     return sorted(entry_mod.queries().keys())
+
+
+def _jseq(seq):
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+#: node-name fragments that BOUND the rows flowing up to a window: any
+#: aggregate (output keyed, not raw corpus rows) or any limit/top-K.
+_BOUNDING = ("Aggregate", "TakeOrderedAndProject", "Limit")
+#: leaf scans that are driver-local literal data (bounded by construction)
+_BOUNDED_LEAVES = ("LocalTableScan", "EmptyRelation", "OneRowRelation")
+
+
+def _has_unbounded_path(node) -> bool:
+    """True iff some root-to-leaf path below ``node`` reaches a real data
+    scan without passing through an aggregate or limit — i.e. the node
+    sees O(corpus) rows, not a bounded/keyed reduction of them."""
+    name = node.getClass().getSimpleName()
+    if any(b in name for b in _BOUNDING):
+        return False
+    kids = _jseq(node.children())
+    if not kids:
+        return not any(b in name for b in _BOUNDED_LEAVES)
+    return any(_has_unbounded_path(k) for k in kids)
+
+
+def _global_window_violations(df) -> list[str]:
+    """Walk the pre-AQE physical plan; report every WindowExec whose
+    partition spec is empty AND whose input subtree has an agg/limit-free
+    path to a data scan (the all-rows-to-one-task scale killer)."""
+    out: list[str] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
+            if any(_has_unbounded_path(k) for k in _jseq(node.children())):
+                out.append(node.simpleString(120))
+        for k in _jseq(node.children()):
+            walk(k)
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return out
+
+
+@pytest.mark.parametrize("name", _names())
+def test_no_global_window_over_unbounded_scan(spark, name):
+    """An unpartitioned window whose input is an unaggregated, unlimited
+    scan moves ALL rows to one task — the r7 dq_distribution_drift /
+    quality_dup_deciles defect class (VERDICT r7 'What's wrong' #1).
+    Sampled-cut idioms (md5 top-K → TakeOrderedAndProject) and windows
+    over aggregated frames pass; documented exact-baseline twins are
+    allowlisted above."""
+    if name in GLOBAL_WINDOW_ALLOWED:
+        pytest.skip("documented exact baseline with a registered scale twin")
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    bad = _global_window_violations(df)
+    assert not bad, (
+        f"{name} plans an unpartitioned window over unbounded input "
+        f"(all rows to ONE task at scale):\n" + "\n".join(bad)
+    )
 
 
 def _assert_plan_clean(name, df, bnlj_ok=False):
