@@ -22,6 +22,11 @@ surface.  Design notes:
 
 from __future__ import annotations
 
+import contextlib
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -107,6 +112,52 @@ def run_stream_to_memory(
         raise TimeoutError(f"stream drain into {table_name!r} exceeded {timeout_sec}s")
 
 
+#: Shuffle-partition count scoped around the registered drains.  Every
+#: stateful streaming operator instantiates state stores (and a stream-
+#: stream join FOUR of them) PER shuffle partition PER micro-batch; the
+#: drains' input is ONE staged bounded file, so at the session default of
+#: 32 partitions store setup dominated the wall clock (hourly drain at
+#: sf0.1: 2.7 s at 32 partitions vs 1.0 s at 4, measured r8).  This is a
+#: LOCAL-HARNESS setting only: a production stream over an unbounded
+#: 100 TB/day source sizes state partitions to the cluster (the default),
+#: which is why the scope restores the session value on exit.
+STREAM_DRAIN_PARTITIONS = 4
+
+
+@contextlib.contextmanager
+def _drain_scope(spark: SparkSession):
+    """Scope shuffle.partitions down for a single-staged-file drain;
+    queries run sequentially in both the driver and bench, so the
+    temporary session tweak is safe and always restored."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_DRAIN_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@contextlib.contextmanager
+def _staged_file(sf_dir: str, table: str, prefix: str):
+    """Stage one table's parquet file into a fresh tmp dir (the file
+    stream source requires a directory): hardlink when possible, copy
+    cross-device; the dir is removed as soon as the drain completes, so
+    callers must materialize results first."""
+    from mini_hadoop_spark.sources.catalog import table_path
+
+    src = table_path(sf_dir, table)
+    stage = tempfile.mkdtemp(prefix=prefix)
+    try:
+        dst = os.path.join(stage, "part-000.parquet")
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        yield stage
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGISTERED streaming query: run the watermarked hourly window
     aggregation END-TO-END through the streaming engine (file source →
@@ -121,29 +172,11 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp dir.  The memory-sink table name is unique per call; 'complete'
     mode emits the full final state, which for a drained bounded input
     equals the batch aggregation exactly."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
-    from mini_hadoop_spark.sources.catalog import table_path
-
-    src = table_path(sf_dir, "events")
-    # staging dir removed as soon as the drain completes: the memory-sink
-    # table holds the materialized result, so the staged file (a full
-    # events copy when os.link fell back to shutil.copy) is dead weight
-    # after run_stream_to_memory returns
-    stage = tempfile.mkdtemp(prefix="stream_hourly_")
     table = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    try:
-        dst = os.path.join(stage, "part-000.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
+    with _staged_file(sf_dir, "events", "stream_hourly_") as stage, _drain_scope(spark):
         run_stream_to_memory(windowed_event_counts(read_events_stream(spark, stage)), table)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(table).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
@@ -160,29 +193,15 @@ def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly drain this puts both streaming state shapes Spark maintains
     natively — tumbling windows and merging session windows — inside
     the driver's oracle gate, not just the in-repo parity tests."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
-    from mini_hadoop_spark.sources.catalog import table_path
     from mini_hadoop_spark.streaming.stateful import streaming_sessionization
 
-    src = table_path(sf_dir, "events")
-    # staging dir removed after the drain — see streaming_hourly_drain
-    stage = tempfile.mkdtemp(prefix="stream_session_")
     table = f"stream_session_{uuid.uuid4().hex[:8]}"
-    try:
-        dst = os.path.join(stage, "part-000.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
+    with _staged_file(sf_dir, "events", "stream_session_") as stage, _drain_scope(spark):
         run_stream_to_memory(
             streaming_sessionization(read_events_stream(spark, stage)), table
         )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(table).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -204,9 +223,6 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle gate, alongside tumbling windows and merging session windows
     (multi-batch incremental semantics are pinned by
     tests/test_streaming.py)."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from mini_hadoop_spark.sources.catalog import table_path
@@ -227,7 +243,8 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(src, dst)
         index_dir = os.path.join(root, "index")
         ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
-        run_incremental_dedup_index(spark, docs_dir, index_dir, ckpt_dir)
+        with _drain_scope(spark):
+            run_incremental_dedup_index(spark, docs_dir, index_dir, ckpt_dir)
         # materialize before the staging tree is removed
         out = (
             read_index(spark, index_dir)
@@ -256,44 +273,21 @@ def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers — inside the driver's oracle gate; the oracle is the plain
     batch interval-join SQL, which a drained bounded input must equal
     exactly.  Timestamps are emitted as formatted strings so both
-    engines canonicalize identically."""
-    import os
-    import shutil
-    import tempfile
+    engines canonicalize identically.  A stream-stream join instantiates
+    FOUR state stores per shuffle partition per micro-batch (left/right
+    keyed + key-with-index), so _drain_scope matters most here (~9.6 s at
+    32 partitions, sf0.1)."""
     import uuid
 
-    from mini_hadoop_spark.sources.catalog import table_path
     from mini_hadoop_spark.streaming.joins import clicks_with_errors
 
-    src = table_path(sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="stream_join_")
     table = f"stream_join_{uuid.uuid4().hex[:8]}"
-    try:
-        dst = os.path.join(stage, "part-000.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
-        # A stateful stream-stream join instantiates FOUR state stores
-        # per shuffle partition per micro-batch (left/right keyed +
-        # key-with-index); at the session default of 32 partitions that
-        # store setup dominated the drain (~9.6 s measured at sf0.1).
-        # The stream's state partitioning is independent of result
-        # correctness, so the drain temporarily scopes
-        # shuffle.partitions down — queries run sequentially in both the
-        # driver and bench, making the temporary session tweak safe.
-        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            run_stream_to_memory(
-                clicks_with_errors(read_events_stream(spark, stage)),
-                table,
-                output_mode="append",
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
+    with _staged_file(sf_dir, "events", "stream_join_") as stage, _drain_scope(spark):
+        run_stream_to_memory(
+            clicks_with_errors(read_events_stream(spark, stage)),
+            table,
+            output_mode="append",
+        )
     return spark.table(table).select(
         "user_id",
         "click_id",
@@ -313,36 +307,34 @@ def streaming_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     drains don't: a batch-side build in a streaming plan + un-windowed
     aggregation state.  The oracle is the plain batch join+group SQL —
     a drained bounded input must match it exactly."""
-    import os
-    import shutil
-    import tempfile
     import uuid
 
-    from mini_hadoop_spark.sources.catalog import load_table, table_path
+    from mini_hadoop_spark.sources.catalog import load_table
     from mini_hadoop_spark.streaming.joins import stream_static_enrich
 
-    src = table_path(sf_dir, "events")
-    stage = tempfile.mkdtemp(prefix="stream_enrich_")
     table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    try:
-        dst = os.path.join(stage, "part-000.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
+    with _staged_file(sf_dir, "events", "stream_enrich_") as stage, _drain_scope(spark):
         dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         enriched = stream_static_enrich(
             read_events_stream(spark, stage), dim, "user_id", "c_custkey", how="inner"
         )
+        # Fixed-point discipline: sum floor(value*1e4 + 0.5) as integers
+        # (order-independent, exact), divide once at the end — a raw
+        # double sum is summation-order-dependent (stream partial aggs vs
+        # DuckDB's order) and these un-windowed (segment, type) groups
+        # are large enough to drift within an ulp of a round boundary.
         agg = enriched.groupBy("c_mktsegment", "event_type").agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            F.sum(F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5)).cast("long")).alias(
+                "tv_fp"
+            ),
         )
         run_stream_to_memory(agg, table, output_mode="complete")
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
     return spark.table(table).select(
-        F.col("c_mktsegment").alias("mktsegment"), "event_type", "n_events", "total_value"
+        F.col("c_mktsegment").alias("mktsegment"),
+        "event_type",
+        "n_events",
+        (F.col("tv_fp").cast("double") / F.lit(1e4)).alias("total_value"),
     )
 
 
@@ -399,7 +391,7 @@ JOIN errors e
 STREAMING_ENRICH_SQL = """
 SELECT c.c_mktsegment AS mktsegment, e.event_type,
        count(*) AS n_events,
-       round(sum(e.value), 4) AS total_value
+       CAST(sum(CAST(floor(e.value * 1e4 + 0.5) AS BIGINT)) AS BIGINT) / 1e4 AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """
