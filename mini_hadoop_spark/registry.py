@@ -42,66 +42,69 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r7 ROTATION (VERDICT r6 #6): 12 long-stable slots (4 hash-dedup rungs
-# green since r2-r3, 8 events queries green since r3-r5) swapped out for
-# 12 queries with zero driver rows ever: the r7 containment detector,
-# the r6 md5 twins + audits (simhash_md5, clusters_lsh_md5, matryoshka,
-# split_leakage, c4_rules), the r7 newly-oracled trio (ann_ivf,
-# kmeans_topics, rfm_approx), and 3 TPC-H completion shapes
-# (q2/q12/q21).  Rotated-out queries keep running in the local oracle
-# battery (tests/test_oracle_battery.py) every round, as does everything
-# else outside the window.
+# r8 ROTATION (VERDICT r7 #3): 23 slots swapped for queries with ZERO
+# driver rows ever — all 20 the verdict names (the eleven r7-new ops +
+# streaming_enrich_drain, and TPC-H q4(=subquery_exists_priority)/q7/q8/
+# q11/q15/q16/q17(=correlated_scalar_subquery)/q20) plus
+# streaming_dedup_drain, dq_expectations and quality_dup_deciles (the
+# last rebuilt this round on the sampled-cut idiom — the driver should
+# witness the new plan).  27 keepers hold one block from every family:
+# parity (wordcount, pagerank), dedup exact/near/CC, the ANN ladder,
+# clustering/retrieval, 2 drains, events/as-of, skew, sampling,
+# multimodal, text, relational windows + the RFM sampled-cut anchor.
+# Rotated-out queries keep running in the local oracle battery
+# (tests/test_oracle_battery.py) every round.
 DRIVER_WINDOW = [
     "dedup_exact",
-    "dedup_containment",
-    "dedup_simhash_md5",
-    "dedup_clusters_lsh_md5",
-    "similarity_matryoshka_agreement",
-    "contamination_ngram",
     "dedup_near_jaccard",
-    "dedup_minhash_lsh_md5",
-    "dedup_embedding_cosine",
     "dedup_clusters",
-    "graph_triangle_count",
+    "dedup_span_removal",
+    "dedup_cross_source_matrix",
+    "contamination_ngram",
     "similarity_topk_brute",
     "similarity_ann_lsh",
-    "embedding_norm_stats",
-    "embedding_label_centroids",
+    "similarity_ann_ivf",
+    "similarity_ann_ivfpq",
+    "similarity_hard_negatives",
+    "embedding_outlier_audit",
     "centroid_classify_eval",
+    "cluster_kmeans_topics",
+    "quantize_pq_codes",
+    "bm25_search",
     "wordcount",
-    "wordcount_strict",
     "pagerank_2iter",
     "streaming_hourly_drain",
     "streaming_session_drain",
-    "similarity_ann_ivf",
-    "cluster_kmeans_topics",
-    "orders_rfm_segmentation_approx",
-    "split_leakage_audit",
-    "quality_c4_rules",
-    "q2_min_cost_supplier",
-    "q12_shipping_delay",
-    "q21_waiting_suppliers",
+    "streaming_dedup_drain",
+    "streaming_join_drain",
+    "streaming_enrich_drain",
     "events_sessionization",
     "events_weekly_retention",
+    "events_user_lifecycle",
     "join_asof_latest_order",
-    "join_asof_next_order",
-    "join_asof_recent_order",
-    "join_range_event_followups",
     "agg_salted_skew",
-    "join_salted_skew",
     "skew_heavy_hitters",
     "split_train_val_test",
-    "sample_stratified_per_lang",
-    "sample_weighted_mix",
     "multimodal_meta",
-    "multimodal_features",
-    "multimodal_frame_sample",
     "multimodal_payload_dedup",
+    "multimodal_storage_report",
     "text_token_stats",
-    "tfidf_top_terms",
-    "bm25_search",
+    "quality_c4_rules",
+    "quality_dup_deciles",
+    "vocab_coverage_curve",
+    "dq_expectations",
+    "dq_distribution_drift",
     "window_cume_dist",
     "customer_segment_value",
+    "orders_rfm_segmentation_approx",
+    "subquery_exists_priority",
+    "correlated_scalar_subquery",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q20_excess_suppliers",
 ]
 
 
