@@ -54,3 +54,48 @@ def test_hook_script_invokes_preflight():
     assert "tools/preflight.py" in text
     # Executable bit must survive — a non-executable hook silently no-ops.
     assert hook.stat().st_mode & 0o111, "pre-commit hook is not executable"
+
+
+def test_hook_checks_staged_index_not_working_tree(tmp_path):
+    """A broken STAGED entry must be rejected even when the working tree
+    holds the fix — the exact partial-staging hole ADVICE r7 flagged: the
+    committed snapshot is what the driver runs, and it is the index, not
+    the tree."""
+    import os
+
+    repo = tmp_path / "scratch"
+    repo.mkdir()
+    env = {
+        "PATH": f"{os.path.dirname(sys.executable)}:/usr/bin:/bin",
+        "HOME": "/root",
+        "GIT_AUTHOR_NAME": "t",
+        "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t",
+        "GIT_COMMITTER_EMAIL": "t@t",
+    }
+
+    def git(*args):
+        return subprocess.run(
+            ["git", "-C", str(repo), *args], env=env, capture_output=True, text=True
+        )
+
+    git("init", "-q")
+    # stage the round-6 failure shape...
+    entry = repo / "__spark_entry__.py"
+    entry.write_text('BROKEN = f"{_DEFINED_BELOW}"\n_DEFINED_BELOW = "x"\n')
+    git("add", "__spark_entry__.py")
+    # ...then "fix" it in the working tree only (unstaged)
+    entry.write_text(
+        "def queries():\n    return {'a': lambda s, d: None}\n"
+        "def oracle_sql():\n    return {'a': 'SELECT 1'}\n"
+        "def entry(spark):\n    return None\n"
+    )
+    hook = REPO / ".githooks" / "pre-commit"
+    proc = subprocess.run(
+        ["sh", str(hook)], cwd=str(repo), env=env, capture_output=True, text=True
+    )
+    assert proc.returncode == 1, (
+        "hook passed a commit whose STAGED entry is unimportable "
+        f"(working-tree fix must not mask it):\n{proc.stdout}{proc.stderr}"
+    )
+    assert "NameError" in proc.stderr

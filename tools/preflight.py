@@ -18,9 +18,11 @@ Checks (fast — no Spark session, no data):
   3. ``pytest --collect-only -q`` exits 0 — no test file is dead at
      collection time.
 
-Wire-up (committed): ``.githooks/pre-commit`` runs this; enable with
-``git config core.hooksPath .githooks`` (done once per clone; bench.py
-and the round snapshot flow assume it is active).
+Wire-up (committed): ``.githooks/pre-commit`` runs this against a
+``git checkout-index`` copy of the STAGED INDEX (not the working tree —
+a partially staged commit whose fix is unstaged must still be rejected);
+enable with ``git config core.hooksPath .githooks`` (done once per
+clone; bench.py and the round snapshot flow assume it is active).
 """
 from __future__ import annotations
 
@@ -28,8 +30,12 @@ import os
 import subprocess
 import sys
 
-# Overridable so tests can point the gate at a deliberately broken tree.
-REPO = os.environ.get("PREFLIGHT_REPO", "/root/repo")
+# The hook points this at its index checkout; tests at deliberately
+# broken trees.  The fallback is derived (tools/..), never hardcoded, so
+# a direct invocation checks whatever clone it lives in.
+REPO = os.environ.get(
+    "PREFLIGHT_REPO", os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def check_entry_import() -> list[str]:
