@@ -119,3 +119,48 @@ def clicks_with_errors(events: DataFrame, gap_sec: int = CLICK_ERROR_GAP_SEC) ->
         right_ts="error_ts",
         max_gap_sec=gap_sec,
     ).select("user_id", "click_id", "click_ts", "error_id", "error_ts")
+
+
+JOIN_WATERMARK_SEC = 3600  # event-time watermark both join drains use
+
+
+def clicks_with_errors_outer(
+    events: DataFrame, gap_sec: int = CLICK_ERROR_GAP_SEC
+) -> DataFrame:
+    """LEFT OUTER variant of :func:`clicks_with_errors`: every (click,
+    error-within-gap) pair PLUS one null-error row per click whose match
+    window expired with no error — the "clicks that never led to an
+    error" funnel complement, produced incrementally.
+
+    This exercises the one interval-join behavior the inner form can't:
+    WATERMARK-DRIVEN NULL EMISSION.  A buffered click emits its null row
+    only when the event-time watermark proves no future error can match:
+    watermark > click_ts + gap, where the GLOBAL watermark is the min
+    over the two branch operators (each tracks its own branch's max
+    event time), i.e. click_ts < min(max click_ts, max error_ts) −
+    watermark_delay − gap on a drained input.  Clicks newer than that horizon
+    stay buffered (no row), which is exactly what the batch oracle
+    encodes: matched pairs unconditionally, null rows only for unmatched
+    clicks older than the expiry horizon.  Boundary equality
+    (click_ts == horizon) is measure-zero with microsecond timestamps;
+    cross-SF parity is pinned in tests/test_streaming.py."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    return stream_interval_join(
+        clicks,
+        errors,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="error_ts",
+        max_gap_sec=gap_sec,
+        watermark=f"{JOIN_WATERMARK_SEC} seconds",
+        how="left_outer",
+    ).select("user_id", "click_id", "click_ts", "error_id", "error_ts")

@@ -338,12 +338,45 @@ def streaming_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #6: the watermarked LEFT OUTER
+    interval stream-stream join run END-TO-END — matched (click, error)
+    pairs emit as they finalize, and clicks whose match window the
+    WATERMARK has expired emit one null-error row (the state-eviction
+    path the inner join_drain never exercises).  The oracle is the batch
+    left join restricted exactly as streaming semantics dictate: null
+    rows only for unmatched clicks older than
+    min(max click_ts, max error_ts) − watermark − gap — the global
+    watermark is the MIN over the two branch watermark operators, and
+    newer clicks are still buffered when a bounded drain ends, so they
+    emit nothing."""
+    import uuid
+
+    from mini_hadoop_spark.streaming.joins import clicks_with_errors_outer
+
+    table = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
+    with _staged_file(sf_dir, "events", "stream_ojoin_") as stage, _drain_scope(spark):
+        run_stream_to_memory(
+            clicks_with_errors_outer(read_events_stream(spark, stage)),
+            table,
+            output_mode="append",
+        )
+    return spark.table(table).select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "error_id",
+        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+
+
 QUERIES = {
     "streaming_hourly_drain": streaming_hourly_drain,
     "streaming_session_drain": streaming_session_drain,
     "streaming_dedup_drain": streaming_dedup_drain,
     "streaming_join_drain": streaming_join_drain,
     "streaming_enrich_drain": streaming_enrich_drain,
+    "streaming_outer_join_drain": streaming_outer_join_drain,
 }
 
 
@@ -397,6 +430,57 @@ GROUP BY 1, 2
 """
 
 
+def _outer_join_oracle() -> str:
+    from mini_hadoop_spark.streaming.joins import CLICK_ERROR_GAP_SEC, JOIN_WATERMARK_SEC
+
+    horizon = JOIN_WATERMARK_SEC + CLICK_ERROR_GAP_SEC
+    return f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, event_id AS error_id, ts AS error_ts
+  FROM events WHERE event_type = 'error'
+), mx AS (
+  -- the engine's global watermark is the MIN over the two branch
+  -- watermark operators, each tracking its OWN branch's max event time
+  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+               max(ts) FILTER (WHERE event_type = 'error')) AS wm_base
+  FROM events
+), pairs AS (
+  SELECT c.user_id, c.click_id, c.click_ts, e.error_id, e.error_ts
+  FROM clicks c
+  JOIN errors e
+    ON c.user_id = e.user_id
+   AND e.error_ts >= c.click_ts
+   AND e.error_ts <= c.click_ts + INTERVAL {CLICK_ERROR_GAP_SEC} SECONDS
+), expired_unmatched AS (
+  -- streaming null emission: only clicks whose match window the final
+  -- watermark (wm_base - {JOIN_WATERMARK_SEC}s) has fully passed
+  SELECT c.user_id, c.click_id, c.click_ts,
+         NULL::BIGINT AS error_id, NULL::TIMESTAMP AS error_ts
+  FROM clicks c, mx
+  WHERE NOT EXISTS (
+          SELECT 1 FROM errors e
+          WHERE e.user_id = c.user_id
+            AND e.error_ts >= c.click_ts
+            AND e.error_ts <= c.click_ts + INTERVAL {CLICK_ERROR_GAP_SEC} SECONDS)
+    AND c.click_ts < wm_base - INTERVAL {horizon} SECONDS
+)
+SELECT user_id, click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       error_id,
+       strftime(error_ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM pairs
+UNION ALL
+SELECT user_id, click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       error_id,
+       strftime(error_ts, '%Y-%m-%d %H:%M:%S') AS error_ts
+FROM expired_unmatched
+"""
+
+
 ORACLES = {
     # the batch twins' oracles verbatim: each streaming drain must land
     # on the identical rows
@@ -405,4 +489,5 @@ ORACLES = {
     "streaming_dedup_drain": _dedup_oracle(),
     "streaming_join_drain": _join_oracle(),
     "streaming_enrich_drain": STREAMING_ENRICH_SQL,
+    "streaming_outer_join_drain": _outer_join_oracle(),
 }

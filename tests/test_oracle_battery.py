@@ -31,20 +31,32 @@ def test_all_queries_have_unique_names():
         assert sql.strip()
 
 
-def test_sketch_accuracy_bounds(spark):
+@pytest.mark.parametrize(
+    "sf_dir",
+    [SF_DIR, "/root/testdata/sf0.1"],
+    ids=["test-sf", "sf0.1"],
+)
+def test_sketch_accuracy_bounds(spark, sf_dir):
     """agg_approx_sketches has no cross-engine oracle (sketch impls
     differ); pin its accuracy against the exact answers instead:
-    HLL++ within 3x its 2% rsd, percentiles within 2% of exact."""
+    HLL++ within 3x its 2% rsd, percentiles within 2% of exact.
+    Runs at BOTH the battery SF and sf0.1 (VERDICT r7 #5): sketch error
+    bounds are the query's whole contract, so they must hold at the
+    bench scale, not just the unit-test scale."""
+    import os
+
     from pyspark.sql import functions as F
 
     import __spark_entry__ as entry_mod
     from mini_hadoop_spark.sources.catalog import load_table
 
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
     approx = {
         r.l_returnflag: r
-        for r in entry_mod.queries()["agg_approx_sketches"](spark, SF_DIR).collect()
+        for r in entry_mod.queries()["agg_approx_sketches"](spark, sf_dir).collect()
     }
-    l = load_table(spark, SF_DIR, "lineitem")
+    l = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r
         for r in l.groupBy("l_returnflag")

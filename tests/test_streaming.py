@@ -608,3 +608,73 @@ def test_streaming_dedup_index_maintenance(spark, tmp_path):
         "doc_id long, text string, source string, lang string",
     )
     assert dedup_index_batch(replay, idx).count() == 0
+
+
+def test_stream_outer_join_null_emission(spark, tmp_path):
+    """LEFT OUTER interval join: a buffered unmatched click emits its
+    null-error row ONLY once the watermark proves no future error can
+    match (click_ts + gap < min-branch-watermark); a matched click never
+    emits a null even after eviction; a recent unmatched click emits
+    nothing on a bounded drain.  This is the state-eviction behavior the
+    registered streaming_outer_join_drain's oracle encodes."""
+    import pandas as pd
+
+    from mini_hadoop_spark.streaming.joins import clicks_with_errors_outer
+    from mini_hadoop_spark.streaming.windowed import EVENTS_STREAM_SCHEMA
+
+    d = tmp_path / "soj_stream"
+    d.mkdir()
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema=EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d / name))
+
+    sink = str(tmp_path / "soj_out")
+    ckpt = str(tmp_path / "soj_ckpt")
+
+    def drain():
+        src = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(d / "*"))
+        q = (
+            clicks_with_errors_outer(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "drain timed out"
+        return {
+            (r.click_id, r.error_id) for r in spark.read.parquet(sink).collect()
+        }
+
+    # batch 1: c1 matches e1; c2 is unmatched but the watermark
+    # (min-branch max − 1h) is far behind — no null yet
+    write_batch(
+        "b1",
+        [
+            (100, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (110, "2026-01-01 10:10:00", 1, "error", 1.0, "{}"),
+            (200, "2026-01-01 10:05:00", 2, "click", 1.0, "{}"),
+        ],
+    )
+    assert drain() == {(100, 110)}
+
+    # batch 2 advances both branch maxima to ~14:40 → watermark 13:40 →
+    # eviction horizon 13:10: c2 (10:05, unmatched) emits its null row;
+    # c1 (matched) is evicted silently; c3 (13:30) and c4 (14:40) are
+    # newer than the horizon — still buffered, no row
+    write_batch(
+        "b2",
+        [
+            (300, "2026-01-01 13:30:00", 3, "click", 1.0, "{}"),
+            (400, "2026-01-01 14:40:00", 9, "click", 1.0, "{}"),
+            (410, "2026-01-01 14:45:00", 8, "error", 1.0, "{}"),
+        ],
+    )
+    assert drain() == {(100, 110), (200, None)}
