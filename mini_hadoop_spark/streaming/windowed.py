@@ -137,22 +137,34 @@ def _drain_scope(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy(src, dst)
+
+
 @contextlib.contextmanager
 def _staged_file(sf_dir: str, table: str, prefix: str):
-    """Stage one table's parquet file into a fresh tmp dir (the file
-    stream source requires a directory): hardlink when possible, copy
-    cross-device; the dir is removed as soon as the drain completes, so
-    callers must materialize results first."""
+    """Stage one table's parquet into a fresh tmp dir (the file stream
+    source requires a directory): hardlink when possible, copy
+    cross-device.  The source may be a single file (the driver's layout)
+    or a directory of part files (e.g. the 10x scale-smoke corpus) —
+    each part is staged.  The dir is removed as soon as the drain
+    completes, so callers must materialize results first."""
     from mini_hadoop_spark.sources.catalog import table_path
 
     src = table_path(sf_dir, table)
     stage = tempfile.mkdtemp(prefix=prefix)
     try:
-        dst = os.path.join(stage, "part-000.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
+        if os.path.isdir(src):
+            parts = sorted(
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            )
+            for j, f in enumerate(parts):
+                _link_or_copy(os.path.join(src, f), os.path.join(stage, f"part-{j:03d}.parquet"))
+        else:
+            _link_or_copy(src, os.path.join(stage, "part-000.parquet"))
         yield stage
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -236,11 +248,13 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs_dir = os.path.join(root, "docs")
         os.makedirs(docs_dir)
-        dst = os.path.join(docs_dir, "part-000.parquet")
-        try:
-            os.link(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
+        if os.path.isdir(src):
+            for j, f in enumerate(
+                sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+            ):
+                _link_or_copy(os.path.join(src, f), os.path.join(docs_dir, f"part-{j:03d}.parquet"))
+        else:
+            _link_or_copy(src, os.path.join(docs_dir, "part-000.parquet"))
         index_dir = os.path.join(root, "index")
         ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
         with _drain_scope(spark):
