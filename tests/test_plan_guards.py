@@ -98,9 +98,12 @@ BNLJ_ALLOWED = {
     # events_user_lifecycle: crossJoin(broadcast(<1-row corpus max week>))
     # onto the candidate churn rows — the canonical scalar-attach.
     "events_user_lifecycle",
-    # dq_distribution_drift: three 1-row broadcast attaches (reference
-    # count, 9-cut decile array, bin totals) — scalar-attach again.
+    # dq_distribution_drift: 1-row broadcast attaches (9-cut sampled
+    # decile array, bin totals) — scalar-attach again.
     "dq_distribution_drift",
+    # quality_dup_deciles: crossJoin(broadcast(<1-row 9-cut sampled
+    # decile array>)) — the same canonical scalar-attach (r8 rewrite).
+    "quality_dup_deciles",
 }
 
 
