@@ -1193,8 +1193,91 @@ WITH v AS (
 MATRYOSHKA_SQL = _matryoshka_sql()
 
 
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 audit of BOTH approximate index paths against the brute
+    ground truth — the acceptance gate an ANN index must pass before it
+    replaces exact search in a production retrieval pipeline.  For every
+    query vector: n_true = its brute top-3 set size, n_hit = how many of
+    those the LSH / IVF candidate path actually returned, recall =
+    n_hit / n_true.  Output: (query_id, method, n_true, n_hit, recall),
+    one row per (query, method).
+
+    This promotes the pytest-only recall assertions into a registered,
+    fully-oracled query: the DuckDB twin recomputes brute/LSH/IVF from
+    their existing bit-identical oracle chains and must land on the
+    same per-query hit counts.  Plan: the three sub-plans are the
+    audited plans of their own registered queries (brute's bounded
+    broadcast, LSH's (table,bucket) equi-join, IVF's nprobe equi-join);
+    the audit adds only left-semi joins on (query_id, neighbor_id)
+    scalars and two ≤|queries|-row aggregates.  At 100 TB the audit runs
+    on a sampled query set exactly as its inputs do (all three inherit
+    the vec_id % QUERY_MODULUS query rule)."""
+    brute = (
+        similarity_topk_brute(spark, sf_dir)
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    truth = brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    arms = []
+    for method, fn in (("lsh", similarity_ann_lsh), ("ivf", similarity_ann_ivf)):
+        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            brute.join(ann, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        arms.append(
+            truth.join(hits, "query_id", "left")
+            .na.fill(0, ["n_hit"])
+            .select(
+                "query_id",
+                F.lit(method).alias("method"),
+                "n_true",
+                "n_hit",
+                round_half_up(
+                    F.col("n_hit").cast("double") / F.col("n_true"), 6
+                ).alias("recall"),
+            )
+        )
+    return arms[0].unionAll(arms[1])
+
+
+def _ann_recall_sql() -> str:
+    return f"""
+WITH brute AS (
+  SELECT query_id, neighbor_id FROM ({SIMILARITY_TOPK_SQL}) WHERE rnk <= 3
+), lsh AS (
+  SELECT query_id, neighbor_id FROM ({SIMILARITY_ANN_LSH_SQL})
+), ivf AS (
+  SELECT query_id, neighbor_id FROM ({SIMILARITY_ANN_IVF_SQL})
+), truth AS (
+  SELECT query_id, count(*)::BIGINT AS n_true FROM brute GROUP BY 1
+), hit_lsh AS (
+  SELECT b.query_id, count(*)::BIGINT AS n_hit
+  FROM brute b JOIN lsh a USING (query_id, neighbor_id) GROUP BY 1
+), hit_ivf AS (
+  SELECT b.query_id, count(*)::BIGINT AS n_hit
+  FROM brute b JOIN ivf a USING (query_id, neighbor_id) GROUP BY 1
+)
+SELECT t.query_id, 'lsh' AS method, t.n_true,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       {sql_round_half_up('CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_true', 6)} AS recall
+FROM truth t LEFT JOIN hit_lsh h USING (query_id)
+UNION ALL
+SELECT t.query_id, 'ivf' AS method, t.n_true,
+       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+       {sql_round_half_up('CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_true', 6)} AS recall
+FROM truth t LEFT JOIN hit_ivf h USING (query_id)
+"""
+
+
+SIMILARITY_ANN_RECALL_SQL = _ann_recall_sql()
+
+
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
+    "similarity_ann_recall": similarity_ann_recall,
     "similarity_hard_negatives": similarity_hard_negatives,
     "similarity_matryoshka_agreement": similarity_matryoshka_agreement,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -1227,4 +1310,8 @@ ORACLES = {
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "similarity_ann_ivfpq": SIMILARITY_ANN_IVFPQ_SQL,
+    # similarity_ann_recall composes the three oracles above as
+    # subquery chains — bit-identical inputs in, exact integer hit
+    # counts out.
+    "similarity_ann_recall": SIMILARITY_ANN_RECALL_SQL,
 }

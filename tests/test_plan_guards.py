@@ -104,6 +104,10 @@ BNLJ_ALLOWED = {
     # quality_dup_deciles: crossJoin(broadcast(<1-row 9-cut sampled
     # decile array>)) — the same canonical scalar-attach (r8 rewrite).
     "quality_dup_deciles",
+    # similarity_ann_recall: contains the brute baseline's bounded
+    # broadcast non-equi join and IVF's bounded centroid attach — the
+    # exact shapes already allowlisted for its three sub-queries.
+    "similarity_ann_recall",
 }
 
 
