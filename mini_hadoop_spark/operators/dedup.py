@@ -1728,8 +1728,73 @@ FROM hits h JOIN sizes s ON h.train_doc_id = s.doc_id
 """
 
 
+def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision audit of the MinHash-LSH near-dup pipeline
+    against the exact-Jaccard truth — the acceptance gate an LSH config
+    (bands x rows, signature length, threshold) must pass before it
+    replaces exact shingle-join dedup at scale.  n_true = exact pairs at
+    JACCARD_THRESHOLD, n_detected = banded-candidate pairs whose
+    SIGNATURE estimate clears the same threshold (the end-to-end md5
+    pipeline, band probe + verify), n_hit = their intersection; recall
+    and precision are exact integer ratios.  Output: ONE row.
+
+    Promotes the pytest-only recall gate into a registered, fully
+    oracled query (the DuckDB twin recomputes both pair sets from their
+    bit-identical oracle chains).  Plan: both pair sets are the MEMOIZED
+    checkpointed graphs every other pair consumer shares, so the audit
+    itself adds one scalar-pair equi-join and three 1-row aggregates.
+    At 100 TB the same audit runs on a corpus sample; the pair builders
+    are the audited linear-candidate plans (never all-pairs)."""
+    truth = near_dup_pairs(spark, sf_dir, "jaccard").select("doc_a", "doc_b")
+    det = near_dup_pairs(spark, sf_dir, "minhash_md5").select("doc_a", "doc_b")
+    t = truth.agg(F.count("*").alias("n_true"))
+    d = det.agg(F.count("*").alias("n_detected"))
+    h = truth.join(det, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_hit"))
+    hit = F.col("n_hit").cast("double")
+    recall = F.when(
+        F.col("n_true") > 0, round_half_up(hit / F.col("n_true"), 6)
+    ).otherwise(F.lit(0.0))
+    precision = F.when(
+        F.col("n_detected") > 0, round_half_up(hit / F.col("n_detected"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        t.crossJoin(d)
+        .crossJoin(h)
+        .select(
+            "n_true",
+            "n_detected",
+            "n_hit",
+            recall.alias("recall"),
+            precision.alias("precision"),
+        )
+    )
+
+
+DEDUP_LSH_QUALITY_SQL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_NEAR_JACCARD_SQL})
+), det AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_LSH_MD5_SQL})
+), t AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+d AS (SELECT count(*)::BIGINT AS n_detected FROM det),
+h AS (
+  SELECT count(*)::BIGINT AS n_hit
+  FROM truth JOIN det USING (doc_a, doc_b)
+)
+SELECT n_true, n_detected, n_hit,
+       CASE WHEN n_true > 0
+            THEN {sql_round_half_up('CAST(n_hit AS DOUBLE) / n_true', 6)}
+            ELSE 0.0 END AS recall,
+       CASE WHEN n_detected > 0
+            THEN {sql_round_half_up('CAST(n_hit AS DOUBLE) / n_detected', 6)}
+            ELSE 0.0 END AS precision
+FROM t, d, h
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_lsh_quality_audit": dedup_lsh_quality_audit,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_incremental": dedup_incremental,
     "dedup_histogram": dedup_histogram,
@@ -1752,6 +1817,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_lsh_quality_audit": DEDUP_LSH_QUALITY_SQL,
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_histogram": DEDUP_HISTOGRAM_SQL,

@@ -108,6 +108,9 @@ BNLJ_ALLOWED = {
     # broadcast non-equi join and IVF's bounded centroid attach — the
     # exact shapes already allowlisted for its three sub-queries.
     "similarity_ann_recall",
+    # dedup_lsh_quality_audit: crossJoins of three 1-row aggregates —
+    # the canonical scalar-attach, build sides exactly one row.
+    "dedup_lsh_quality_audit",
 }
 
 
