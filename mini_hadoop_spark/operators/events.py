@@ -587,8 +587,61 @@ FROM agg
 """
 
 
+#: fixed pivot column set — pinning the values keeps the output schema
+#: deterministic AND skips Catalyst's extra distinct-values collection
+#: job (the two-scan pitfall of an unpinned pivot at scale)
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity matrix via Catalyst's PIVOT: one row per event
+    date, one count column per event type plus the row total — the
+    wide-format monitoring table dashboards join against.  Exercises the
+    one relational reshaping operator the battery lacked (unpivot's
+    inverse).  The type list is PINNED (EVENT_TYPES): an unpinned pivot
+    first runs a whole extra distinct-scan to discover column values and
+    its output schema becomes data-dependent — both wrong at 100 TB.
+    Plan: one map-combined hash shuffle on event_date (pivot aggregates
+    are per-type conditional counts, exactly the oracle's FILTER form);
+    |dates| output rows."""
+    e = load_table(spark, sf_dir, "events")
+    piv = (
+        e.select(F.to_date("ts").cast("string").alias("event_date"), "event_type")
+        .groupBy("event_date")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    total = None
+    for t in EVENT_TYPES:
+        total = F.col(t) if total is None else total + F.col(t)
+    return piv.select(
+        "event_date",
+        *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES],
+        total.alias("n_total"),
+    )
+
+
+def _events_pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT CAST(ts AS DATE)::VARCHAR AS event_date,
+       {cols},
+       count(*) FILTER (WHERE event_type IN ({', '.join(repr(t) for t in EVENT_TYPES)}))::BIGINT AS n_total
+FROM events
+GROUP BY 1
+"""
+
+
+EVENTS_PIVOT_SQL = _events_pivot_sql()
+
+
 QUERIES = {
     "events_gap_quantiles": events_gap_quantiles,
+    "events_type_pivot": events_type_pivot,
     "events_type_transitions": events_type_transitions,
     "events_first_touch_attribution": events_first_touch_attribution,
     "events_hourly_window": events_hourly_window,
@@ -603,6 +656,7 @@ QUERIES = {
 
 ORACLES = {
     "events_gap_quantiles": EVENTS_GAP_QUANTILES_SQL,
+    "events_type_pivot": EVENTS_PIVOT_SQL,
     "events_type_transitions": EVENTS_TRANSITIONS_SQL,
     "events_first_touch_attribution": EVENTS_FIRST_TOUCH_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
