@@ -1194,13 +1194,16 @@ MATRYOSHKA_SQL = _matryoshka_sql()
 
 
 def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@3 audit of BOTH approximate index paths against the brute
-    ground truth — the acceptance gate an ANN index must pass before it
-    replaces exact search in a production retrieval pipeline.  For every
-    query vector: n_true = its brute top-3 set size, n_hit = how many of
-    those the LSH / IVF candidate path actually returned, recall =
-    n_hit / n_true.  Output: (query_id, method, n_true, n_hit, recall),
-    one row per (query, method).
+    """Recall@3 audit of ALL THREE approximate index paths against the
+    brute ground truth — the acceptance gate an ANN index must pass
+    before it replaces exact search in a production retrieval pipeline.
+    For every query vector: n_true = its brute top-3 set size, n_hit =
+    how many of those the LSH / IVF / IVFPQ candidate path actually
+    returned, recall = n_hit / n_true.  Output: (query_id, method,
+    n_true, n_hit, recall), one row per (query, method).  The IVFPQ arm
+    additionally quantifies what 8x-compressed asymmetric-distance
+    ranking costs in recall relative to the exact-cosine IVF arm over
+    the same inverted lists.
 
     This promotes the pytest-only recall assertions into a registered,
     fully-oracled query: the DuckDB twin recomputes brute/LSH/IVF from
@@ -1220,7 +1223,11 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
     arms = []
-    for method, fn in (("lsh", similarity_ann_lsh), ("ivf", similarity_ann_ivf)):
+    for method, fn in (
+        ("lsh", similarity_ann_lsh),
+        ("ivf", similarity_ann_ivf),
+        ("ivfpq", similarity_ann_ivfpq),
+    ):
         ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
         hits = (
             brute.join(ann, ["query_id", "neighbor_id"], "left_semi")
@@ -1240,10 +1247,19 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("recall"),
             )
         )
-    return arms[0].unionAll(arms[1])
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionAll(arm)
+    return out
 
 
 def _ann_recall_sql() -> str:
+    method_arm = (
+        "SELECT t.query_id, '{m}' AS method, t.n_true,\n"
+        "       coalesce(h.n_hit, 0)::BIGINT AS n_hit,\n"
+        f"       {sql_round_half_up('CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_true', 6)} AS recall\n"
+        "FROM truth t LEFT JOIN hit_{m} h USING (query_id)"
+    )
     return f"""
 WITH brute AS (
   SELECT query_id, neighbor_id FROM ({SIMILARITY_TOPK_SQL}) WHERE rnk <= 3
@@ -1251,6 +1267,8 @@ WITH brute AS (
   SELECT query_id, neighbor_id FROM ({SIMILARITY_ANN_LSH_SQL})
 ), ivf AS (
   SELECT query_id, neighbor_id FROM ({SIMILARITY_ANN_IVF_SQL})
+), ivfpq AS (
+  SELECT query_id, neighbor_id FROM ({SIMILARITY_ANN_IVFPQ_SQL})
 ), truth AS (
   SELECT query_id, count(*)::BIGINT AS n_true FROM brute GROUP BY 1
 ), hit_lsh AS (
@@ -1259,16 +1277,15 @@ WITH brute AS (
 ), hit_ivf AS (
   SELECT b.query_id, count(*)::BIGINT AS n_hit
   FROM brute b JOIN ivf a USING (query_id, neighbor_id) GROUP BY 1
+), hit_ivfpq AS (
+  SELECT b.query_id, count(*)::BIGINT AS n_hit
+  FROM brute b JOIN ivfpq a USING (query_id, neighbor_id) GROUP BY 1
 )
-SELECT t.query_id, 'lsh' AS method, t.n_true,
-       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-       {sql_round_half_up('CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_true', 6)} AS recall
-FROM truth t LEFT JOIN hit_lsh h USING (query_id)
+{method_arm.format(m='lsh')}
 UNION ALL
-SELECT t.query_id, 'ivf' AS method, t.n_true,
-       coalesce(h.n_hit, 0)::BIGINT AS n_hit,
-       {sql_round_half_up('CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_true', 6)} AS recall
-FROM truth t LEFT JOIN hit_ivf h USING (query_id)
+{method_arm.format(m='ivf')}
+UNION ALL
+{method_arm.format(m='ivfpq')}
 """
 
 
