@@ -773,7 +773,94 @@ FROM kept k JOIN wts w ON k.source = w.source
 """
 
 
+#: top-movers budget for the vocabulary drift report
+VOCAB_DRIFT_K = 20
+VOCAB_DRIFT_BUCKETS = 2  # md5(doc_id) % 2: split 0 = reference, 1 = current
+
+
+def vocab_drift_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: the VOCAB_DRIFT_K
+    tokens whose frequency SHARE moved most between the md5-split
+    reference and current halves — the "what changed in the data"
+    monitoring report a retraining decision reads next to the numeric
+    drift audit (dq_distribution_drift).  Output: (token, n_ref, n_cur,
+    share_ref, share_cur, delta), delta = share_cur − share_ref, ranked
+    by |delta| with a token tiebreak.
+
+    Exactness: counts are integers, shares are single IEEE divisions of
+    those integers, delta one subtraction — bit-identical across
+    engines, so the top-K selection order agrees exactly.  Plan: one
+    map-combined hash shuffle on token, a 1-row totals attach, and a
+    distributed top-K (TakeOrderedAndProject) — no global sort, no
+    window; linear in corpus at any scale."""
+    d = _docs(spark, sf_dir)
+    split = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % VOCAB_DRIFT_BUCKETS
+    )
+    toks = d.select(
+        split.alias("split"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("split") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("split") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = F.broadcast(
+        counts.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    )
+    share_r = F.col("n_ref").cast("double") / F.col("t_ref")
+    share_c = F.col("n_cur").cast("double") / F.col("t_cur")
+    delta = share_c - share_r
+    return (
+        counts.crossJoin(totals)
+        .withColumn("d_raw", delta)
+        .orderBy(F.abs(F.col("d_raw")).desc(), "token")
+        .limit(VOCAB_DRIFT_K)
+        .select(
+            "token",
+            "n_ref",
+            "n_cur",
+            round_half_up(share_r, 6).alias("share_ref"),
+            round_half_up(share_c, 6).alias("share_cur"),
+            round_half_up(F.col("d_raw"), 6).alias("delta"),
+        )
+    )
+
+
+VOCAB_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {VOCAB_DRIFT_BUCKETS} AS split,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token,
+         sum(CASE WHEN split = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+         sum(CASE WHEN split = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+  FROM toks GROUP BY token
+), tot AS (
+  SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur FROM counts
+), scored AS (
+  SELECT token, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) / t_ref AS share_r,
+         CAST(n_cur AS DOUBLE) / t_cur AS share_c
+  FROM counts, tot
+)
+SELECT token, n_ref, n_cur,
+       {sql_round_half_up('share_r', 6)} AS share_ref,
+       {sql_round_half_up('share_c', 6)} AS share_cur,
+       {sql_round_half_up('share_c - share_r', 6)} AS delta
+FROM scored
+ORDER BY abs(share_c - share_r) DESC, token
+LIMIT {VOCAB_DRIFT_K}
+"""
+
+
 QUERIES = {
+    "vocab_drift_top_movers": vocab_drift_top_movers,
     "text_token_stats": text_token_stats,
     "mix_domain_weights": mix_domain_weights,
     "pipeline_pretrain_manifest": pipeline_pretrain_manifest,
@@ -791,6 +878,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_drift_top_movers": VOCAB_DRIFT_SQL,
     "mix_domain_weights": MIX_DOMAIN_SQL,
     "pipeline_pretrain_manifest": _pretrain_manifest_sql(),
     "text_redact_pii": TEXT_REDACT_SQL,

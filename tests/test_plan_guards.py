@@ -111,6 +111,9 @@ BNLJ_ALLOWED = {
     # dedup_lsh_quality_audit: crossJoins of three 1-row aggregates —
     # the canonical scalar-attach, build sides exactly one row.
     "dedup_lsh_quality_audit",
+    # vocab_drift_top_movers: crossJoin(broadcast(<1-row split totals>))
+    # — the canonical scalar-attach again.
+    "vocab_drift_top_movers",
 }
 
 
