@@ -307,6 +307,10 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # selections from it — one per quantile q, duplicates preserved, so
     # both engines count the same cut multiset in the bin fold.  No
     # window anywhere in this plan.
+    # greatest(1, ...) guards the degenerate empty-sample case: index 0
+    # would throw in Spark while DuckDB yields NULL cuts; with the guard
+    # an empty sample gives NULL cuts on BOTH engines and the coalesce
+    # in the bin fold sends every row to bin 1 on both.
     cuts = F.broadcast(
         samp.agg(
             F.array_sort(F.collect_list(F.struct("x", "o_orderkey"))).alias("arr")
@@ -315,9 +319,12 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.lit(DRIFT_BINS - 1)),
                 lambda q: F.element_at(
                     F.col("arr"),
-                    F.ceil(
-                        q.cast("double") * F.size(F.col("arr")) / F.lit(DRIFT_BINS)
-                    ).cast("int"),
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(
+                            q.cast("double") * F.size(F.col("arr")) / F.lit(DRIFT_BINS)
+                        ).cast("int"),
+                    ),
                 )["x"],
             ).alias("cuts")
         )
@@ -326,7 +333,7 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin_id = F.lit(1) + F.aggregate(
         F.col("cuts"),
         F.lit(0),
-        lambda acc, c: acc + (F.col("x") > c).cast("int"),
+        lambda acc, c: acc + F.coalesce((F.col("x") > c).cast("int"), F.lit(0)),
     )
     binned = (
         o.crossJoin(cuts)

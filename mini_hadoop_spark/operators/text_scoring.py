@@ -706,6 +706,9 @@ def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mh", "doc_id")
         .limit(QDD_SAMPLE_BUDGET)
     )
+    # greatest(1, ...) + coalesce: empty-sample degenerate case behaves
+    # identically on both engines (NULL cuts, everything in bin 1) — see
+    # dq.dq_distribution_drift's identical guard.
     cuts = F.broadcast(
         samp.agg(
             F.array_sort(F.collect_list(F.struct("quality_score", "doc_id"))).alias("arr")
@@ -714,8 +717,11 @@ def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(1), F.lit(9)),
                 lambda qq: F.element_at(
                     F.col("arr"),
-                    F.ceil(qq.cast("double") * F.size(F.col("arr")) / F.lit(10)).cast(
-                        "int"
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(
+                            qq.cast("double") * F.size(F.col("arr")) / F.lit(10)
+                        ).cast("int"),
                     ),
                 )["quality_score"],
             ).alias("cuts")
@@ -724,7 +730,7 @@ def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     decile = F.lit(1) + F.aggregate(
         F.col("cuts"),
         F.lit(0),
-        lambda acc, c: acc + (F.col("quality_score") > c).cast("int"),
+        lambda acc, c: acc + F.coalesce((F.col("quality_score") > c).cast("int"), F.lit(0)),
     )
     d = j.crossJoin(cuts).withColumn("decile", decile).drop("cuts")
     agg = d.groupBy("decile").agg(

@@ -144,27 +144,30 @@ def _link_or_copy(src: str, dst: str) -> None:
         shutil.copy(src, dst)
 
 
+def _stage_parquet(src: str, dst_dir: str) -> None:
+    """Stage a parquet source into ``dst_dir``: the source may be a
+    single file (the driver's layout) or a directory of part files
+    (e.g. the 10x scale-smoke corpus) — each part is hardlinked (copy
+    cross-device) under a stable part-NNN name."""
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for j, f in enumerate(parts):
+            _link_or_copy(os.path.join(src, f), os.path.join(dst_dir, f"part-{j:03d}.parquet"))
+    else:
+        _link_or_copy(src, os.path.join(dst_dir, "part-000.parquet"))
+
+
 @contextlib.contextmanager
 def _staged_file(sf_dir: str, table: str, prefix: str):
     """Stage one table's parquet into a fresh tmp dir (the file stream
-    source requires a directory): hardlink when possible, copy
-    cross-device.  The source may be a single file (the driver's layout)
-    or a directory of part files (e.g. the 10x scale-smoke corpus) —
-    each part is staged.  The dir is removed as soon as the drain
-    completes, so callers must materialize results first."""
+    source requires a directory).  The dir is removed as soon as the
+    drain completes, so callers must materialize results first."""
     from mini_hadoop_spark.sources.catalog import table_path
 
     src = table_path(sf_dir, table)
     stage = tempfile.mkdtemp(prefix=prefix)
     try:
-        if os.path.isdir(src):
-            parts = sorted(
-                f for f in os.listdir(src) if f.endswith(".parquet")
-            )
-            for j, f in enumerate(parts):
-                _link_or_copy(os.path.join(src, f), os.path.join(stage, f"part-{j:03d}.parquet"))
-        else:
-            _link_or_copy(src, os.path.join(stage, "part-000.parquet"))
+        _stage_parquet(src, stage)
         yield stage
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -248,13 +251,7 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs_dir = os.path.join(root, "docs")
         os.makedirs(docs_dir)
-        if os.path.isdir(src):
-            for j, f in enumerate(
-                sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
-            ):
-                _link_or_copy(os.path.join(src, f), os.path.join(docs_dir, f"part-{j:03d}.parquet"))
-        else:
-            _link_or_copy(src, os.path.join(docs_dir, "part-000.parquet"))
+        _stage_parquet(src, docs_dir)
         index_dir = os.path.join(root, "index")
         ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
         with _drain_scope(spark):
@@ -457,9 +454,17 @@ WITH clicks AS (
   FROM events WHERE event_type = 'error'
 ), mx AS (
   -- the engine's global watermark is the MIN over the two branch
-  -- watermark operators, each tracking its OWN branch's max event time
-  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
-               max(ts) FILTER (WHERE event_type = 'error')) AS wm_base
+  -- watermark operators, each tracking its OWN branch's max event time.
+  -- If EITHER branch saw no rows its watermark never advances past the
+  -- epoch and no state expires — least() alone would skip the NULL and
+  -- wrongly emit null rows, so an empty branch forces wm_base NULL
+  -- (every comparison below then filters false: zero expired rows,
+  -- exactly the engine's behavior).
+  SELECT CASE WHEN max(ts) FILTER (WHERE event_type = 'click') IS NULL
+            OR max(ts) FILTER (WHERE event_type = 'error') IS NULL
+          THEN NULL
+          ELSE least(max(ts) FILTER (WHERE event_type = 'click'),
+                     max(ts) FILTER (WHERE event_type = 'error')) END AS wm_base
   FROM events
 ), pairs AS (
   SELECT c.user_id, c.click_id, c.click_ts, e.error_id, e.error_ts

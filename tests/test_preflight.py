@@ -65,8 +65,13 @@ def test_hook_checks_staged_index_not_working_tree(tmp_path):
 
     repo = tmp_path / "scratch"
     repo.mkdir()
+    # the hook invokes bare `python`: guarantee it resolves to THIS
+    # interpreter regardless of whether the host ships a python shim
+    bin_dir = tmp_path / "bin"
+    bin_dir.mkdir()
+    (bin_dir / "python").symlink_to(sys.executable)
     env = {
-        "PATH": f"{os.path.dirname(sys.executable)}:/usr/bin:/bin",
+        "PATH": f"{bin_dir}:/usr/bin:/bin",
         "HOME": "/root",
         "GIT_AUTHOR_NAME": "t",
         "GIT_AUTHOR_EMAIL": "t@t",

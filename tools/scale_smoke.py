@@ -250,6 +250,8 @@ def main() -> int:
     elif update_mode:
         names = args
         assert names, "--update needs explicit query names"
+        bad = sorted(set(names) & set(EXCLUDED))
+        assert not bad, f"--update on EXCLUDED queries (would be listed twice): {bad}"
         runs = 2
     else:
         names = args or DEFAULT_QUERIES
@@ -298,13 +300,18 @@ def main() -> int:
             with open(js) as fh:
                 merged = {r["name"]: r for r in json.load(fh)}
             merged.update({r["name"]: r for r in rows})
+            # a query that CRASHED must not keep its stale measured row —
+            # dropping it turns the masking into a red
+            # test_every_query_scale_smoked instead of a silent lie
+            for name in failed:
+                merged.pop(name, None)
             rows = list(merged.values())
         write_scale_md(rows, md)
         with open(js, "w") as fh:
             json.dump(rows, fh, indent=1)
         print(f"wrote {md} ({len(rows)} rows)")
     spark.stop()
-    return 0
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
