@@ -64,9 +64,11 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _topk_brute_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 cosine neighbors for every query vector (vec_id % 50 == 0),
-    deterministic tiebreak on neighbor_id."""
+    deterministic tiebreak on neighbor_id.  Plan builder behind the
+    memoized ``similarity_topk_brute`` (guarded directly in
+    tests/test_plan_guards.py::_internal_plans)."""
     v = _vectors(spark, sf_dir)
     queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nv").alias("nq")
@@ -246,7 +248,7 @@ def _bucketed(v: DataFrame) -> DataFrame:
     )
 
 
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 per query via multi-table SRP-LSH: query vectors only
     meet vectors sharing a (table_id, bucket) key in at least one of the
     LSH_TABLES hash tables (equi-join; shuffle bounded by bucket sizes).
@@ -546,7 +548,7 @@ def ivf_lists(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> DataF
     return _quantizers[key]
 
 
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-3 per query via IVF: vectors live in their nearest
     centroid's inverted list; each query probes its IVF_NPROBE nearest
     centroids and scores ONLY those lists (equi-join on cid — shuffle
@@ -587,7 +589,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN — the full modern vector-store stack (Jegou et al.
     2011 IVFADC, non-residual variant): the IVF coarse quantizer routes
     each query to its IVF_NPROBE nearest inverted lists, and candidates
@@ -658,6 +660,75 @@ def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Memoized ANN result layer (VERDICT r8 #2).  The four neighbor sets —
+# brute ground truth + the three ANN arms — are consumed by MULTIPLE
+# registered queries (each arm's own query, similarity_ann_recall's
+# 3-arm audit, and the pytest recall gates), and each result is tiny
+# (|queries| x top-k rows, ~hundreds at any SF: the corpus never
+# materializes, only the ranked neighbor ids).  Re-deriving an arm per
+# consuming query repeats the expensive candidate generation — the r8
+# verdict measured the recall audit at 4.27 s warm / 62.5 s cold-10x
+# purely from that redundancy.  Same memo+localCheckpoint pattern as
+# dedup.near_dup_pairs: build once per (application, sf_dir, method),
+# every consumer reads the materialized rows.  The REAL plans stay
+# guarded: tests/test_plan_guards.py::_internal_plans walks the
+# _*_plan builders directly (cartesian/BNLJ/global-window classes),
+# and bench.py itemizes the one-time builds as index_build entries.
+# ---------------------------------------------------------------------------
+
+_ANN_PLANS = {
+    "brute": _topk_brute_plan,
+    "lsh": _ann_lsh_plan,
+    "ivf": _ann_ivf_plan,
+    "ivfpq": _ann_ivfpq_plan,
+}
+_ann_memo: dict[tuple, DataFrame] = {}
+
+
+def ann_results(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
+    """The memoized, materialized (localCheckpoint) neighbor set for
+    ``method`` — built once per (session, sf_dir), shared by the arm's
+    registered query and every audit that consumes it."""
+    if method not in _ANN_PLANS:
+        raise ValueError(f"unknown ANN method {method!r}; expected one of {sorted(_ANN_PLANS)}")
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), "ann", method)
+    if key not in _ann_memo:
+        _ann_memo[key] = _ANN_PLANS[method](spark, sf_dir).localCheckpoint(eager=True)
+    return _ann_memo[key]
+
+
+def clear_memo() -> None:
+    """Drop memoized quantizer/list/ANN frames (tests that rewrite an
+    sf_dir in place call this; distinct tmp dirs never collide)."""
+    _quantizers.clear()
+    _ann_memo.clear()
+
+
+def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized brute-force cosine top-5 ground
+    truth (plan: _topk_brute_plan — the deliberate quadratic baseline)."""
+    return ann_results(spark, sf_dir, "brute")
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized SRP-LSH ANN top-3 neighbor set
+    (plan: _ann_lsh_plan — (table, bucket) equi-join candidates)."""
+    return ann_results(spark, sf_dir, "lsh")
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized IVF ANN top-3 neighbor set
+    (plan: _ann_ivf_plan — nprobe inverted-list equi-join candidates)."""
+    return ann_results(spark, sf_dir, "ivf")
+
+
+def similarity_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized IVF-PQ ANN top-3 neighbor set
+    (plan: _ann_ivfpq_plan — asymmetric PQ distances over IVF lists)."""
+    return ann_results(spark, sf_dir, "ivfpq")
 
 
 def _ann_ivfpq_sql() -> str:
@@ -1214,21 +1285,20 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit adds only left-semi joins on (query_id, neighbor_id)
     scalars and two ≤|queries|-row aggregates.  At 100 TB the audit runs
     on a sampled query set exactly as its inputs do (all three inherit
-    the vec_id % QUERY_MODULUS query rule)."""
+    the vec_id % QUERY_MODULUS query rule).
+
+    r9: all four inputs are the MEMOIZED materialized neighbor sets
+    (ann_results) — the audit no longer re-derives any arm; it joins
+    four ~|queries|·k-row checkpointed frames (VERDICT r8 #2)."""
     brute = (
-        similarity_topk_brute(spark, sf_dir)
+        ann_results(spark, sf_dir, "brute")
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
     )
     truth = brute.groupBy("query_id").agg(F.count("*").alias("n_true"))
     arms = []
-    for method, fn in (
-        ("lsh", similarity_ann_lsh),
-        ("ivf", similarity_ann_ivf),
-        ("ivfpq", similarity_ann_ivfpq),
-    ):
-        ann = fn(spark, sf_dir).select("query_id", "neighbor_id")
+    for method in ("lsh", "ivf", "ivfpq"):
+        ann = ann_results(spark, sf_dir, method).select("query_id", "neighbor_id")
         hits = (
             brute.join(ann, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")

@@ -35,12 +35,14 @@ from tests.conftest import SF_DIR
 #   of the corpus (N, sum_dl) stats.
 # - events_decayed_engagement: crossJoin(broadcast(<1-row aggregate>)) —
 #   scalar-attach of the corpus max event date.
+# (similarity_topk_brute / similarity_ann_ivf / similarity_ann_ivfpq /
+# similarity_ann_recall moved OUT of this list in r9: their registered
+# plans are now memoized block scans; the real plans' BNLJ rationale
+# lives in _internal_plans below.)
 BNLJ_ALLOWED = {
     "bm25_search",
     "events_decayed_engagement",
-    "similarity_topk_brute",
     "tfidf_top_terms",
-    "similarity_ann_ivf",
     "scalar_subquery_uncorrelated",
     "mix_domain_weights",
     "events_funnel",
@@ -86,12 +88,10 @@ BNLJ_ALLOWED = {
     # md5-budget query set over one corpus scan — the same deliberate
     # bounded brute shape as similarity_topk_brute.
     "similarity_hard_negatives",
-    # quantize_pq_codes / similarity_ann_ivfpq: crossJoin(broadcast(
-    # <1-row m-indexed PQ codebook array>)) — bounded constant build
-    # side (PQ_M x PQ_KS entries packed into one row), the zero-shuffle
-    # assignment idiom.
+    # quantize_pq_codes: crossJoin(broadcast(<1-row m-indexed PQ
+    # codebook array>)) — bounded constant build side (PQ_M x PQ_KS
+    # entries packed into one row), the zero-shuffle assignment idiom.
     "quantize_pq_codes",
-    "similarity_ann_ivfpq",
     # cluster_kmeans_topics: shares similarity._assign's 1-row broadcast
     # centroid-array attach (same bounded build side as similarity_ann_ivf).
     "cluster_kmeans_topics",
@@ -104,10 +104,6 @@ BNLJ_ALLOWED = {
     # quality_dup_deciles: crossJoin(broadcast(<1-row 9-cut sampled
     # decile array>)) — the same canonical scalar-attach (r8 rewrite).
     "quality_dup_deciles",
-    # similarity_ann_recall: contains the brute baseline's bounded
-    # broadcast non-equi join and IVF's bounded centroid attach — the
-    # exact shapes already allowlisted for its three sub-queries.
-    "similarity_ann_recall",
     # dedup_lsh_quality_audit: crossJoins of three 1-row aggregates —
     # the canonical scalar-attach, build sides exactly one row.
     "dedup_lsh_quality_audit",
@@ -226,19 +222,37 @@ def test_no_cartesian_or_interpreted_python(spark, name):
 
 
 def _internal_plans():
-    """Plan builders hidden behind the memoized near-dup pipeline: the
-    registered queries return checkpointed frames (whose physical plan is
-    just a block scan), so the real candidate-generation plans are
-    guarded here directly."""
-    from mini_hadoop_spark.operators import dedup
+    """Plan builders hidden behind the memoized pipelines (near-dup pair
+    graphs, the four ANN neighbor sets): the registered queries return
+    checkpointed frames (whose physical plan is just a block scan), so
+    the real candidate-generation plans are guarded here directly.
+    Values: (builder, bnlj_ok) — bnlj_ok mirrors BNLJ_ALLOWED's rationale
+    for the builders whose registered twins used to carry the entry:
+    brute broadcasts the bounded query set (the deliberate baseline),
+    ivf/ivfpq attach the <=32-row centroid table / 1-row PQ codebook."""
+    from mini_hadoop_spark.operators import dedup, similarity
 
     return {
-        "near_dup_pairs_jaccard_plan": dedup._near_jaccard_plan,
-        "near_dup_pairs_minhash_plan": dedup._minhash_lsh_plan,
+        "near_dup_pairs_jaccard_plan": (dedup._near_jaccard_plan, False),
+        "near_dup_pairs_minhash_plan": (dedup._minhash_lsh_plan, False),
+        "near_dup_pairs_minhash_md5_plan": (dedup._minhash_lsh_md5_plan, False),
+        "ann_brute_plan": (similarity._topk_brute_plan, True),
+        "ann_lsh_plan": (similarity._ann_lsh_plan, False),
+        "ann_ivf_plan": (similarity._ann_ivf_plan, True),
+        "ann_ivfpq_plan": (similarity._ann_ivfpq_plan, True),
     }
 
 
 @pytest.mark.parametrize("name", sorted(_internal_plans()))
 def test_internal_pair_plans_clean(spark, name):
-    df = _internal_plans()[name](spark, SF_DIR)
-    _assert_plan_clean(name, df)
+    builder, bnlj_ok = _internal_plans()[name]
+    df = builder(spark, SF_DIR)
+    _assert_plan_clean(name, df, bnlj_ok=bnlj_ok)
+    # ADVICE r8 #3: the global-window class must be checked on the REAL
+    # plans too — a memoized localCheckpoint frame presents as an opaque
+    # block scan to the registered-query guard above.
+    bad = _global_window_violations(df)
+    assert not bad, (
+        f"{name} plans an unpartitioned window over unbounded input "
+        f"(all rows to ONE task at scale):\n" + "\n".join(bad)
+    )
