@@ -349,8 +349,14 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
         )
     )
-    share_r = F.col("n_ref").cast("double") / F.col("t_ref")
-    share_c = F.col("n_cur").cast("double") / F.col("t_cur")
+    # empty-half guard (ADVICE r8 #2): Spark Divide yields NULL on a zero
+    # denominator, DuckDB yields inf — pin the degenerate case to 0.0
+    share_r = F.when(
+        F.col("t_ref") > 0, F.col("n_ref").cast("double") / F.col("t_ref")
+    ).otherwise(F.lit(0.0))
+    share_c = F.when(
+        F.col("t_cur") > 0, F.col("n_cur").cast("double") / F.col("t_cur")
+    ).otherwise(F.lit(0.0))
     return binned.crossJoin(totals).select(
         "bin_id",
         "n_ref",
@@ -390,12 +396,17 @@ WITH o AS (
   FROM binned GROUP BY bin_id
 ), tot AS (
   SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM agg
+), shared AS (
+  SELECT bin_id, n_ref, n_cur,
+         CASE WHEN t_ref > 0 THEN CAST(n_ref AS DOUBLE) / t_ref ELSE 0.0 END AS share_r,
+         CASE WHEN t_cur > 0 THEN CAST(n_cur AS DOUBLE) / t_cur ELSE 0.0 END AS share_c
+  FROM agg, tot
 )
 SELECT bin_id, n_ref, n_cur,
-       {sql_round_half_up('CAST(n_ref AS DOUBLE) / t_ref', 6)} AS share_ref,
-       {sql_round_half_up('CAST(n_cur AS DOUBLE) / t_cur', 6)} AS share_cur,
-       {sql_round_half_up('abs(CAST(n_cur AS DOUBLE) / t_cur - CAST(n_ref AS DOUBLE) / t_ref)', 6)} AS abs_diff
-FROM agg, tot
+       {sql_round_half_up('share_r', 6)} AS share_ref,
+       {sql_round_half_up('share_c', 6)} AS share_cur,
+       {sql_round_half_up('abs(share_c - share_r)', 6)} AS abs_diff
+FROM shared
 """
 
 

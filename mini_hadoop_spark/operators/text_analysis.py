@@ -812,8 +812,15 @@ def vocab_drift_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = F.broadcast(
         counts.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
     )
-    share_r = F.col("n_ref").cast("double") / F.col("t_ref")
-    share_c = F.col("n_cur").cast("double") / F.col("t_cur")
+    # empty-half guard (ADVICE r8 #2): Spark's Divide returns NULL on a
+    # zero denominator while DuckDB's IEEE division returns inf — pin the
+    # degenerate one-empty-split case to share 0.0 in BOTH engines
+    share_r = F.when(
+        F.col("t_ref") > 0, F.col("n_ref").cast("double") / F.col("t_ref")
+    ).otherwise(F.lit(0.0))
+    share_c = F.when(
+        F.col("t_cur") > 0, F.col("n_cur").cast("double") / F.col("t_cur")
+    ).otherwise(F.lit(0.0))
     delta = share_c - share_r
     return (
         counts.crossJoin(totals)
@@ -845,8 +852,8 @@ WITH toks AS (
   SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur FROM counts
 ), scored AS (
   SELECT token, n_ref, n_cur,
-         CAST(n_ref AS DOUBLE) / t_ref AS share_r,
-         CAST(n_cur AS DOUBLE) / t_cur AS share_c
+         CASE WHEN t_ref > 0 THEN CAST(n_ref AS DOUBLE) / t_ref ELSE 0.0 END AS share_r,
+         CASE WHEN t_cur > 0 THEN CAST(n_cur AS DOUBLE) / t_cur ELSE 0.0 END AS share_c
   FROM counts, tot
 )
 SELECT token, n_ref, n_cur,
