@@ -87,6 +87,196 @@ LIMIT {BPE_TOP_MERGES}
 """
 
 
+#: merge rounds for the iterative BPE trainer — enough to witness the
+#: emergent behavior (later rounds merging PREVIOUSLY-merged symbols),
+#: bounded so the unrolled DuckDB oracle chain stays readable.
+BPE_TRAIN_ROUNDS = 8
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized trained BPE merge table.  A merge
+    table IS a tokenizer model — a build-once artifact exactly like the
+    IVF quantizer and PQ codebook, so it shares their per-(session,
+    sf_dir) memo+localCheckpoint discipline (bench.py itemizes the
+    one-time training as a `bpe_model` index build).  Plan + training
+    semantics: _bpe_train_plan below."""
+    key = _pq_key(spark, sf_dir, "bpe_merges")
+    if key not in _pq_memo:
+        _pq_memo[key] = _bpe_train_plan(spark, sf_dir).localCheckpoint(eager=True)
+    return _pq_memo[key]
+
+
+def _bpe_train_plan(
+    spark: SparkSession, sf_dir: str, _checkpoint: bool = True
+) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    end-to-end form of ``bpe_merge_candidates``, which computes one
+    round: train ``BPE_TRAIN_ROUNDS`` merges, each round (1) counting
+    adjacent symbol pairs corpus-weighted, (2) picking the most frequent
+    pair (ties on the pair strings), (3) merging it greedily
+    left-to-right in every token, then repeating on the MERGED symbol
+    sequences — so later rounds can merge previously-merged symbols,
+    the emergent behavior a single-round query can't show.  Output:
+    (rnd, left_sym, right_sym, merged, cnt) — the learned merge table.
+
+    Standard BPE trains on the word-frequency dict, not the raw corpus
+    stream, and so does this plan: vocab = distinct tokens with corpus
+    counts (ONE corpus-scale shuffle, map-combined), then every round
+    touches only the |vocab|-row frame.  Symbol sequences are encoded
+    as '<sym><sym>…' strings, so the merge is a plain
+    ``replace('<a><b>' -> '<ab>')``: both Spark and DuckDB replace
+    non-overlapping occurrences left-to-right and a match consumes both
+    complete '<…>' units, which IS greedy BPE merge semantics (and the
+    sentinels can't collide — tokens are [a-z0-9]+).  Per round: one
+    pair aggregate whose key space is bounded by |active symbol pairs|
+    (map-side combine), a distributed top-1 (TakeOrderedAndProject —
+    no global window), a 1-row broadcast scalar-attach of the winning
+    pair, and an eager localCheckpoint to truncate lineage — exactly
+    the pagerank_2iter iteration discipline (workloads/pagerank.py)
+    applied to the vocab family.  At 100 TB: |vocab| ~ distinct tokens
+    (millions, not corpus-sized); every round is linear in vocab.
+
+    Oracle: the identical chain unrolled as DuckDB CTEs (v0 -> b1 ->
+    v1 -> … ), exact integer counts throughout.
+
+    Materialization discipline: the initial vocab is checkpointed once
+    (the corpus never rescans), and each round checkpoints only its
+    1-ROW winning pair — the vocab itself stays a lazy chain of cheap
+    string replaces over the checkpointed v0 (re-evaluating r replaces
+    over a |vocab|-row frame in round r costs far less than 8 extra
+    materialization jobs; the expensive pair AGGREGATES never recompute
+    because every best_r they feed is materialized).
+
+    ``_checkpoint=False`` skips the per-round materialization and
+    returns the fully-composed LAZY plan — used only by the plan-guard
+    suite (tests/test_plan_guards.py::_internal_plans), which needs to
+    walk the real iterative plan instead of checkpoint block scans."""
+    ck = (lambda df: df.localCheckpoint(eager=True)) if _checkpoint else (lambda df: df)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.regexp_replace(F.col("tok"), "(.)", "<$1>").alias("s"), "cnt"
+        )
+    )
+    vocab = ck(vocab)
+    # the per-round aggregates key on |active symbol pairs| (thousands of
+    # rows) — at the session's corpus-sized shuffle width every round is
+    # dominated by empty-task scheduling, so the eager training rounds
+    # run under a scoped-down width (restored after; the _drain_scope
+    # rationale from streaming/windowed.py applied to iteration).  A
+    # production-scale vocab (hundreds of millions of tokens) simply
+    # keeps the session width — the knob is local-harness tuning only.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if _checkpoint:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        merges, vocab = _bpe_rounds(vocab, ck)
+    finally:
+        if _checkpoint:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("rnd")
+
+
+def _bpe_rounds(vocab: DataFrame, ck) -> tuple[list[DataFrame], DataFrame]:
+    """The BPE_TRAIN_ROUNDS merge rounds over a weighted symbol-string
+    vocab frame; returns (per-round 1-row merge frames, final vocab)."""
+    merges = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.regexp_extract_all(F.col("s"), F.lit("<([^<>]+)>"), F.lit(1))
+        prs = (
+            vocab.select(syms.alias("syms"), "cnt")
+            .where(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1, 1),"
+                        " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+        )
+        best = ck(
+            prs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(rnd).cast("long").alias("rnd"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit("<"), "a", F.lit("><"), "b", F.lit(">")),
+                    F.concat(F.lit("<"), "a", "b", F.lit(">")),
+                ).alias("s"),
+                "cnt",
+            )
+        )
+    return merges, vocab
+
+
+def _bpe_train_sql() -> str:
+    """The training loop unrolled as an explicit DuckDB CTE chain —
+    the audit-query composition idiom (DESIGN lesson 27) applied to an
+    ITERATIVE plan, like pagerank's unrolled oracle."""
+    ctes = [
+        """v0 AS (
+  SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS s, cnt FROM (
+    SELECT tok, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents)
+    GROUP BY tok)
+)"""
+    ]
+    arms = []
+    prev = "v0"
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT syms[i] AS a, syms[i + 1] AS b, cnt
+  FROM (SELECT regexp_extract_all(s, '<([^<>]+)>', 1) AS syms, cnt FROM {prev}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+  WHERE len(syms) >= 2
+), b{r} AS (
+  SELECT a, b, sum(cnt)::BIGINT AS cnt FROM p{r} GROUP BY a, b
+  ORDER BY cnt DESC, a, b LIMIT 1
+), v{r} AS (
+  SELECT replace(s, '<' || a || '><' || b || '>', '<' || a || b || '>') AS s,
+         {prev}.cnt AS cnt
+  FROM {prev}, b{r}
+)"""
+        )
+        arms.append(
+            f"SELECT {r}::BIGINT AS rnd, a AS left_sym, b AS right_sym,"
+            f" a || b AS merged, cnt FROM b{r}"
+        )
+        prev = f"v{r}"
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY rnd"
+    )
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit: scale, exact integer
     checksums of the quantized vector (sum / sum-of-abs — these are
@@ -407,12 +597,14 @@ QUANTIZE_PQ_SQL = _pq_sql()
 
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
+    "bpe_train_merges": bpe_train_merges,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "quantize_pq_codes": quantize_pq_codes,
 }
 
 ORACLES = {
     "bpe_merge_candidates": BPE_MERGE_SQL,
+    "bpe_train_merges": BPE_TRAIN_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
     "quantize_pq_codes": QUANTIZE_PQ_SQL,
 }

@@ -229,10 +229,15 @@ def _internal_plans():
     Values: (builder, bnlj_ok) — bnlj_ok mirrors BNLJ_ALLOWED's rationale
     for the builders whose registered twins used to carry the entry:
     brute broadcasts the bounded query set (the deliberate baseline),
-    ivf/ivfpq attach the <=32-row centroid table / 1-row PQ codebook."""
-    from mini_hadoop_spark.operators import dedup, similarity
+    ivf/ivfpq attach the <=32-row centroid table / 1-row PQ codebook,
+    and the BPE trainer scalar-attaches each round's 1-row winning pair."""
+    from mini_hadoop_spark.operators import compression, dedup, similarity
 
     return {
+        "bpe_train_lazy_plan": (
+            lambda spark, sf: compression._bpe_train_plan(spark, sf, _checkpoint=False),
+            True,
+        ),
         "near_dup_pairs_jaccard_plan": (dedup._near_jaccard_plan, False),
         "near_dup_pairs_minhash_plan": (dedup._minhash_lsh_plan, False),
         "near_dup_pairs_minhash_md5_plan": (dedup._minhash_lsh_md5_plan, False),
