@@ -42,69 +42,79 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r8 ROTATION (VERDICT r7 #3): 23 slots swapped for queries with ZERO
-# driver rows ever — all 20 the verdict names (the eleven r7-new ops +
-# streaming_enrich_drain, and TPC-H q4(=subquery_exists_priority)/q7/q8/
-# q11/q15/q16/q17(=correlated_scalar_subquery)/q20) plus
-# streaming_dedup_drain, dq_expectations and quality_dup_deciles (the
-# last rebuilt this round on the sampled-cut idiom — the driver should
-# witness the new plan).  27 keepers hold one block from every family:
-# parity (wordcount, pagerank), dedup exact/near/CC, the ANN ladder,
-# clustering/retrieval, 2 drains, events/as-of, skew, sampling,
-# multimodal, text, relational windows + the RFM sampled-cut anchor.
-# Rotated-out queries keep running in the local oracle battery
-# (tests/test_oracle_battery.py) every round.
+# r9 ROTATION (VERDICT r8 #1: "clear the rotation debt in one round"):
+# 42 of the 50 slots go to queries with ZERO driver rows across
+# CORRECTNESS_r01–r08 (the full judge-computed never-seen list minus
+# dup_span_coverage, whose plan-sibling dedup_span_removal went
+# driver-green in r8) plus the r9-new bpe_train_merges.  The 8 keepers
+# are one anchor per family that has NO never-seen member left: parity
+# (wordcount), temporal as-of (join_asof_latest_order), skew, sampling,
+# multimodal, dq, clustering, retrieval.  Families whose never-seen
+# members rotate IN are represented by those members themselves (dedup
+# by its LSH audit, similarity by the 3-arm recall audit, streaming by
+# the outer-join drain, events/text/relational/TPC-H by their tails).
+# `python tools/rotation_report.py` regenerates the debt list
+# mechanically.  Rotated-out queries keep running in the local oracle
+# battery (tests/test_oracle_battery.py) every round.
 DRIVER_WINDOW = [
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "dedup_clusters",
-    "dedup_span_removal",
-    "dedup_cross_source_matrix",
-    "contamination_ngram",
-    "similarity_topk_brute",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "similarity_ann_ivfpq",
-    "similarity_hard_negatives",
-    "embedding_outlier_audit",
-    "centroid_classify_eval",
-    "cluster_kmeans_topics",
-    "quantize_pq_codes",
-    "bm25_search",
-    "wordcount",
-    "pagerank_2iter",
-    "streaming_hourly_drain",
-    "streaming_session_drain",
-    "streaming_dedup_drain",
-    "streaming_join_drain",
-    "streaming_enrich_drain",
-    "events_sessionization",
-    "events_weekly_retention",
-    "events_user_lifecycle",
+    # dedup / similarity audits (compose the whole family's plans)
+    "dedup_lsh_quality_audit",
+    "similarity_ann_recall",
+    # compression / tokenizer-model family
+    "bpe_merge_candidates",
+    "bpe_train_merges",
+    "quantize_embeddings_int8",
+    # streaming
+    "streaming_outer_join_drain",
+    # events / temporal
+    "events_type_pivot",
+    "events_decayed_engagement",
+    "events_hourly_anomalies",
     "join_asof_latest_order",
+    # text analysis / scoring tail
+    "vocab_drift_top_movers",
+    "mix_domain_weights",
+    "pipeline_pretrain_manifest",
+    "lang_id_confusion",
+    "text_redact_pii",
+    "text_pack_sequences",
+    "corpus_profile",
+    "quality_gopher_rules",
+    "text_length_histogram",
+    "text_repetition_ratio",
+    "text_char_bigram_novelty",
+    "ngram_pmi_top",
+    "vocab_oov_rate",
+    # relational-ext tail
+    "nation_trade_balance",
+    "part_price_realization",
+    "window_topk_with_ties",
+    "corr_quantity_price",
+    "orders_priority_sla",
+    "supplier_concentration_hhi",
+    "revenue_monthly_growth",
+    "orders_rfm_segmentation",
+    "basket_pair_affinity",
+    "window_first_last_orders",
+    "orders_cohort_retention",
+    "set_except_all",
+    "window_range_frame",
+    # TPC-H tail
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    # family anchors (every other family is in-window above)
+    "wordcount",
     "agg_salted_skew",
-    "skew_heavy_hitters",
     "split_train_val_test",
     "multimodal_meta",
-    "multimodal_payload_dedup",
-    "multimodal_storage_report",
-    "text_token_stats",
-    "quality_c4_rules",
-    "quality_dup_deciles",
-    "vocab_coverage_curve",
     "dq_expectations",
-    "dq_distribution_drift",
-    "window_cume_dist",
-    "customer_segment_value",
-    "orders_rfm_segmentation_approx",
-    "subquery_exists_priority",
-    "correlated_scalar_subquery",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q20_excess_suppliers",
+    "cluster_kmeans_topics",
+    "bm25_search",
 ]
 
 
