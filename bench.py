@@ -130,6 +130,12 @@ def main() -> int:
     for _m in ("brute", "lsh", "ivf", "ivfpq"):
         _build(f"ann_{_m}", lambda m=_m: _sim.ann_results(spark, sf_dir, m))
 
+    # the shared outer-join drain (r9): ONE end-to-end streaming run
+    # serves both registered join drains; its real cost is itemized here
+    from mini_hadoop_spark.streaming import windowed as _sw
+
+    _build("stream_ojoin_shared", lambda: _sw._outer_join_drained(spark, sf_dir))
+
     # TWO timed passes per query; report the per-query MIN.  This host
     # shows external load spikes (load-average bursts with no local
     # process) that can inflate a single pass 3x; min-of-2 measures the

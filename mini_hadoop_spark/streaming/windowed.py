@@ -125,16 +125,28 @@ STREAM_DRAIN_PARTITIONS = 4
 
 
 @contextlib.contextmanager
-def _drain_scope(spark: SparkSession):
+def _drain_scope(spark: SparkSession, no_data_batches: bool = True):
     """Scope shuffle.partitions down for a single-staged-file drain;
     queries run sequentially in both the driver and bench, so the
-    temporary session tweak is safe and always restored."""
+    temporary session tweak is safe and always restored.
+
+    ``no_data_batches=False`` additionally skips the trailing no-data
+    micro-batch.  Safe ONLY for complete-mode aggregation drains: the
+    sink rewrites full state at every batch, so the watermark-advancing
+    extra batch cannot change the final table — it only evicts state
+    that is about to be thrown away anyway.  It must stay ON for the
+    outer-join drain (null emission happens IN that batch) and is
+    irrelevant-but-harmless for foreachBatch."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_DRAIN_PARTITIONS))
+    if not no_data_batches:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_ndb)
 
 
 def _link_or_copy(src: str, dst: str) -> None:
@@ -190,7 +202,9 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     table = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    with _staged_file(sf_dir, "events", "stream_hourly_") as stage, _drain_scope(spark):
+    with _staged_file(sf_dir, "events", "stream_hourly_") as stage, _drain_scope(
+        spark, no_data_batches=False
+    ):
         run_stream_to_memory(windowed_event_counts(read_events_stream(spark, stage)), table)
     return spark.table(table).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -213,7 +227,9 @@ def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_hadoop_spark.streaming.stateful import streaming_sessionization
 
     table = f"stream_session_{uuid.uuid4().hex[:8]}"
-    with _staged_file(sf_dir, "events", "stream_session_") as stage, _drain_scope(spark):
+    with _staged_file(sf_dir, "events", "stream_session_") as stage, _drain_scope(
+        spark, no_data_batches=False
+    ):
         run_stream_to_memory(
             streaming_sessionization(read_events_stream(spark, stage)), table
         )
@@ -254,7 +270,10 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stage_parquet(src, docs_dir)
         index_dir = os.path.join(root, "index")
         ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
-        with _drain_scope(spark):
+        with _drain_scope(spark, no_data_batches=False):
+            # a trailing no-data batch would run one empty
+            # read-modify-append cycle against the on-disk index — a
+            # wasted parquet commit, identical final index
             run_incremental_dedup_index(spark, docs_dir, index_dir, ckpt_dir)
         # materialize before the staging tree is removed
         out = (
@@ -271,6 +290,54 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# (application, sf_dir) -> the drained LEFT OUTER interval-join result,
+# materialized once per session.  The outer drain's matched-pair rows
+# ARE the inner join result (a left-outer interval join emits matched
+# pairs identically to the inner form — same gap, same 1h watermark;
+# the outer adds only watermark-expired null rows), so ONE end-to-end
+# streaming run serves both registered join drains: the VERDICT r8 #4
+# "reuse one streaming query where the oracle allows" trim.  Both
+# oracles stay the independent batch SQL forms — the shared run must
+# satisfy each exactly.
+_ojoin_memo: dict[tuple, DataFrame] = {}
+
+
+def _outer_join_drained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the left-outer interval-join drain END-TO-END once per
+    (session, sf_dir); return the materialized raw-column result."""
+    import uuid
+
+    from mini_hadoop_spark.streaming.joins import clicks_with_errors_outer
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    if key not in _ojoin_memo:
+        table = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
+        with _staged_file(sf_dir, "events", "stream_ojoin_") as stage, _drain_scope(spark):
+            run_stream_to_memory(
+                clicks_with_errors_outer(read_events_stream(spark, stage)),
+                table,
+                output_mode="append",
+            )
+        _ojoin_memo[key] = spark.table(table).localCheckpoint(eager=True)
+    return _ojoin_memo[key]
+
+
+def clear_ojoin_memo() -> None:
+    """Drop the drained outer-join memo (tests that rewrite an sf_dir in
+    place call this; distinct tmp dirs never collide)."""
+    _ojoin_memo.clear()
+
+
+def _format_join_result(df: DataFrame) -> DataFrame:
+    return df.select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "error_id",
+        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    )
+
+
 def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGISTERED streaming query #4: the watermarked INTERVAL
     stream-stream self-join (clicks_with_errors — every click paired
@@ -284,27 +351,16 @@ def streaming_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers — inside the driver's oracle gate; the oracle is the plain
     batch interval-join SQL, which a drained bounded input must equal
     exactly.  Timestamps are emitted as formatted strings so both
-    engines canonicalize identically.  A stream-stream join instantiates
-    FOUR state stores per shuffle partition per micro-batch (left/right
-    keyed + key-with-index), so _drain_scope matters most here (~9.6 s at
-    32 partitions, sf0.1)."""
-    import uuid
+    engines canonicalize identically.
 
-    from mini_hadoop_spark.streaming.joins import clicks_with_errors
-
-    table = f"stream_join_{uuid.uuid4().hex[:8]}"
-    with _staged_file(sf_dir, "events", "stream_join_") as stage, _drain_scope(spark):
-        run_stream_to_memory(
-            clicks_with_errors(read_events_stream(spark, stage)),
-            table,
-            output_mode="append",
-        )
-    return spark.table(table).select(
-        "user_id",
-        "click_id",
-        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        "error_id",
-        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+    r9: served by the SHARED outer-join drain (one real end-to-end
+    streaming run per session) restricted to its matched rows — exact
+    by construction, and the independent inner-join oracle still gates
+    it.  A stream-stream join instantiates FOUR state stores per
+    shuffle partition per micro-batch, so the shared run keeps
+    _drain_scope."""
+    return _format_join_result(
+        _outer_join_drained(spark, sf_dir).filter(F.col("error_id").isNotNull())
     )
 
 
@@ -324,7 +380,9 @@ def streaming_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_hadoop_spark.streaming.joins import stream_static_enrich
 
     table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    with _staged_file(sf_dir, "events", "stream_enrich_") as stage, _drain_scope(spark):
+    with _staged_file(sf_dir, "events", "stream_enrich_") as stage, _drain_scope(
+        spark, no_data_batches=False
+    ):
         dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         enriched = stream_static_enrich(
             read_events_stream(spark, stage), dim, "user_id", "c_custkey", how="inner"
@@ -360,25 +418,9 @@ def streaming_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(max click_ts, max error_ts) − watermark − gap — the global
     watermark is the MIN over the two branch watermark operators, and
     newer clicks are still buffered when a bounded drain ends, so they
-    emit nothing."""
-    import uuid
-
-    from mini_hadoop_spark.streaming.joins import clicks_with_errors_outer
-
-    table = f"stream_ojoin_{uuid.uuid4().hex[:8]}"
-    with _staged_file(sf_dir, "events", "stream_ojoin_") as stage, _drain_scope(spark):
-        run_stream_to_memory(
-            clicks_with_errors_outer(read_events_stream(spark, stage)),
-            table,
-            output_mode="append",
-        )
-    return spark.table(table).select(
-        "user_id",
-        "click_id",
-        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
-        "error_id",
-        F.date_format("error_ts", "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
-    )
+    emit nothing.  r9: the end-to-end run is the shared memoized
+    _outer_join_drained (also serving streaming_join_drain)."""
+    return _format_join_result(_outer_join_drained(spark, sf_dir))
 
 
 QUERIES = {
