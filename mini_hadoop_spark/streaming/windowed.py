@@ -423,6 +423,48 @@ def streaming_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_join_result(_outer_join_drained(spark, sf_dir))
 
 
+def streaming_ivf_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #7 (r9): incremental IVF inverted-list
+    maintenance run END-TO-END — the production vector-ingest loop.  The
+    coarse quantizer is trained OFFLINE and frozen (the memoized
+    ivf_quantizer — production retrains it out-of-band because a new
+    quantizer invalidates every list assignment); the embedding shards
+    then drain through foreachBatch: assign each new vector to its
+    nearest frozen centroid (broadcast argmax — the batch build's exact
+    `_assign`), anti-join on vec_id against the on-disk index (replay
+    idempotence), append.  The drained index read back equals the batch
+    ``ivf_lists`` assignment exactly, so the oracle is the shared
+    _ivf_ctes chain's ``lists`` CTE — the 7th streaming state shape
+    (model-frozen online index maintenance) inside the driver's oracle
+    gate.  Multi-batch incremental semantics and replay idempotence are
+    pinned by tests/test_streaming.py."""
+    import uuid
+
+    from mini_hadoop_spark.operators.similarity import ivf_quantizer
+    from mini_hadoop_spark.sources.catalog import table_path
+    from mini_hadoop_spark.streaming.ivf_maintenance import (
+        read_ivf_index,
+        run_incremental_ivf_index,
+    )
+
+    centroids = ivf_quantizer(spark, sf_dir)
+    src = table_path(sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="stream_ivf_")
+    try:
+        emb_dir = os.path.join(root, "emb")
+        os.makedirs(emb_dir)
+        _stage_parquet(src, emb_dir)
+        index_dir = os.path.join(root, "index")
+        ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
+        with _drain_scope(spark, no_data_batches=False):
+            run_incremental_ivf_index(spark, emb_dir, centroids, index_dir, ckpt_dir)
+        # materialize before the staging tree is removed
+        out = read_ivf_index(spark, index_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 QUERIES = {
     "streaming_hourly_drain": streaming_hourly_drain,
     "streaming_session_drain": streaming_session_drain,
@@ -430,6 +472,7 @@ QUERIES = {
     "streaming_join_drain": streaming_join_drain,
     "streaming_enrich_drain": streaming_enrich_drain,
     "streaming_outer_join_drain": streaming_outer_join_drain,
+    "streaming_ivf_maintenance_drain": streaming_ivf_maintenance_drain,
 }
 
 
@@ -542,6 +585,12 @@ FROM expired_unmatched
 """
 
 
+def _ivf_maint_oracle() -> str:
+    from mini_hadoop_spark.operators.similarity import _ivf_ctes
+
+    return f"WITH {_ivf_ctes()}\nSELECT vec_id, cid FROM lists"
+
+
 ORACLES = {
     # the batch twins' oracles verbatim: each streaming drain must land
     # on the identical rows
@@ -551,4 +600,5 @@ ORACLES = {
     "streaming_join_drain": _join_oracle(),
     "streaming_enrich_drain": STREAMING_ENRICH_SQL,
     "streaming_outer_join_drain": _outer_join_oracle(),
+    "streaming_ivf_maintenance_drain": _ivf_maint_oracle(),
 }

@@ -678,3 +678,61 @@ def test_stream_outer_join_null_emission(spark, tmp_path):
         ],
     )
     assert drain() == {(100, 110), (200, None)}
+
+
+def test_streaming_ivf_index_maintenance(spark, tmp_path):
+    """foreachBatch IVF inverted-list maintenance: each drained embedding
+    shard is assigned to the FROZEN offline-trained quantizer's nearest
+    centroids and appended; multi-shard incremental drains converge on
+    the batch ivf_lists assignment exactly, with replay idempotence (a
+    reprocessed shard appends nothing)."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.similarity import ivf_lists, ivf_quantizer
+    from mini_hadoop_spark.sources.catalog import load_table
+    from mini_hadoop_spark.streaming.ivf_maintenance import (
+        ivf_assign_batch,
+        read_ivf_index,
+        run_incremental_ivf_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    centroids = ivf_quantizer(spark, SF_DIR)
+    want = {
+        r.vec_id: r.cid
+        for r in ivf_lists(spark, SF_DIR).select("vec_id", "cid").collect()
+    }
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    idx = str(tmp_path / "ivf_index")
+    ckpt = str(tmp_path / "ivf_ckpt")
+
+    def land(name, df):
+        staged = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / f"{name}.parquet")
+
+    def index_rows():
+        return {r.vec_id: r.cid for r in read_ivf_index(spark, idx).collect()}
+
+    # shard 1: even vec_ids — the maintained index must equal the batch
+    # assignment RESTRICTED to the vectors seen so far (frozen quantizer
+    # => assignments never change as more vectors arrive)
+    land("s0", emb.filter(F.col("vec_id") % 2 == 0))
+    run_incremental_ivf_index(spark, str(landing), centroids, idx, ckpt)
+    assert index_rows() == {v: c for v, c in want.items() if v % 2 == 0}
+
+    # shard 2: the odd half — now the full batch assignment
+    land("s1", emb.filter(F.col("vec_id") % 2 == 1))
+    run_incremental_ivf_index(spark, str(landing), centroids, idx, ckpt)
+    assert index_rows() == want
+
+    # drain with nothing new: checkpoint remembers processed files
+    run_incremental_ivf_index(spark, str(landing), centroids, idx, ckpt)
+    assert index_rows() == want
+
+    # replay idempotence at the sink level: re-presenting an already-
+    # committed shard contributes zero new index rows
+    assert ivf_assign_batch(emb.limit(50), centroids, idx).count() == 0
