@@ -231,10 +231,12 @@ def _bpe_rounds(vocab: DataFrame, ck) -> tuple[list[DataFrame], DataFrame]:
     return merges, vocab
 
 
-def _bpe_train_sql() -> str:
-    """The training loop unrolled as an explicit DuckDB CTE chain —
-    the audit-query composition idiom (DESIGN lesson 27) applied to an
-    ITERATIVE plan, like pagerank's unrolled oracle."""
+def _bpe_train_ctes() -> str:
+    """The training loop unrolled as an explicit DuckDB CTE chain
+    (v0 → p1/b1/v1 → … → b{N}/v{N}) — the audit-query composition idiom
+    (DESIGN lesson 27) applied to an ITERATIVE plan, like pagerank's
+    unrolled oracle.  Shared by the trainer oracle (reads b1..bN) and
+    the encoder oracle (replays b1..bN over the documents)."""
     ctes = [
         """v0 AS (
   SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS s, cnt FROM (
@@ -244,7 +246,6 @@ def _bpe_train_sql() -> str:
     GROUP BY tok)
 )"""
     ]
-    arms = []
     prev = "v0"
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
         ctes.append(
@@ -262,19 +263,119 @@ def _bpe_train_sql() -> str:
   FROM {prev}, b{r}
 )"""
         )
-        arms.append(
-            f"SELECT {r}::BIGINT AS rnd, a AS left_sym, b AS right_sym,"
-            f" a || b AS merged, cnt FROM b{r}"
-        )
         prev = f"v{r}"
+    return ",\n".join(ctes)
+
+
+def _bpe_train_sql() -> str:
+    arms = [
+        f"SELECT {r}::BIGINT AS rnd, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    ]
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
+        "WITH " + _bpe_train_ctes() + "\n"
         + "\nUNION ALL\n".join(arms)
         + "\nORDER BY rnd"
     )
 
 
 BPE_TRAIN_SQL = _bpe_train_sql()
+
+
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the TRAINED BPE merge table to every document — the encode
+    half of the tokenizer pair (train: ``bpe_train_merges``), and the
+    operator a pipeline actually budgets with: token counts under the
+    trained tokenizer decide sequence packing, context-window fill and
+    training-step cost.  Output: (doc_id, n_char_syms, n_bpe_syms,
+    n_merges_applied) — symbols before merging (= alnum chars),
+    symbols after all BPE_TRAIN_ROUNDS merges, and their difference
+    (each applied merge removes exactly one symbol).
+
+    Plan: the memoized 8-row merge table collapses into ONE broadcast
+    row carrying the rnd-ordered (a, b) array; each document folds the
+    merges over its '<sym>'-encoded text with ``aggregate(...,
+    replace(...))`` — a pure zero-shuffle codegen projection over the
+    corpus scan (the same broadcast-the-model shape as PQ/centroid
+    assignment).  Token boundaries are '|' separators in the symbol
+    string, so a '<a><b>' merge pattern can never span two tokens —
+    BPE merges are within-token by construction, matching the trainer.
+    At 100 TB: linear corpus scan, the model side is 8 tiny rows.
+
+    Oracle: the shared unrolled training chain (b1..bN) replayed over
+    the documents as a chained scalar CROSS JOIN — both engines apply
+    the same replaces in the same rnd order."""
+    merges = bpe_train_merges(spark, sf_dir)
+    m_arr = F.broadcast(
+        merges.agg(
+            F.array_sort(
+                F.collect_list(F.struct("rnd", "left_sym", "right_sym"))
+            ).alias("ms")
+        )
+    )
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    s0 = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", "|"),
+        "([a-z0-9])",
+        "<$1>",
+    )
+    n_syms = lambda c: F.length(c) - F.length(F.replace(c, F.lit("<")))
+    folded = F.aggregate(
+        F.col("ms"),
+        F.col("s0"),
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit("<"), m["left_sym"], F.lit("><"), m["right_sym"], F.lit(">")),
+            F.concat(F.lit("<"), m["left_sym"], m["right_sym"], F.lit(">")),
+        ),
+    )
+    return (
+        d.select("doc_id", s0.alias("s0"))
+        .crossJoin(m_arr)
+        .select("doc_id", F.col("s0"), folded.alias("s1"))
+        .select(
+            "doc_id",
+            n_syms(F.col("s0")).cast("long").alias("n_char_syms"),
+            n_syms(F.col("s1")).cast("long").alias("n_bpe_syms"),
+            (n_syms(F.col("s0")) - n_syms(F.col("s1"))).cast("long").alias("n_merges_applied"),
+        )
+    )
+
+
+def _bpe_encode_sql() -> str:
+    ctes = [_bpe_train_ctes()]
+    ctes.append(
+        """e0 AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', '|', 'g'),
+                        '([a-z0-9])', '<\\1>', 'g') AS s
+  FROM documents
+)"""
+    )
+    prev = "e0"
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        ctes.append(
+            f"""e{r} AS (
+  SELECT doc_id,
+         replace(s, '<' || a || '><' || b || '>', '<' || a || b || '>') AS s
+  FROM {prev}, b{r}
+)"""
+        )
+        prev = f"e{r}"
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {chain}
+SELECT e0.doc_id,
+       (strlen(e0.s) - strlen(replace(e0.s, '<', '')))::BIGINT AS n_char_syms,
+       (strlen({prev}.s) - strlen(replace({prev}.s, '<', '')))::BIGINT AS n_bpe_syms,
+       (strlen(e0.s) - strlen(replace(e0.s, '<', ''))
+        - strlen({prev}.s) + strlen(replace({prev}.s, '<', '')))::BIGINT AS n_merges_applied
+FROM e0 JOIN {prev} USING (doc_id)
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,6 +699,7 @@ QUANTIZE_PQ_SQL = _pq_sql()
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_encode_docs": bpe_encode_docs,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "quantize_pq_codes": quantize_pq_codes,
 }
@@ -605,6 +707,7 @@ QUERIES = {
 ORACLES = {
     "bpe_merge_candidates": BPE_MERGE_SQL,
     "bpe_train_merges": BPE_TRAIN_SQL,
+    "bpe_encode_docs": BPE_ENCODE_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
     "quantize_pq_codes": QUANTIZE_PQ_SQL,
 }

@@ -58,11 +58,12 @@ _MODULES = [
 # battery (tests/test_oracle_battery.py) every round.
 #
 # Deliberately waiting a round (ADVICE r8 #1 asks this be documented):
-# streaming_ivf_maintenance_drain is r9-NEW and the window already
-# carries 42 first-ever slots — it is oracled, battery-green and
-# vanilla-session-simmed now, and rotates in at r10 with one round of
-# local soak behind it (bpe_train_merges, also r9-new, IS in-window:
-# its unrolled-chain oracle was validated at both SFs on day one).
+# streaming_ivf_maintenance_drain and bpe_encode_docs are r9-NEW and
+# the window already carries 42 first-ever slots — both are oracled,
+# battery-green and vanilla-session-simmed now, and rotate in at r10
+# with one round of local soak behind them (bpe_train_merges, also
+# r9-new, IS in-window: its unrolled-chain oracle was validated at
+# both SFs on day one).
 DRIVER_WINDOW = [
     # dedup / similarity audits (compose the whole family's plans)
     "dedup_lsh_quality_audit",
