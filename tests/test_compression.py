@@ -85,3 +85,95 @@ def test_quantize_plan_is_shuffle_free(spark):
     # quantization itself is a pure projection
     assert "hashpartitioning" not in plan.lower()
     assert "rangepartitioning" not in plan.lower()
+
+
+def _ref_bpe_train(texts, rounds):
+    """Pure-Python reference BPE trainer (Sennrich et al. 2016): word-
+    frequency dict, per round count adjacent symbol pairs weighted by
+    word count, merge the (max count, lexicographic) winner GREEDILY
+    left-to-right non-overlapping in every word."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        vocab.update(re.findall(r"[a-z0-9]+", t.lower()))
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rnd, best[0], best[1], best[0] + best[1], pairs[best]))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_semantics(spark, tmp_path):
+    """The Spark trainer IS greedy BPE, not merely Spark==DuckDB: the
+    fixture forces the tricky cases — an odd run ('aaa' merges to
+    [aa, a], not overlapping), a later round merging a PREVIOUSLY
+    MERGED symbol, and count ties broken lexicographically."""
+    from mini_hadoop_spark.operators import compression
+
+    texts = ["aaaa aaa abab abab baba zz zz zz"]
+    d = _write_docs(tmp_path, texts)
+    got = [
+        (r.rnd, r.left_sym, r.right_sym, r.merged, r.cnt)
+        for r in compression.bpe_train_merges(spark, d).collect()
+    ]
+    want = _ref_bpe_train(texts, compression.BPE_TRAIN_ROUNDS)
+    assert got == want
+
+
+def test_bpe_encode_counts_match_reference(spark, tmp_path):
+    """Encoding applies the trained merges in order, within tokens only:
+    per-doc symbol counts match the reference tokenizer applied to the
+    same text (and merges never cross a token boundary)."""
+    import re
+
+    from mini_hadoop_spark.operators import compression
+
+    texts = ["aaaa aaa abab", "abab baba zz zz zz aaab"]
+    d = _write_docs(tmp_path, texts)
+    merges = _ref_bpe_train(texts, compression.BPE_TRAIN_ROUNDS)
+
+    def encode_len(text):
+        n = 0
+        for tok in re.findall(r"[a-z0-9]+", text.lower()):
+            syms = list(tok)
+            for _, a, b, _, _ in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            n += len(syms)
+        return n
+
+    got = {
+        r.doc_id: (r.n_char_syms, r.n_bpe_syms)
+        for r in compression.bpe_encode_docs(spark, d).collect()
+    }
+    want = {
+        i + 1: (len(re.sub(r"[^a-z0-9]", "", t.lower())), encode_len(t))
+        for i, t in enumerate(texts)
+    }
+    assert got == want
