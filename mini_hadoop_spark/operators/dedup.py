@@ -45,7 +45,7 @@ from mini_hadoop_spark.functions.text import (
     tokens,
 )
 from mini_hadoop_spark.functions.partitioning import spread_small_scan
-from mini_hadoop_spark.functions.vectors import cosine
+from mini_hadoop_spark.functions.vectors import cosine, dot
 from mini_hadoop_spark.sources.catalog import load_table
 
 # Near-dup output threshold: sf0.01 has 25 planted near-dup pairs with
@@ -1792,8 +1792,106 @@ FROM t, d, h
 """
 
 
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+# k-means-cluster the embeddings, then prune near-duplicates WITHIN each
+# cluster — the cluster assignment is the blocking structure, so the
+# pair space is Σ|cluster|² instead of n², and K grows with the corpus
+# to keep per-cluster size bounded (the paper runs K=50k on LAION).
+SEMDEDUP_TAU = 0.9
+
+
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: every vector joins ONLY its
+    own semantic cluster (the memoized IVF coarse-quantizer assignment —
+    the same k-means structure the ANN family probes), scores cosine
+    against its cluster peers, and is marked pruned if a LOWER-id peer
+    sits within SEMDEDUP_TAU (deterministic keep-lowest-id
+    representative per ε-ball, the paper's keep-one policy made
+    engine-stable).  Output per vector: (vec_id, cid, n_cluster,
+    max_other_cos, is_dup) — the per-item curation decision plus the
+    evidence a reviewer needs (cluster size, nearest-peer similarity;
+    singleton clusters report max_other_cos = -1).
+
+    The synthetic corpus has no planted semantic dups (max pairwise
+    cosine ≈ 0.5) so is_dup is all-zero at test SFs, but max_other_cos
+    carries real per-vector values — the oracle hash is meaningful;
+    planted-duplicate semantics are pinned in tests/test_llm_pipeline.py.
+
+    Plan: one cid equi-self-join of the memoized lists (shuffle bounded
+    by cluster sizes), a per-vector aggregate, and a broadcast-able
+    cluster-size attach — no window, no all-pairs.  At 100 TB: K scales
+    with n (bounded cluster cardinality), exactly the published recipe.
+
+    Cites reference surface: none (extension operator; the reference
+    engine has no embedding layer — SURVEY §2.3)."""
+    from mini_hadoop_spark.operators.similarity import ivf_lists
+
+    lists = ivf_lists(spark, sf_dir).select("vec_id", "e", "nv", "cid")
+    peers = lists.select(
+        F.col("vec_id").alias("peer_id"), F.col("e").alias("pe"),
+        F.col("nv").alias("pnv"), "cid",
+    )
+    pair_cos = (dot(F.col("e"), F.col("pe")) / F.col("nv") / F.col("pnv"))
+    scored = (
+        lists.join(peers, "cid")
+        .filter(F.col("peer_id") != F.col("vec_id"))
+        .select(
+            "vec_id", "cid",
+            pair_cos.alias("cos"),
+            (
+                (F.col("peer_id") < F.col("vec_id"))
+                & (pair_cos >= F.lit(SEMDEDUP_TAU))
+            ).cast("long").alias("dup_vote"),
+        )
+        .groupBy("vec_id", "cid")
+        .agg(F.max("cos").alias("max_cos"), F.max("dup_vote").alias("is_dup"))
+    )
+    sizes = lists.groupBy("cid").agg(F.count("*").alias("n_cluster"))
+    return (
+        lists.select("vec_id", "cid")
+        .join(sizes, "cid")
+        .join(scored.select("vec_id", "max_cos", "is_dup"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "n_cluster",
+            round_half_up(F.coalesce(F.col("max_cos"), F.lit(-1.0)), 6).alias(
+                "max_other_cos"
+            ),
+            F.coalesce(F.col("is_dup"), F.lit(0).cast("long")).alias("is_dup"),
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    from mini_hadoop_spark.operators.similarity import _ivf_ctes
+
+    return f"""
+WITH {_ivf_ctes()}, pairs AS (
+  SELECT a.vec_id, a.cid,
+         list_dot_product(a.e, b.e) / a.nv / b.nv AS cos,
+         CASE WHEN b.vec_id < a.vec_id
+               AND list_dot_product(a.e, b.e) / a.nv / b.nv >= {SEMDEDUP_TAU}
+              THEN 1 ELSE 0 END AS dup_vote
+  FROM lists a JOIN lists b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT vec_id, max(cos) AS max_cos, max(dup_vote)::BIGINT AS is_dup
+  FROM pairs GROUP BY vec_id
+), sizes AS (
+  SELECT cid, count(*)::BIGINT AS n_cluster FROM lists GROUP BY cid
+)
+SELECT l.vec_id, l.cid, z.n_cluster,
+       {sql_round_half_up('coalesce(s.max_cos, -1.0)', 6)} AS max_other_cos,
+       coalesce(s.is_dup, 0)::BIGINT AS is_dup
+FROM lists l
+JOIN sizes z USING (cid)
+LEFT JOIN scored s ON s.vec_id = l.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_semantic_semdedup": dedup_semantic_semdedup,
     "dedup_lsh_quality_audit": dedup_lsh_quality_audit,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_incremental": dedup_incremental,
@@ -1817,6 +1915,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_semantic_semdedup": _semdedup_sql(),
     "dedup_lsh_quality_audit": DEDUP_LSH_QUALITY_SQL,
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,

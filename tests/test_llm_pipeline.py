@@ -817,3 +817,46 @@ def test_lifecycle_consistent_with_weekly_retention(spark):
         assert life[cur]["n_churned"] == ret[prev]["n_active"] - life[cur]["n_retained"], (
             f"week {cur}: churn must equal last week's active minus retained"
         )
+
+
+def test_semdedup_prunes_planted_cluster_dups(spark, tmp_path):
+    """SemDeDup keep-lowest-id pruning on planted near-copies: copies get
+    HIGH vec_ids so they are not quantizer seeds, land in their base's
+    cluster (cos ~0.999 to the base dwarfs inter-base cosine), and are
+    marked pruned while every base survives.  The sf tables have no
+    semantic dups, so the planted corpus is built here."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mini_hadoop_spark.operators import similarity
+    from mini_hadoop_spark.operators.dedup import SEMDEDUP_TAU, dedup_semantic_semdedup
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    copies = [
+        (1000 + i, [x + rng.gauss(0, 0.01) for x in vecs[i][1]]) for i in range(6)
+    ]
+    allv = vecs + copies
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v for v, _ in allv], pa.int64()),
+                "embedding": pa.array([e for _, e in allv], pa.list_(pa.float64())),
+                "label": pa.array([0] * len(allv), pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    similarity.clear_memo()
+    out = {r.vec_id: r for r in dedup_semantic_semdedup(spark, str(tmp_path)).collect()}
+    similarity.clear_memo()
+
+    assert len(out) == len(allv)
+    for i in range(6):
+        base, copy = out[i], out[1000 + i]
+        assert copy.cid == base.cid, f"copy of {i} split from its base's cluster"
+        assert copy.is_dup == 1 and copy.max_other_cos >= SEMDEDUP_TAU
+        assert base.is_dup == 0, "keep-lowest-id must retain the base"
+    assert sum(r.is_dup for r in out.values()) == 6

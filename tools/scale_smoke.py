@@ -167,6 +167,14 @@ NOTES = {
         "fixed 32-query md5 budget -> linear corpus scoring; rank windows "
         "over a corpus-sized scored frame add the extra shuffle"
     ),
+    "dedup_semantic_semdedup": (
+        "pair space is SUM(|cluster|^2); the harness pins K=32 centroids, so "
+        "a 10x corpus grows every cluster 10x (100x pairs — the wall ratio "
+        "stays ~10x only because per-pair cost is tiny at these sizes).  The "
+        "published SemDeDup recipe scales K with corpus size to bound "
+        "cluster cardinality (50k clusters on LAION); the operator inherits "
+        "that path through ivf_lists' k parameter"
+    ),
 }
 
 
