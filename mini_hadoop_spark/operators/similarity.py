@@ -775,6 +775,79 @@ FROM ranked WHERE rnk <= 3
 SIMILARITY_ANN_IVFPQ_SQL = _ann_ivfpq_sql()
 
 
+def ivf_recenter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF re-centering audit — "how far would ONE more Lloyd step move
+    each centroid": the go/no-go signal for scheduling the offline
+    recenter+rebuild pass that a streaming-maintained IVF index
+    (streaming/ivf_maintenance.py) needs periodically as ingested
+    vectors drift away from the frozen quantizer.  For each centroid:
+    member count and cosine drift (1 − cos) between the current
+    centroid and the fixed-point mean of its CURRENT inverted list.
+    Near-zero drift everywhere = the quantizer still fits; large drift
+    on fat lists = recenter now.
+
+    Plan: reuses the memoized quantizer + lists; one posexplode mean
+    (the exact Lloyd-step arithmetic from ivf_index — integer
+    fixed-point sums, order-independent) + two tiny per-cid joins, all
+    shuffles keyed on (cid, pos) — K·dims rows, independent of corpus
+    size after the scan.  Centroids whose list emptied in the final
+    assignment drop out of the audit in BOTH engines (inner join).
+    Output: (cid, n_vectors, recenter_drift)."""
+    lists = ivf_lists(spark, sf_dir)
+    cent = ivf_quantizer(spark, sf_dir)
+    means = (
+        lists.select("cid", F.posexplode("e").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / (F.count("*") * F.lit(1e9))
+            ).alias("m")
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.col("pm.m").alias("ce_new"))
+    )
+    sizes = lists.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    drift = F.lit(1.0) - (
+        dot(F.col("ce"), F.col("ce_new")) / norm(F.col("ce")) / norm(F.col("ce_new"))
+    )
+    return (
+        cent.join(means, "cid")
+        .join(sizes, "cid")
+        .select("cid", "n_vectors", round_half_up(drift, 9).alias("recenter_drift"))
+    )
+
+
+def _ivf_recenter_sql() -> str:
+    return f"""
+WITH {_ivf_ctes()}, comp2 AS (
+  SELECT cid, i AS pos, e[i] AS x
+  FROM lists, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+), cent2 AS (
+  SELECT cid, list(m ORDER BY pos) AS ce2 FROM (
+    SELECT cid, pos,
+           CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e9) AS m
+    FROM comp2 GROUP BY cid, pos)
+  GROUP BY cid
+), sizes AS (
+  SELECT cid, count(*)::BIGINT AS n_vectors FROM lists GROUP BY cid
+)
+SELECT c.cid, z.n_vectors,
+       {sql_round_half_up(
+           '1 - list_dot_product(c.ce, n.ce2)'
+           ' / sqrt(list_dot_product(c.ce, c.ce))'
+           ' / sqrt(list_dot_product(n.ce2, n.ce2))', 9)} AS recenter_drift
+FROM cent c JOIN cent2 n USING (cid) JOIN sizes z USING (cid)
+"""
+
+
+IVF_RECENTER_SQL = _ivf_recenter_sql()
+
+
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics: count, avg L2 norm, avg first
     component — the kind of sanity aggregation a training pipeline runs
@@ -1370,6 +1443,7 @@ QUERIES = {
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_ivfpq": similarity_ann_ivfpq,
+    "ivf_recenter_audit": ivf_recenter_audit,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_outlier_audit": embedding_outlier_audit,
@@ -1397,6 +1471,7 @@ ORACLES = {
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "similarity_ann_ivfpq": SIMILARITY_ANN_IVFPQ_SQL,
+    "ivf_recenter_audit": IVF_RECENTER_SQL,
     # similarity_ann_recall composes the three oracles above as
     # subquery chains — bit-identical inputs in, exact integer hit
     # counts out.
