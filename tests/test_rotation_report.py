@@ -1,0 +1,58 @@
+"""tools/rotation_report.py keeps the DRIVER_WINDOW evidence debt
+mechanical — pin that it parses the committed artifacts and that the
+window actually pays the debt down (VERDICT r8 #1's 'stays mechanical
+instead of judge-computed')."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _seen() -> set[str]:
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            seen |= set(json.load(fh))
+    return seen
+
+
+def test_report_runs_and_counts_align():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "rotation_report.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        check=True,
+    ).stdout
+    import __spark_entry__ as entry_mod
+
+    n_reg = len(entry_mod.queries())
+    assert f"registered queries : {n_reg}" in out
+    assert "never driver-seen" in out
+
+
+def test_window_pays_down_the_debt():
+    """Every never-driver-seen query must be either IN the window (it
+    produces a first-ever row next round) or covered by a committed
+    waiting rationale in registry.py — the rotation can't silently
+    strand evidence debt."""
+    import __spark_entry__ as entry_mod
+    from mini_hadoop_spark import registry
+
+    seen = _seen()
+    never = [n for n in entry_mod.queries() if n not in seen]
+    window = set(registry.DRIVER_WINDOW)
+    with open(os.path.join(REPO, "mini_hadoop_spark", "registry.py")) as fh:
+        registry_src = fh.read()
+    stranded = [n for n in never if n not in window and n not in registry_src]
+    assert not stranded, (
+        f"never-driver-seen queries neither in DRIVER_WINDOW nor named in a "
+        f"registry.py waiting note: {stranded}"
+    )
