@@ -119,9 +119,10 @@ def main() -> int:
     from mini_hadoop_spark.operators import compression as _comp
 
     _build("pq_index", lambda: _comp.pq_codes(spark, sf_dir))
-    # the trained BPE merge table (r9): a tokenizer model is a build-once
-    # artifact; the 8 eager training rounds run here, itemized
+    # the trained BPE merge table + sizing curve (r9): tokenizer-model
+    # artifacts are build-once; the eager training rounds run here, itemized
     _build("bpe_model", lambda: _comp.bpe_train_merges(spark, sf_dir))
+    _build("bpe_curve", lambda: _comp.bpe_compression_curve(spark, sf_dir))
 
     # the memoized ANN neighbor sets (r9): each arm derives once per
     # session and is shared by its own query + the recall audit — the

@@ -183,9 +183,13 @@ def _bpe_train_plan(
     return out.orderBy("rnd")
 
 
-def _bpe_rounds(vocab: DataFrame, ck) -> tuple[list[DataFrame], DataFrame]:
+def _bpe_rounds(
+    vocab: DataFrame, ck, curve: bool = False
+) -> tuple[list[DataFrame], DataFrame]:
     """The BPE_TRAIN_ROUNDS merge rounds over a weighted symbol-string
-    vocab frame; returns (per-round 1-row merge frames, final vocab)."""
+    vocab frame; returns (per-round 1-row frames, final vocab).  With
+    ``curve=True`` each round's frame carries the post-merge corpus
+    symbol total instead of the trainer's merge-table columns."""
     merges = []
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
         syms = F.regexp_extract_all(F.col("s"), F.lit("<([^<>]+)>"), F.lit(1))
@@ -208,16 +212,7 @@ def _bpe_rounds(vocab: DataFrame, ck) -> tuple[list[DataFrame], DataFrame]:
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
         )
-        merges.append(
-            best.select(
-                F.lit(rnd).cast("long").alias("rnd"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged"),
-                "cnt",
-            )
-        )
-        vocab = (
+        vocab_next = (
             vocab.crossJoin(F.broadcast(best.select("a", "b")))
             .select(
                 F.replace(
@@ -228,6 +223,32 @@ def _bpe_rounds(vocab: DataFrame, ck) -> tuple[list[DataFrame], DataFrame]:
                 "cnt",
             )
         )
+        if curve:
+            syms_after = vocab_next.agg(
+                F.sum(
+                    F.col("cnt")
+                    * (F.length("s") - F.length(F.replace(F.col("s"), F.lit("<"))))
+                ).alias("corpus_syms_after")
+            )
+            merges.append(
+                best.crossJoin(F.broadcast(syms_after)).select(
+                    F.lit(rnd).cast("long").alias("rnd"),
+                    F.concat("a", "b").alias("merged"),
+                    F.col("cnt").alias("pair_cnt"),
+                    "corpus_syms_after",
+                )
+            )
+        else:
+            merges.append(
+                best.select(
+                    F.lit(rnd).cast("long").alias("rnd"),
+                    F.col("a").alias("left_sym"),
+                    F.col("b").alias("right_sym"),
+                    F.concat("a", "b").alias("merged"),
+                    "cnt",
+                )
+            )
+        vocab = vocab_next
     return merges, vocab
 
 
@@ -267,6 +288,61 @@ def _bpe_train_ctes() -> str:
     return ",\n".join(ctes)
 
 
+def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the memoized tokenizer-SIZING curve.  Plan +
+    semantics: _bpe_curve_plan below."""
+    key = _pq_key(spark, sf_dir, "bpe_curve")
+    if key not in _pq_memo:
+        _pq_memo[key] = _bpe_curve_plan(spark, sf_dir).localCheckpoint(eager=True)
+    return _pq_memo[key]
+
+
+def _bpe_curve_plan(
+    spark: SparkSession, sf_dir: str, _checkpoint: bool = True
+) -> DataFrame:
+    """BPE compression curve — corpus symbol count after EACH merge
+    round: (rnd, merged, pair_cnt, corpus_syms_after).  This is the
+    how-many-merges-do-I-need sizing curve (the BPE analogue of
+    vocab_coverage_curve): pair_cnt is the winning pair's corpus-
+    weighted frequency, corpus_syms_after the total symbols remaining
+    across the corpus once round r's GREEDY merge is applied —
+    deliberately NOT cumsum(pair_cnt), because greedy non-overlapping
+    replacement applies fewer merges than the pair frequency on runs
+    ('aaa' counts (a,a) twice but merges once), so the curve must
+    re-measure the merged vocab, which is exactly what it does
+    (sum over the weighted vocab of each token's symbol count).
+
+    Consistency invariant (pytest-pinned): the final row equals
+    sum(bpe_encode_docs.n_bpe_syms) — the curve's corpus total and the
+    per-document encoder agree exactly.
+
+    Plan: the training loop again (same per-round shapes as
+    _bpe_train_plan: bounded pair aggregate + top-1 + 1-row
+    scalar-attach), plus one |vocab|-row aggregate per round; the 8
+    one-row results union into the curve.  Oracle: the shared unrolled
+    chain with a per-round scalar subquery over v{r}."""
+    ck = (lambda df: df.localCheckpoint(eager=True)) if _checkpoint else (lambda df: df)
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    vocab = ck(
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.regexp_replace(F.col("tok"), "(.)", "<$1>").alias("s"), "cnt")
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if _checkpoint:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        merges, _ = _bpe_rounds(vocab, ck, curve=True)
+    finally:
+        if _checkpoint:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("rnd")
+
+
 def _bpe_train_sql() -> str:
     arms = [
         f"SELECT {r}::BIGINT AS rnd, a AS left_sym, b AS right_sym,"
@@ -281,6 +357,24 @@ def _bpe_train_sql() -> str:
 
 
 BPE_TRAIN_SQL = _bpe_train_sql()
+
+
+def _bpe_curve_sql() -> str:
+    n_syms = "strlen(s) - strlen(replace(s, '<', ''))"
+    arms = [
+        f"SELECT {r}::BIGINT AS rnd, a || b AS merged, cnt AS pair_cnt,\n"
+        f"       (SELECT sum(cnt * ({n_syms}))::BIGINT FROM v{r}) AS corpus_syms_after\n"
+        f"FROM b{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    ]
+    return (
+        "WITH " + _bpe_train_ctes() + "\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY rnd"
+    )
+
+
+BPE_CURVE_SQL = _bpe_curve_sql()
 
 
 def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +793,7 @@ QUANTIZE_PQ_SQL = _pq_sql()
 QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "bpe_train_merges": bpe_train_merges,
+    "bpe_compression_curve": bpe_compression_curve,
     "bpe_encode_docs": bpe_encode_docs,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "quantize_pq_codes": quantize_pq_codes,
@@ -707,6 +802,7 @@ QUERIES = {
 ORACLES = {
     "bpe_merge_candidates": BPE_MERGE_SQL,
     "bpe_train_merges": BPE_TRAIN_SQL,
+    "bpe_compression_curve": BPE_CURVE_SQL,
     "bpe_encode_docs": BPE_ENCODE_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
     "quantize_pq_codes": QUANTIZE_PQ_SQL,

@@ -177,3 +177,28 @@ def test_bpe_encode_counts_match_reference(spark, tmp_path):
         for i, t in enumerate(texts)
     }
     assert got == want
+
+
+def test_bpe_curve_total_matches_encoder(spark, tmp_path):
+    """Cross-query consistency: the sizing curve's final corpus symbol
+    total must equal the per-document encoder's sum — the curve
+    re-measures the merged VOCAB (weighted), the encoder re-applies the
+    merges to every DOCUMENT; greedy semantics make them land on the
+    same number."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators import compression
+
+    d = _write_docs(tmp_path, ["aaaa aaa abab abab baba zz zz zz", "abab aaab zz"])
+    curve = {r.rnd: r for r in compression.bpe_compression_curve(spark, d).collect()}
+    assert list(curve) == list(range(1, compression.BPE_TRAIN_ROUNDS + 1))
+    # monotone non-increasing symbol totals; each round removes at least
+    # one symbol occurrence while its pair still exists
+    totals = [curve[r].corpus_syms_after for r in sorted(curve)]
+    assert all(a >= b for a, b in zip(totals, totals[1:]))
+    enc_total = (
+        compression.bpe_encode_docs(spark, d)
+        .agg(F.sum("n_bpe_syms").alias("t"))
+        .first()["t"]
+    )
+    assert enc_total == totals[-1]

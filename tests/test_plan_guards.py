@@ -242,6 +242,10 @@ def _internal_plans():
             lambda spark, sf: compression._bpe_train_plan(spark, sf, _checkpoint=False),
             True,
         ),
+        "bpe_curve_lazy_plan": (
+            lambda spark, sf: compression._bpe_curve_plan(spark, sf, _checkpoint=False),
+            True,
+        ),
         "near_dup_pairs_jaccard_plan": (dedup._near_jaccard_plan, False),
         "near_dup_pairs_minhash_plan": (dedup._minhash_lsh_plan, False),
         "near_dup_pairs_minhash_md5_plan": (dedup._minhash_lsh_md5_plan, False),
