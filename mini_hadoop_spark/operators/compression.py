@@ -472,6 +472,104 @@ FROM e0 JOIN {prev} USING (doc_id)
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — mean BPE symbols per word, the
+    standard multilingual tokenizer-equity metric (a language whose
+    fertility is 2x another's pays 2x the context window and 2x the
+    inference cost for the same text; reported per-language before a
+    tokenizer ships).  Output: (lang, n_docs, n_words, n_bpe_syms,
+    fertility) with fertility = n_bpe_syms / n_words rounded at 6.
+
+    Plan: the per-document encoder fold (the same 1-row broadcast merge
+    table + zero-shuffle string fold as bpe_encode_docs, plus a word
+    count per doc) feeding ONE map-combined lang aggregate — integer
+    counts shuffled, one IEEE division per lang row, so the oracle
+    hash-matches exactly.  Oracle: the shared b1..bN chain replayed
+    over documents, grouped by lang."""
+    merges = bpe_train_merges(spark, sf_dir)
+    m_arr = F.broadcast(
+        merges.agg(
+            F.array_sort(
+                F.collect_list(F.struct("rnd", "left_sym", "right_sym"))
+            ).alias("ms")
+        )
+    )
+    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    s0 = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", "|"),
+        "([a-z0-9])",
+        "<$1>",
+    )
+    n_syms = lambda c: F.length(c) - F.length(F.replace(c, F.lit("<")))
+    folded = F.aggregate(
+        F.col("ms"),
+        F.col("s0"),
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit("<"), m["left_sym"], F.lit("><"), m["right_sym"], F.lit(">")),
+            F.concat(F.lit("<"), m["left_sym"], m["right_sym"], F.lit(">")),
+        ),
+    )
+    per_doc = (
+        d.select("lang", s0.alias("s0"), F.size(tokens("text")).alias("n_words"))
+        .crossJoin(m_arr)
+        .select("lang", "n_words", n_syms(folded).cast("long").alias("n_bpe"))
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe_syms"),
+    )
+    fert = F.when(
+        F.col("n_words") > 0, F.col("n_bpe_syms").cast("double") / F.col("n_words")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_bpe_syms",
+        round_half_up(fert, 6).alias("fertility"),
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    ctes = [_bpe_train_ctes()]
+    ctes.append(
+        """e0 AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_words,
+         regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', '|', 'g'),
+                        '([a-z0-9])', '<\\1>', 'g') AS s
+  FROM documents
+)"""
+    )
+    prev = "e0"
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        ctes.append(
+            f"""e{r} AS (
+  SELECT doc_id, lang, n_words,
+         replace(s, '<' || a || '><' || b || '>', '<' || a || b || '>') AS s
+  FROM {prev}, b{r}
+)"""
+        )
+        prev = f"e{r}"
+    chain = ",\n".join(ctes)
+    fert = sql_round_half_up(
+        "CASE WHEN sum(n_words) > 0"
+        " THEN CAST(sum(strlen(s) - strlen(replace(s, '<', ''))) AS DOUBLE)"
+        " / sum(n_words) ELSE 0.0 END",
+        6,
+    )
+    return f"""
+WITH {chain}
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(n_words)::BIGINT AS n_words,
+       sum(strlen(s) - strlen(replace(s, '<', '')))::BIGINT AS n_bpe_syms,
+       {fert} AS fertility
+FROM {prev} GROUP BY lang
+"""
+
+
+BPE_FERTILITY_SQL = _bpe_fertility_sql()
+
+
 def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization audit: scale, exact integer
     checksums of the quantized vector (sum / sum-of-abs — these are
@@ -795,6 +893,7 @@ QUERIES = {
     "bpe_train_merges": bpe_train_merges,
     "bpe_compression_curve": bpe_compression_curve,
     "bpe_encode_docs": bpe_encode_docs,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
     "quantize_embeddings_int8": quantize_embeddings_int8,
     "quantize_pq_codes": quantize_pq_codes,
 }
@@ -804,6 +903,7 @@ ORACLES = {
     "bpe_train_merges": BPE_TRAIN_SQL,
     "bpe_compression_curve": BPE_CURVE_SQL,
     "bpe_encode_docs": BPE_ENCODE_SQL,
+    "bpe_fertility_by_lang": BPE_FERTILITY_SQL,
     "quantize_embeddings_int8": QUANTIZE_INT8_SQL,
     "quantize_pq_codes": QUANTIZE_PQ_SQL,
 }

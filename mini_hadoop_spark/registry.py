@@ -59,8 +59,8 @@ _MODULES = [
 #
 # Deliberately waiting a round (ADVICE r8 #1 asks this be documented):
 # streaming_ivf_maintenance_drain, bpe_encode_docs,
-# bpe_compression_curve, dedup_semantic_semdedup and
-# ivf_recenter_audit are r9-NEW and
+# bpe_compression_curve, bpe_fertility_by_lang,
+# dedup_semantic_semdedup and ivf_recenter_audit are r9-NEW and
 # the window already carries 42 first-ever slots — all are oracled,
 # battery-green and vanilla-session-simmed now, and rotate in at r10
 # with one round of local soak behind them (bpe_train_merges, also

@@ -92,10 +92,11 @@ BNLJ_ALLOWED = {
     # codebook array>)) — bounded constant build side (PQ_M x PQ_KS
     # entries packed into one row), the zero-shuffle assignment idiom.
     "quantize_pq_codes",
-    # bpe_encode_docs: crossJoin(broadcast(<1-row rnd-ordered merge
-    # array>)) — the trained 8-row BPE model collapsed into one row,
-    # the same broadcast-the-model zero-shuffle fold.
+    # bpe_encode_docs / bpe_fertility_by_lang: crossJoin(broadcast(
+    # <1-row rnd-ordered merge array>)) — the trained 8-row BPE model
+    # collapsed into one row, the same broadcast-the-model fold.
     "bpe_encode_docs",
+    "bpe_fertility_by_lang",
     # cluster_kmeans_topics: shares similarity._assign's 1-row broadcast
     # centroid-array attach (same bounded build side as similarity_ann_ivf).
     "cluster_kmeans_topics",
