@@ -42,89 +42,77 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r9 ROTATION (VERDICT r8 #1: "clear the rotation debt in one round"):
-# 42 of the 50 slots go to queries with ZERO driver rows across
-# CORRECTNESS_r01–r08 (the full judge-computed never-seen list minus
-# dup_span_coverage, whose plan-sibling dedup_span_removal went
-# driver-green in r8) plus the r9-new bpe_train_merges.  The 8 keepers
-# are one anchor per family that has NO never-seen member left: parity
-# (wordcount), temporal as-of (join_asof_latest_order), skew, sampling,
-# multimodal, dq, clustering, retrieval.  Families whose never-seen
-# members rotate IN are represented by those members themselves (dedup
-# by its LSH audit, similarity by the 3-arm recall audit, streaming by
-# the outer-join drain, events/text/relational/TPC-H by their tails).
+# r10 ROTATION (VERDICT r9 #1: "rotate the final 7 never-driver-seen
+# queries and reach zero evidence debt"): slots 1-7 are exactly the
+# rotation_report never-seen set (the six r9-late additions plus the
+# dup_span_coverage carry-over), so CORRECTNESS_r10 retires the debt
+# entirely.  The remaining slots refresh the STALEST driver evidence:
+# every query whose last driver row is r02 (25) plus most of the r04
+# cohort — these have been green in the local oracle battery every
+# round since, but their driver-hard evidence is 6-8 rounds old.
 # `python tools/rotation_report.py` regenerates the debt list
 # mechanically.  Rotated-out queries keep running in the local oracle
 # battery (tests/test_oracle_battery.py) every round.
-#
-# Deliberately waiting a round (ADVICE r8 #1 asks this be documented):
-# streaming_ivf_maintenance_drain, bpe_encode_docs,
-# bpe_compression_curve, bpe_fertility_by_lang,
-# dedup_semantic_semdedup and ivf_recenter_audit are r9-NEW and
-# the window already carries 42 first-ever slots — all are oracled,
-# battery-green and vanilla-session-simmed now, and rotate in at r10
-# with one round of local soak behind them (bpe_train_merges, also
-# r9-new, IS in-window: its unrolled-chain oracle was validated at
-# both SFs on day one).
+
+# Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
+# round, each with a written rationale (tests/test_rotation_report.py
+# enforces exact membership here — raw source mentions no longer count).
+# Empty this round: all seven r9 never-seens rotate in above.
+ROTATION_WAITING: tuple[str, ...] = ()
 DRIVER_WINDOW = [
-    # dedup / similarity audits (compose the whole family's plans)
-    "dedup_lsh_quality_audit",
-    "similarity_ann_recall",
-    # compression / tokenizer-model family
-    "bpe_merge_candidates",
-    "bpe_train_merges",
-    "quantize_embeddings_int8",
-    # streaming
-    "streaming_outer_join_drain",
-    # events / temporal
-    "events_type_pivot",
-    "events_decayed_engagement",
-    "events_hourly_anomalies",
-    "join_asof_latest_order",
-    # text analysis / scoring tail
-    "vocab_drift_top_movers",
-    "mix_domain_weights",
-    "pipeline_pretrain_manifest",
-    "lang_id_confusion",
-    "text_redact_pii",
-    "text_pack_sequences",
-    "corpus_profile",
-    "quality_gopher_rules",
-    "text_length_histogram",
-    "text_repetition_ratio",
-    "text_char_bigram_novelty",
-    "ngram_pmi_top",
-    "vocab_oov_rate",
-    # relational-ext tail
-    "nation_trade_balance",
-    "part_price_realization",
-    "window_topk_with_ties",
-    "corr_quantity_price",
-    "orders_priority_sla",
-    "supplier_concentration_hhi",
-    "revenue_monthly_growth",
-    "orders_rfm_segmentation",
-    "basket_pair_affinity",
-    "window_first_last_orders",
-    "orders_cohort_retention",
-    "set_except_all",
-    "window_range_frame",
-    # TPC-H tail
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q13_custdist",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    # family anchors (every other family is in-window above)
-    "wordcount",
-    "agg_salted_skew",
-    "split_train_val_test",
-    "multimodal_meta",
-    "dq_expectations",
-    "cluster_kmeans_topics",
-    "bm25_search",
+    # --- the 7 never-driver-seen queries (rotation_report shortlist) ---
+    "dedup_semantic_semdedup",
+    "ivf_recenter_audit",
+    "streaming_ivf_maintenance_drain",
+    "dup_span_coverage",
+    "bpe_compression_curve",
+    "bpe_encode_docs",
+    "bpe_fertility_by_lang",
+    # --- stalest evidence refresh: full r02 cohort (last driver row 8 rounds old) ---
+    "agg_filtered_counts",
+    "agg_global_no_group",
+    "array_agg_regions",
+    "case_when_bucketing",
+    "global_topk",
+    "having_filter",
+    "join_full_outer",
+    "json_extract_props",
+    "page_orders_offset",
+    "pivot_linestatus",
+    "q9_profit_by_nation_year",
+    "quantile_disc_price",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_uncorrelated",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "subquery_in",
+    "unpivot_lineitem_measures",
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "window_running_sum",
+    # --- r04 cohort (agg_approx_sketches excluded: rows-only by design) ---
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "doc_fingerprint",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_inner_agg",
+    "join_left_null_handling",
+    "join_semi",
+    "lang_id_ngram",
+    "ngram_bigram_freq",
+    "pipeline_clean_corpus",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "text_lang_stats",
+    "text_quality_score",
 ]
 
 

@@ -91,8 +91,16 @@ def run_incremental_ivf_index(
     coarse quantizer (e.g. ``similarity.ivf_quantizer``)."""
     # a streaming source commits to a fixed schema up front; probe the
     # on-disk one batch-side (same pattern as the events ts-encoding
-    # probe — the embedding column has shipped float32 and float64)
-    schema = spark.read.parquet(emb_dir).schema
+    # probe — the embedding column has shipped float32 and float64).
+    # An empty landing dir is a no-op drain, not an error: the polling
+    # contract says "call again when new shards land", and the schema
+    # probe would otherwise raise 'Unable to infer schema'.
+    try:
+        schema = spark.read.parquet(emb_dir).schema
+    except Exception as exc:  # pragma: no cover - message text is Spark's
+        if "Unable to infer schema" in str(exc) or "Path does not exist" in str(exc):
+            return
+        raise
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -49,10 +49,13 @@ def test_window_pays_down_the_debt():
     seen = _seen()
     never = [n for n in entry_mod.queries() if n not in seen]
     window = set(registry.DRIVER_WINDOW)
-    with open(os.path.join(REPO, "mini_hadoop_spark", "registry.py")) as fh:
-        registry_src = fh.read()
-    stranded = [n for n in never if n not in window and n not in registry_src]
+    waiting = set(registry.ROTATION_WAITING)
+    stranded = [n for n in never if n not in window and n not in waiting]
     assert not stranded, (
-        f"never-driver-seen queries neither in DRIVER_WINDOW nor named in a "
-        f"registry.py waiting note: {stranded}"
+        f"never-driver-seen queries neither in DRIVER_WINDOW nor listed in "
+        f"registry.ROTATION_WAITING with a rationale: {stranded}"
     )
+    # The waiting list must not hide paid-off or phantom names (ADVICE r9
+    # flagged the old substring check as spoofable by name containment).
+    stale = [n for n in waiting if n in seen or n not in entry_mod.queries()]
+    assert not stale, f"ROTATION_WAITING entries already seen or unregistered: {stale}"

@@ -708,6 +708,15 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
     idx = str(tmp_path / "ivf_index")
     ckpt = str(tmp_path / "ivf_ckpt")
 
+    # polling contract (ADVICE r9 #2): an EMPTY landing dir — and a
+    # not-yet-created one — are no-op drains, not schema-infer errors
+    run_incremental_ivf_index(spark, str(landing), centroids, idx, ckpt)
+    assert read_ivf_index(spark, idx).count() == 0
+    run_incremental_ivf_index(
+        spark, str(tmp_path / "never_created"), centroids, idx, ckpt
+    )
+    assert read_ivf_index(spark, idx).count() == 0
+
     def land(name, df):
         staged = tmp_path / f"stage_{name}"
         df.coalesce(1).write.parquet(str(staged))

@@ -32,7 +32,7 @@ def _run(label: str, cmd: list[str], check_json: bool = False) -> None:
     tail = "\n".join((proc.stdout or "").strip().splitlines()[-3:])
     print(tail)
     if proc.returncode != 0:
-        print((proc.stderr or "").strip().splitlines()[-5:])
+        print("\n".join((proc.stderr or "").strip().splitlines()[-5:]))
         print(f"== {label} FAILED (rc={proc.returncode}, {dt:.0f}s)")
         sys.exit(1)
     if check_json:
