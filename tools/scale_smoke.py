@@ -168,12 +168,12 @@ NOTES = {
         "over a corpus-sized scored frame add the extra shuffle"
     ),
     "dedup_semantic_semdedup": (
-        "pair space is SUM(|cluster|^2); the harness pins K=32 centroids, so "
-        "a 10x corpus grows every cluster 10x (100x pairs — the wall ratio "
-        "stays ~10x only because per-pair cost is tiny at these sizes).  The "
-        "published SemDeDup recipe scales K with corpus size to bound "
-        "cluster cardinality (50k clusters on LAION); the operator inherits "
-        "that path through ivf_lists' k parameter"
+        "MEASURED with corpus-scaled K (r10: semdedup_k = ceil(n/32), the "
+        "published recipe): a 10x corpus now gets ~10x clusters of bounded "
+        "cardinality, so SUM(|cluster|^2) pair work is LINEAR in n — the "
+        "ratio fell 10.0 -> 4.3 the round K-scaling landed; the extra cost "
+        "over pure linear is the K-times-larger broadcast quantizer scoring "
+        "per vector (still a zero-shuffle projection)"
     ),
 }
 
