@@ -99,8 +99,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF quantizer and PQ codebook, so it shares their per-(session,
     sf_dir) memo+localCheckpoint discipline (bench.py itemizes the
     one-time training as a `bpe_model` index build).  Plan + training
-    semantics: _bpe_train_plan below."""
-    key = _pq_key(spark, sf_dir, "bpe_merges")
+    semantics: _bpe_train_plan below.
+
+    Projection of the SHARED combined training pass (_bpe_combined):
+    the curve query reads the same 8-row artifact, so the 8-round
+    training chain runs ONCE per (session, corpus), not once per
+    consumer (VERDICT r9 #3's double-pay trim)."""
+    return _bpe_combined(spark, sf_dir).select(
+        "rnd", "left_sym", "right_sym", "merged", "cnt"
+    )
+
+
+def _bpe_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The memoized combined BPE training artifact: one 8-round training
+    pass emitting (rnd, left_sym, right_sym, merged, cnt,
+    corpus_syms_after) — the merge table AND the sizing curve as
+    projections of the same rows."""
+    key = _pq_key(spark, sf_dir, "bpe_combined")
     if key not in _pq_memo:
         _pq_memo[key] = _bpe_train_plan(spark, sf_dir).localCheckpoint(eager=True)
     return _pq_memo[key]
@@ -117,7 +132,11 @@ def _bpe_train_plan(
     left-to-right in every token, then repeating on the MERGED symbol
     sequences — so later rounds can merge previously-merged symbols,
     the emergent behavior a single-round query can't show.  Output:
-    (rnd, left_sym, right_sym, merged, cnt) — the learned merge table.
+    (rnd, left_sym, right_sym, merged, cnt, corpus_syms_after) — the
+    learned merge table, each row also carrying the post-merge corpus
+    symbol total so the sizing curve is a free projection of the same
+    pass (folding the curve's per-round measurement into the trainer's
+    loop instead of a second full 8-round derivation).
 
     Standard BPE trains on the word-frequency dict, not the raw corpus
     stream, and so does this plan: vocab = distinct tokens with corpus
@@ -183,13 +202,13 @@ def _bpe_train_plan(
     return out.orderBy("rnd")
 
 
-def _bpe_rounds(
-    vocab: DataFrame, ck, curve: bool = False
-) -> tuple[list[DataFrame], DataFrame]:
+def _bpe_rounds(vocab: DataFrame, ck) -> tuple[list[DataFrame], DataFrame]:
     """The BPE_TRAIN_ROUNDS merge rounds over a weighted symbol-string
-    vocab frame; returns (per-round 1-row frames, final vocab).  With
-    ``curve=True`` each round's frame carries the post-merge corpus
-    symbol total instead of the trainer's merge-table columns."""
+    vocab frame; returns (per-round 1-row frames, final vocab).  Each
+    round's frame carries BOTH the merge-table columns and the
+    post-merge corpus symbol total (curve measurement folded into the
+    same pass — one extra |vocab|-row aggregate per round, far cheaper
+    than a second full training chain)."""
     merges = []
     for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
         syms = F.regexp_extract_all(F.col("s"), F.lit("<([^<>]+)>"), F.lit(1))
@@ -223,31 +242,22 @@ def _bpe_rounds(
                 "cnt",
             )
         )
-        if curve:
-            syms_after = vocab_next.agg(
-                F.sum(
-                    F.col("cnt")
-                    * (F.length("s") - F.length(F.replace(F.col("s"), F.lit("<"))))
-                ).alias("corpus_syms_after")
+        syms_after = vocab_next.agg(
+            F.sum(
+                F.col("cnt")
+                * (F.length("s") - F.length(F.replace(F.col("s"), F.lit("<"))))
+            ).alias("corpus_syms_after")
+        )
+        merges.append(
+            best.crossJoin(F.broadcast(syms_after)).select(
+                F.lit(rnd).cast("long").alias("rnd"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+                "corpus_syms_after",
             )
-            merges.append(
-                best.crossJoin(F.broadcast(syms_after)).select(
-                    F.lit(rnd).cast("long").alias("rnd"),
-                    F.concat("a", "b").alias("merged"),
-                    F.col("cnt").alias("pair_cnt"),
-                    "corpus_syms_after",
-                )
-            )
-        else:
-            merges.append(
-                best.select(
-                    F.lit(rnd).cast("long").alias("rnd"),
-                    F.col("a").alias("left_sym"),
-                    F.col("b").alias("right_sym"),
-                    F.concat("a", "b").alias("merged"),
-                    "cnt",
-                )
-            )
+        )
         vocab = vocab_next
     return merges, vocab
 
@@ -289,17 +299,6 @@ def _bpe_train_ctes() -> str:
 
 
 def bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered query: the memoized tokenizer-SIZING curve.  Plan +
-    semantics: _bpe_curve_plan below."""
-    key = _pq_key(spark, sf_dir, "bpe_curve")
-    if key not in _pq_memo:
-        _pq_memo[key] = _bpe_curve_plan(spark, sf_dir).localCheckpoint(eager=True)
-    return _pq_memo[key]
-
-
-def _bpe_curve_plan(
-    spark: SparkSession, sf_dir: str, _checkpoint: bool = True
-) -> DataFrame:
     """BPE compression curve — corpus symbol count after EACH merge
     round: (rnd, merged, pair_cnt, corpus_syms_after).  This is the
     how-many-merges-do-I-need sizing curve (the BPE analogue of
@@ -316,31 +315,15 @@ def _bpe_curve_plan(
     sum(bpe_encode_docs.n_bpe_syms) — the curve's corpus total and the
     per-document encoder agree exactly.
 
-    Plan: the training loop again (same per-round shapes as
-    _bpe_train_plan: bounded pair aggregate + top-1 + 1-row
-    scalar-attach), plus one |vocab|-row aggregate per round; the 8
-    one-row results union into the curve.  Oracle: the shared unrolled
-    chain with a per-round scalar subquery over v{r}."""
-    ck = (lambda df: df.localCheckpoint(eager=True)) if _checkpoint else (lambda df: df)
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    vocab = ck(
-        d.select(F.explode(tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("cnt"))
-        .select(F.regexp_replace(F.col("tok"), "(.)", "<$1>").alias("s"), "cnt")
+    Plan: a PROJECTION of the shared combined training artifact
+    (_bpe_combined) — the per-round symbol total is measured inside the
+    trainer's own loop (one |vocab|-row aggregate per round folded into
+    the same pass), so the curve adds ZERO extra training chains.
+    Oracle: the shared unrolled chain with a per-round scalar subquery
+    over v{r}."""
+    return _bpe_combined(spark, sf_dir).select(
+        "rnd", "merged", F.col("cnt").alias("pair_cnt"), "corpus_syms_after"
     )
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if _checkpoint:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        merges, _ = _bpe_rounds(vocab, ck, curve=True)
-    finally:
-        if _checkpoint:
-            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out.orderBy("rnd")
 
 
 def _bpe_train_sql() -> str:

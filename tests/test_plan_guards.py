@@ -239,12 +239,10 @@ def _internal_plans():
     from mini_hadoop_spark.operators import compression, dedup, similarity
 
     return {
+        # r10: trainer + curve share ONE combined pass (_bpe_train_plan
+        # emits merge table + per-round symbol totals together)
         "bpe_train_lazy_plan": (
             lambda spark, sf: compression._bpe_train_plan(spark, sf, _checkpoint=False),
-            True,
-        ),
-        "bpe_curve_lazy_plan": (
-            lambda spark, sf: compression._bpe_curve_plan(spark, sf, _checkpoint=False),
             True,
         ),
         "near_dup_pairs_jaccard_plan": (dedup._near_jaccard_plan, False),
