@@ -56,6 +56,45 @@ def generate_words_file(path: str, size_mb: int, seed: int = 7) -> None:
             written += len(line)
 
 
+def generate_adjacency_file(
+    path: str, n_nodes: int = 227323, n_edges: int = 1000000, seed: int = 227323
+) -> None:
+    """Deterministic adjacency TSV with EXACTLY ``n_nodes`` distinct node
+    ids and ``n_edges`` distinct directed edges — the same shape as the
+    reference's stripped largest PageRank input
+    (.MISSING_LARGE_BLOBS:1 names adjacency_227323_nodes_1000000_edges.tsv;
+    only the 41,332-node file survived in test_file/).  Shape mirrored
+    from the surviving file: sparse integer ids (max id ~100x node
+    count), ~96.9% of nodes are sources (the rest are dangling —
+    pure-target nodes with no out-edges, exercising the reference's
+    dangling-node PageRank semantics at page_rank.ex:70-73), line format
+    ``src<TAB>dst1 dst2 ...``."""
+    rng = random.Random(seed)
+    id_space = n_nodes * 100
+    nodes = rng.sample(range(id_space), n_nodes)
+    n_src = round(n_nodes * 40047 / 41332)  # the 41k file's source share
+    sources, sinks = nodes[:n_src], nodes[n_src:]
+    edges: set[tuple[int, int]] = set()
+    # coverage first: every source emits >=1 edge, every sink receives
+    # >=1 edge — so the distinct-node count is exact by construction
+    for i, s in enumerate(sources):
+        t = sinks[i % len(sinks)] if i < len(sinks) else nodes[rng.randrange(n_nodes)]
+        while t == s or (s, t) in edges:
+            t = nodes[rng.randrange(n_nodes)]
+        edges.add((s, t))
+    while len(edges) < n_edges:
+        s = sources[rng.randrange(n_src)]
+        t = nodes[rng.randrange(n_nodes)]
+        if t != s:
+            edges.add((s, t))
+    adj: dict[int, list[int]] = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    with open(path, "w") as f:
+        for s in sorted(adj, key=str):  # the 41k file is string-sorted
+            f.write(f"{s}\t{' '.join(str(t) for t in sorted(adj[s]))}\n")
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -174,6 +213,21 @@ def main() -> int:
         )
     else:
         print(f"parity: reference adjacency not found at {REF_ADJACENCY}; skipped", file=sys.stderr)
+
+    # the reference's LARGEST published PageRank input (227,323 nodes /
+    # 1M edges) was stripped from the repo as a large blob
+    # (.MISSING_LARGE_BLOBS:1) — regenerate a same-shape graph
+    # deterministically and complete the parity table at that scale
+    with tempfile.TemporaryDirectory(prefix="parity_pr_") as tmp:
+        big = os.path.join(tmp, "adjacency_227323_nodes_1000000_edges.tsv")
+        generate_adjacency_file(big)
+        edges_big = adjacency_edges(spark, big)
+        timed(
+            "pagerank_2iter_ref_graph_227k",
+            lambda _p: pagerank(
+                edges_big, iterations=2, damping=0.85, total_pages=227323
+            ).write.format("noop").mode("overwrite").save(),
+        )
 
     out = {
         "metric": "parity_wall_sec",

@@ -503,8 +503,17 @@ def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> Data
     )
     if not refine:
         return seeds
-    assigned = _assign(v, seeds, 1, "cid")
-    means = (
+    return fixed_point_means(_assign(v, seeds, 1, "cid"))
+
+
+def fixed_point_means(assigned: DataFrame) -> DataFrame:
+    """One Lloyd mean step over an assignment frame (cid, e, …) →
+    (cid, ce): per-(cid, pos) INTEGER fixed-point mean (see ivf_index's
+    docstring for the bit-identical-across-engines rationale).  Shared
+    by the initial build's refine step, the recenter AUDIT (drift
+    preview) and the recenter APPLY (the actual offline rebuild) — all
+    three must move centroids by the exact same arithmetic."""
+    return (
         assigned.select("cid", F.posexplode("e").alias("pos", "x"))
         .groupBy("cid", "pos")
         .agg(
@@ -519,7 +528,6 @@ def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> Data
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("cid", F.col("pm.m").alias("ce"))
     )
-    return means
 
 
 # (application, sf_dir, k) -> materialized quantizer.  An IVF quantizer
@@ -836,21 +844,7 @@ def ivf_recenter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (cid, n_vectors, recenter_drift)."""
     lists = ivf_lists(spark, sf_dir)
     cent = ivf_quantizer(spark, sf_dir)
-    means = (
-        lists.select("cid", F.posexplode("e").alias("pos", "x"))
-        .groupBy("cid", "pos")
-        .agg(
-            (
-                F.sum(
-                    F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("long")
-                ).cast("double")
-                / (F.count("*") * F.lit(1e9))
-            ).alias("m")
-        )
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cid", F.col("pm.m").alias("ce_new"))
-    )
+    means = fixed_point_means(lists).select("cid", F.col("ce").alias("ce_new"))
     sizes = lists.groupBy("cid").agg(F.count("*").alias("n_vectors"))
     drift = F.lit(1.0) - (
         dot(F.col("ce"), F.col("ce_new")) / norm(F.col("ce")) / norm(F.col("ce_new"))
@@ -887,6 +881,75 @@ FROM cent c JOIN cent2 n USING (cid) JOIN sizes z USING (cid)
 
 
 IVF_RECENTER_SQL = _ivf_recenter_sql()
+
+
+def ivf_recenter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF re-centering APPLIED — the offline rebuild the recenter audit
+    gates (and the missing production step between the audit and the
+    streaming list maintenance): recompute every centroid as the
+    fixed-point mean of its CURRENT inverted list (exactly one more
+    Lloyd round — ``fixed_point_means``, the same arithmetic as the
+    build's refine step and the audit's preview), then REASSIGN the full
+    corpus to the moved centroids.  Output per vector: (vec_id,
+    cid_before, cid_after, moved) — the new index plus the migration
+    evidence an operator reviews after a rebuild (how many vectors
+    changed lists).  Centroids whose list emptied drop out of the new
+    quantizer in both engines, so cid_after ranges over surviving cids.
+
+    Plan: memoized lists → K·dims-row mean aggregate (corpus-
+    independent after the scan) → one broadcast-quantizer zero-shuffle
+    reassignment (`_assign`) → an id-keyed self-join attaching the old
+    cid.  The streaming twin (`streaming/ivf_maintenance.py::
+    recenter_ivf_index`) runs this same recompute+swap against the
+    on-disk index; a pytest pins that its post-recenter index equals
+    this batch apply exactly.
+
+    Cites reference surface: none (extension operator — SURVEY §2.3)."""
+    lists = ivf_lists(spark, sf_dir)
+    cent_new = fixed_point_means(lists)
+    re = _assign(lists.select("vec_id", "e", "nv"), cent_new, 1, "cid_after").select(
+        "vec_id", "cid_after"
+    )
+    return (
+        lists.select("vec_id", F.col("cid").alias("cid_before"))
+        .join(re, "vec_id")
+        .select(
+            "vec_id",
+            "cid_before",
+            "cid_after",
+            (F.col("cid_before") != F.col("cid_after")).cast("long").alias("moved"),
+        )
+    )
+
+
+def _ivf_recenter_apply_sql() -> str:
+    return f"""
+WITH {_ivf_ctes()}, comp2 AS (
+  SELECT cid, i AS pos, e[i] AS x
+  FROM lists, LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+), cent2 AS (
+  SELECT cid, list(m ORDER BY pos) AS ce2 FROM (
+    SELECT cid, pos,
+           CAST(sum(CAST(floor(x * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1e9) AS m
+    FROM comp2 GROUP BY cid, pos)
+  GROUP BY cid
+), re AS (
+  SELECT vec_id, cid_after FROM (
+    SELECT l.vec_id, c.cid AS cid_after,
+           row_number() OVER (PARTITION BY l.vec_id ORDER BY
+             list_dot_product(l.e, c.ce2) / l.nv / sqrt(list_dot_product(c.ce2, c.ce2)) DESC,
+             c.cid) AS r
+    FROM lists l CROSS JOIN cent2 c)
+  WHERE r = 1
+)
+SELECT l.vec_id, l.cid AS cid_before, re.cid_after,
+       (CASE WHEN l.cid <> re.cid_after THEN 1 ELSE 0 END)::BIGINT AS moved
+FROM lists l JOIN re USING (vec_id)
+"""
+
+
+IVF_RECENTER_APPLY_SQL = _ivf_recenter_apply_sql()
 
 
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1485,6 +1548,7 @@ QUERIES = {
     "similarity_ann_ivf": similarity_ann_ivf,
     "similarity_ann_ivfpq": similarity_ann_ivfpq,
     "ivf_recenter_audit": ivf_recenter_audit,
+    "ivf_recenter_apply": ivf_recenter_apply,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_outlier_audit": embedding_outlier_audit,
@@ -1513,6 +1577,7 @@ ORACLES = {
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "similarity_ann_ivfpq": SIMILARITY_ANN_IVFPQ_SQL,
     "ivf_recenter_audit": IVF_RECENTER_SQL,
+    "ivf_recenter_apply": IVF_RECENTER_APPLY_SQL,
     # similarity_ann_recall composes the three oracles above as
     # subquery chains — bit-identical inputs in, exact integer hit
     # counts out.

@@ -60,9 +60,12 @@ _MODULES = [
 # Empty this round: all seven r9 never-seens rotate in above.
 ROTATION_WAITING: tuple[str, ...] = ()
 DRIVER_WINDOW = [
-    # --- the 7 never-driver-seen queries (rotation_report shortlist) ---
+    # --- the 7 never-driver-seen queries (rotation_report shortlist)
+    # plus the r10-new recenter apply (in-window on day one, like
+    # bpe_train_merges was in r9 — no fresh debt) ---
     "dedup_semantic_semdedup",
     "ivf_recenter_audit",
+    "ivf_recenter_apply",
     "streaming_ivf_maintenance_drain",
     "dup_span_coverage",
     "bpe_compression_curve",
@@ -102,7 +105,6 @@ DRIVER_WINDOW = [
     "doc_fingerprint",
     "join_anti",
     "join_broadcast_dims",
-    "join_inner_agg",
     "join_left_null_handling",
     "join_semi",
     "lang_id_ngram",

@@ -76,6 +76,51 @@ def ivf_assign_batch(
     return assigned.join(existing, "vec_id", "left_anti")
 
 
+def recenter_ivf_index(
+    spark: SparkSession, emb_dir: str, index_dir: str
+) -> DataFrame:
+    """The offline RECENTER+REBUILD pass the drift audit
+    (operators/similarity.py::ivf_recenter_audit) gates — the compaction
+    analogue this module's docstring promises: recompute every centroid
+    as the fixed-point mean of its accumulated on-disk list (one Lloyd
+    round, ``fixed_point_means`` — the exact arithmetic of the batch
+    build's refine step), reassign every indexed vector to the moved
+    centroids, and SWAP the index in place.  Returns the new frozen
+    quantizer (cid, ce) to hand to subsequent ``ivf_assign_batch``
+    calls.
+
+    A pytest pins that the post-recenter on-disk index equals the batch
+    ``ivf_recenter_apply``'s (vec_id, cid_after) exactly — streaming
+    accumulation + recenter converges on the fresh batch rebuild.
+
+    Scale posture: vectors are re-read from the landing dir (the index
+    stores ids only — 100 TB of arrays don't belong in the index);
+    mean is K·dims rows after the scan; reassignment is the broadcast
+    zero-shuffle `_assign`.  The swap is write-new-then-replace: the
+    new assignment materializes (localCheckpoint) BEFORE the overwrite
+    so the write never scans the directory it replaces."""
+    from mini_hadoop_spark.functions.vectors import as_double, norm
+    from mini_hadoop_spark.operators.similarity import _assign, fixed_point_means
+
+    idx = read_ivf_index(spark, index_dir)
+    vecs = (
+        spark.read.parquet(emb_dir)
+        .select("vec_id", as_double("embedding").alias("e"))
+        .withColumn("nv", norm(F.col("e")))
+    )
+    assigned = idx.join(vecs, "vec_id")
+    # BOTH outputs materialize BEFORE the overwrite: their lineage reads
+    # the old index files the swap is about to delete
+    cent_new = fixed_point_means(assigned).localCheckpoint(eager=True)
+    new_index = (
+        _assign(assigned.select("vec_id", "e", "nv"), cent_new, 1, "cid")
+        .select("vec_id", "cid")
+        .localCheckpoint(eager=True)
+    )
+    new_index.write.mode("overwrite").parquet(index_dir)
+    return cent_new
+
+
 def run_incremental_ivf_index(
     spark: SparkSession,
     emb_dir: str,

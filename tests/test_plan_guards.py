@@ -115,6 +115,10 @@ BNLJ_ALLOWED = {
     # vocab_drift_top_movers: crossJoin(broadcast(<1-row split totals>))
     # — the canonical scalar-attach again.
     "vocab_drift_top_movers",
+    # ivf_recenter_apply: shares similarity._assign's 1-row broadcast
+    # centroid-array attach for the post-recenter reassignment (same
+    # bounded build side as similarity_ann_ivf / cluster_kmeans_topics).
+    "ivf_recenter_apply",
 }
 
 

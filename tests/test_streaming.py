@@ -745,3 +745,20 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
     # replay idempotence at the sink level: re-presenting an already-
     # committed shard contributes zero new index rows
     assert ivf_assign_batch(emb.limit(50), centroids, idx).count() == 0
+
+    # RECENTER+REBUILD (the lifecycle capstone): applying the offline
+    # recenter to the streaming-accumulated index must land on EXACTLY
+    # the batch ivf_recenter_apply's post-recenter assignment — same
+    # one-more-Lloyd-step fixed-point mean, same reassignment tiebreak
+    from mini_hadoop_spark.operators.similarity import ivf_recenter_apply
+    from mini_hadoop_spark.streaming.ivf_maintenance import recenter_ivf_index
+
+    want_after = {
+        r.vec_id: r.cid_after
+        for r in ivf_recenter_apply(spark, SF_DIR).select("vec_id", "cid_after").collect()
+    }
+    new_cents = recenter_ivf_index(spark, str(landing), idx)
+    assert index_rows() == want_after
+    # the returned quantizer is the moved centroids (one per surviving
+    # non-empty list), ready to freeze for subsequent ivf_assign_batch
+    assert new_cents.count() == len(set(want.values()))
