@@ -147,6 +147,9 @@ def main() -> int:
     from mini_hadoop_spark.streaming import windowed as _sw
 
     _build("stream_ojoin_shared", lambda: _sw._outer_join_drained(spark, sf_dir))
+    # the shared IVF lifecycle run (r10): ONE maintenance drain + recenter
+    # swap serves both registered IVF drains; its real cost is itemized here
+    _build("stream_ivf_shared", lambda: _sw._ivf_stream_drained(spark, sf_dir))
 
     # TWO timed passes per query; report the per-query MIN.  This host
     # shows external load spikes (load-average bursts with no local

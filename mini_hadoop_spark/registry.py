@@ -67,6 +67,7 @@ DRIVER_WINDOW = [
     "ivf_recenter_audit",
     "ivf_recenter_apply",
     "streaming_ivf_maintenance_drain",
+    "streaming_ivf_recenter_drain",
     "dup_span_coverage",
     "bpe_compression_curve",
     "bpe_encode_docs",
@@ -99,7 +100,6 @@ DRIVER_WINDOW = [
     "window_running_sum",
     # --- r04 cohort (agg_approx_sketches excluded: rows-only by design) ---
     "agg_cube",
-    "agg_distinct",
     "agg_grouping_sets",
     "agg_rollup",
     "doc_fingerprint",

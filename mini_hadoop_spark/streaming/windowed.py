@@ -423,6 +423,53 @@ def streaming_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_join_result(_outer_join_drained(spark, sf_dir))
 
 
+# ONE end-to-end IVF streaming lifecycle run serves BOTH registered IVF
+# drains — maintenance (the PRE-recenter accumulated index) and recenter
+# (the POST-swap index): the same shared-run trim as the join drains.
+# Both oracles stay independent batch SQL forms the shared run must
+# satisfy exactly (lists CTE / the recenter-apply chain).
+_ivf_stream_memo: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf_stream_drained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run the IVF ingest lifecycle END-TO-END once per (session,
+    sf_dir): drain the staged embedding shards through foreachBatch
+    maintenance, snapshot the accumulated index, then apply the offline
+    recenter+swap (``recenter_ivf_index``) and snapshot again.  Returns
+    (pre_recenter_index, post_recenter_index), both materialized."""
+    import uuid
+
+    from mini_hadoop_spark.operators.similarity import ivf_quantizer
+    from mini_hadoop_spark.sources.catalog import table_path
+    from mini_hadoop_spark.streaming.ivf_maintenance import (
+        read_ivf_index,
+        recenter_ivf_index,
+        run_incremental_ivf_index,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    if key not in _ivf_stream_memo:
+        centroids = ivf_quantizer(spark, sf_dir)
+        src = table_path(sf_dir, "embeddings")
+        root = tempfile.mkdtemp(prefix="stream_ivf_")
+        try:
+            emb_dir = os.path.join(root, "emb")
+            os.makedirs(emb_dir)
+            _stage_parquet(src, emb_dir)
+            index_dir = os.path.join(root, "index")
+            ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
+            with _drain_scope(spark, no_data_batches=False):
+                run_incremental_ivf_index(spark, emb_dir, centroids, index_dir, ckpt_dir)
+            # materialize each snapshot before the staging tree is removed
+            pre = read_ivf_index(spark, index_dir).localCheckpoint(eager=True)
+            recenter_ivf_index(spark, emb_dir, index_dir)
+            post = read_ivf_index(spark, index_dir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        _ivf_stream_memo[key] = (pre, post)
+    return _ivf_stream_memo[key]
+
+
 def streaming_ivf_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REGISTERED streaming query #7 (r9): incremental IVF inverted-list
     maintenance run END-TO-END — the production vector-ingest loop.  The
@@ -437,32 +484,24 @@ def streaming_ivf_maintenance_drain(spark: SparkSession, sf_dir: str) -> DataFra
     _ivf_ctes chain's ``lists`` CTE — the 7th streaming state shape
     (model-frozen online index maintenance) inside the driver's oracle
     gate.  Multi-batch incremental semantics and replay idempotence are
-    pinned by tests/test_streaming.py."""
-    import uuid
+    pinned by tests/test_streaming.py.  r10: serves the PRE-recenter
+    snapshot of the shared lifecycle run (_ivf_stream_drained)."""
+    return _ivf_stream_drained(spark, sf_dir)[0]
 
-    from mini_hadoop_spark.operators.similarity import ivf_quantizer
-    from mini_hadoop_spark.sources.catalog import table_path
-    from mini_hadoop_spark.streaming.ivf_maintenance import (
-        read_ivf_index,
-        run_incremental_ivf_index,
-    )
 
-    centroids = ivf_quantizer(spark, sf_dir)
-    src = table_path(sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="stream_ivf_")
-    try:
-        emb_dir = os.path.join(root, "emb")
-        os.makedirs(emb_dir)
-        _stage_parquet(src, emb_dir)
-        index_dir = os.path.join(root, "index")
-        ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
-        with _drain_scope(spark, no_data_batches=False):
-            run_incremental_ivf_index(spark, emb_dir, centroids, index_dir, ckpt_dir)
-        # materialize before the staging tree is removed
-        out = read_ivf_index(spark, index_dir).localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+def streaming_ivf_recenter_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #8 (r10): the IVF lifecycle CLOSED —
+    after the maintenance drain accumulates the index, the offline
+    RECENTER+REBUILD (`streaming/ivf_maintenance.py::recenter_ivf_index`,
+    the pass the drift audit `ivf_recenter_audit` gates) recomputes every
+    centroid as the fixed-point mean of its accumulated list, reassigns
+    every indexed vector, and swaps the on-disk index.  Returns the
+    post-swap index (vec_id, cid), which equals the batch
+    ``ivf_recenter_apply``'s (vec_id, cid_after) EXACTLY — so the oracle
+    is the recenter-apply chain projected to the index schema, and the
+    full ingest→maintain→audit→recenter loop sits inside the driver's
+    oracle gate end-to-end."""
+    return _ivf_stream_drained(spark, sf_dir)[1]
 
 
 QUERIES = {
@@ -473,6 +512,7 @@ QUERIES = {
     "streaming_enrich_drain": streaming_enrich_drain,
     "streaming_outer_join_drain": streaming_outer_join_drain,
     "streaming_ivf_maintenance_drain": streaming_ivf_maintenance_drain,
+    "streaming_ivf_recenter_drain": streaming_ivf_recenter_drain,
 }
 
 
@@ -591,6 +631,18 @@ def _ivf_maint_oracle() -> str:
     return f"WITH {_ivf_ctes()}\nSELECT vec_id, cid FROM lists"
 
 
+def _ivf_recenter_drain_oracle() -> str:
+    # the batch recenter-apply chain projected to the index schema: the
+    # post-swap streaming index must equal (vec_id, cid_after) exactly
+    from mini_hadoop_spark.operators.similarity import IVF_RECENTER_APPLY_SQL
+
+    return (
+        "SELECT vec_id, cid_after AS cid FROM (\n"
+        + IVF_RECENTER_APPLY_SQL
+        + "\n)"
+    )
+
+
 ORACLES = {
     # the batch twins' oracles verbatim: each streaming drain must land
     # on the identical rows
@@ -601,4 +653,5 @@ ORACLES = {
     "streaming_enrich_drain": STREAMING_ENRICH_SQL,
     "streaming_outer_join_drain": _outer_join_oracle(),
     "streaming_ivf_maintenance_drain": _ivf_maint_oracle(),
+    "streaming_ivf_recenter_drain": _ivf_recenter_drain_oracle(),
 }

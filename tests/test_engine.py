@@ -15,6 +15,7 @@ and the StatusTracker info wrappers.
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -316,6 +317,40 @@ def test_adjacency_edges_parsing(spark, tmp_path):
     p.write_text("0\t2\n10\t11 12  13\n\n7\t8\n")
     edges = sorted(map(tuple, adjacency_edges(spark, str(p)).collect()))
     assert edges == [(0, 2), (7, 8), (10, 11), (10, 12), (10, 13)]
+
+
+def test_generate_adjacency_file_shape(tmp_path):
+    """bench_parity.generate_adjacency_file reproduces the reference's
+    stripped 227k input SHAPE exactly at a scaled-down size: exact
+    distinct-node and distinct-edge counts, the 41k file's ~96.9% source
+    share (the remainder are DANGLING pure-target nodes — the
+    page_rank.ex:70-73 semantics the graph must exercise), no
+    self-loops, and the reference's line format."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench_parity import generate_adjacency_file
+
+    p = tmp_path / "adj.tsv"
+    generate_adjacency_file(str(p), n_nodes=2000, n_edges=9000, seed=11)
+    nodes, edges, srcs = set(), set(), set()
+    for line in p.read_text().splitlines():
+        src_s, tgts_s = line.split("\t")
+        src = int(src_s)
+        srcs.add(src)
+        nodes.add(src)
+        tgts = [int(t) for t in tgts_s.split()]
+        assert src not in tgts  # no self-loops
+        for t in tgts:
+            edges.add((src, t))
+            nodes.add(t)
+    assert len(nodes) == 2000
+    assert len(edges) == 9000
+    assert 0 < len(nodes) - len(srcs) < 0.05 * len(nodes)  # dangling share ~3.1%
+    # determinism: same seed -> byte-identical file
+    p2 = tmp_path / "adj2.tsv"
+    generate_adjacency_file(str(p2), n_nodes=2000, n_edges=9000, seed=11)
+    assert p.read_bytes() == p2.read_bytes()
 
 
 def test_pagerank_shim_matches_dataframe(spark, tmp_path):
