@@ -856,6 +856,96 @@ FROM agg
 """
 
 
+def quality_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based WORD-bigram LM quality score — the statistical-LM
+    document filter of the CCNet/KenLM playbook (Wenzek et al. 2020)
+    made engine-exact: train a bigram count model on the corpus itself,
+    then score every document by its average conditional probability
+    P(w2|w1) = cnt(w1,w2)/cnt(w1·) under that model.  Predictable,
+    natural text scores high; gibberish and boilerplate-free noise score
+    near the unigram floor.  Complements `text_char_bigram_novelty`
+    (char-level rare-event fraction) with the word-level expected-
+    probability signal a real perplexity filter ranks by — log-free
+    (avg probability, not log perplexity) so there is no transcendental
+    to disagree on: each conditional is ONE division of exact integer
+    counts (IEEE-identical both engines), fixed-point rounded at 1e-9
+    and summed as BIGINT (order-independent), divided once per doc.
+    Output: (doc_id, n_bigrams, avg_cond_p); docs with <2 tokens emit
+    (0, -1.0) via the left join (empty-half guard).
+
+    Plan & 100 TB posture: one explode + two vocabulary-keyed hash aggs
+    train the model (map-side combine keeps shuffle ~|bigram vocab|);
+    scoring joins the doc bigram stream to the model on (w1,w2) — a
+    plain equi-join like dup_span_coverage's shingle join, NOT broadcast
+    (the model grows with vocabulary), AQE-skew-covered; one doc_id agg
+    + one doc_id left join finish.  No window, no cartesian, no Python.
+
+    Cites reference surface: none (extension operator — SURVEY §2.3)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", tokens("text").alias("t"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    m12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    m1 = m12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = m12.join(m1, "w1")
+    fp = F.floor(
+        F.col("c12").cast("double") / F.col("c1").cast("double") * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        big.join(model, ["w1", "w2"])
+        .select("doc_id", fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("fp").alias("s"))
+    )
+    avg = round_half_up(
+        F.col("s").cast("double") / (F.col("n_bigrams").cast("double") * F.lit(1e9)), 6
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+            F.when(F.col("n_bigrams") > 0, avg).otherwise(F.lit(-1.0)).alias("avg_cond_p"),
+        )
+    )
+
+
+QUALITY_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+), big AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i) g
+), m12 AS (
+  SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY w1, w2
+), m1 AS (
+  SELECT w1, sum(c12)::BIGINT AS c1 FROM m12 GROUP BY w1
+), per_doc AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+         sum(CAST(floor(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) * 1e9 + 0.5) AS BIGINT))::BIGINT AS s
+  FROM big b JOIN m12 USING (w1, w2) JOIN m1 USING (w1)
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       CASE WHEN p.n_bigrams > 0
+            THEN {sql_round_half_up('CAST(s AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e9)', 6)}
+            ELSE -1.0 END AS avg_cond_p
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "quality_gopher_rules": quality_gopher_rules,
     "quality_c4_rules": quality_c4_rules,
@@ -866,6 +956,7 @@ QUERIES = {
     "vocab_oov_rate": vocab_oov_rate,
     "vocab_coverage_curve": vocab_coverage_curve,
     "quality_dup_deciles": quality_dup_deciles,
+    "quality_bigram_lm_score": quality_bigram_lm_score,
 }
 
 ORACLES = {
@@ -878,4 +969,5 @@ ORACLES = {
     "vocab_oov_rate": VOCAB_OOV_SQL,
     "vocab_coverage_curve": VOCAB_CURVE_SQL,
     "quality_dup_deciles": _quality_dup_deciles_sql(),
+    "quality_bigram_lm_score": QUALITY_BIGRAM_LM_SQL,
 }

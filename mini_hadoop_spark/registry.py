@@ -68,6 +68,7 @@ DRIVER_WINDOW = [
     "ivf_recenter_apply",
     "streaming_ivf_maintenance_drain",
     "streaming_ivf_recenter_drain",
+    "quality_bigram_lm_score",
     "dup_span_coverage",
     "bpe_compression_curve",
     "bpe_encode_docs",
@@ -108,7 +109,6 @@ DRIVER_WINDOW = [
     "join_left_null_handling",
     "join_semi",
     "lang_id_ngram",
-    "ngram_bigram_freq",
     "pipeline_clean_corpus",
     "q1_pricing_summary",
     "q3_shipping_priority",

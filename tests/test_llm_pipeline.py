@@ -860,3 +860,30 @@ def test_semdedup_prunes_planted_cluster_dups(spark, tmp_path):
         assert copy.is_dup == 1 and copy.max_other_cos >= SEMDEDUP_TAU
         assert base.is_dup == 0, "keep-lowest-id must retain the base"
     assert sum(r.is_dup for r in out.values()) == 6
+
+
+def test_bigram_lm_score_ranks_predictable_text(spark, tmp_path):
+    """The count-LM quality score must rank repetitive/predictable text
+    above a shuffled-gibberish doc drawn from the same vocabulary, and
+    emit the (0, -1.0) guard row for a sub-2-token doc.  Hand-checkable
+    corpus: in the two-doc model below every 'the cat' transition is
+    deterministic in doc 1 (avg P -> high) while doc 2's transitions
+    split the context counts (avg P lower)."""
+    from mini_hadoop_spark.operators.text_scoring import quality_bigram_lm_score
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "the cat the cat the cat the cat",  # fully predictable chain
+            "cat ran the dog cat the ran dog the cat ran",  # mixed contexts
+            "solo",  # <2 tokens -> guard row
+        ],
+    )
+    out = {r.doc_id: r for r in quality_bigram_lm_score(spark, sf).collect()}
+    assert out[3].n_bigrams == 0 and out[3].avg_cond_p == -1.0
+    assert out[1].n_bigrams == 7 and out[2].n_bigrams == 10
+    assert out[1].avg_cond_p > out[2].avg_cond_p
+    # doc 1's only contexts are 'the'->'cat' (shared with doc 2) and
+    # 'cat'->'the' — every conditional is cnt12/cnt1 of the JOINT corpus
+    # model, so the exact values are auditable by hand if this moves
+    assert out[1].avg_cond_p > 0.6
