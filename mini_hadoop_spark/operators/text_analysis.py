@@ -663,6 +663,73 @@ FROM per, tot
 """
 
 
+def mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling weights — the XLM-R /
+    mBERT up/down-sampling recipe (Conneau et al. 2020, α = 0.5 i.e.
+    T = 2): q_i ∝ p_i^α over per-LANGUAGE token shares, flattening the
+    language distribution so low-resource languages are oversampled
+    without drowning the head.  Complements ``mix_domain_weights``
+    (source-equalizing factors) with the published temperature curve.
+
+    α is FIXED at 0.5 because p^0.5 = sqrt(p) is the one non-rational
+    exponent both engines compute identically — IEEE 754 requires sqrt
+    be correctly rounded (pow(p, 0.7) carries no such guarantee), and
+    the normalization sum runs over fixed-point BIGINTs (order-
+    independent), so the whole pipeline stays bit-identical and fully
+    oracled.  Output per language: token counts, raw share, the
+    temperature weight q_i, and the resulting over/under-sampling factor
+    q_i/p_i (> 1 → oversample).
+
+    Scale shape: identical to mix_domain_weights — one map-combined
+    hash shuffle to (lang) plus two 1-row broadcast scalar-attaches;
+    language cardinality is tiny at any corpus size."""
+    d = _docs(spark, sf_dir)
+    per = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("tot_tokens"))
+    p = F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double")
+    withr = per.crossJoin(F.broadcast(tot)).withColumn(
+        "r", F.floor(F.sqrt(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    )
+    sr = withr.agg(F.sum("r").alias("sum_r"))
+    q = F.col("r").cast("double") / F.col("sum_r").cast("double")
+    return (
+        withr.crossJoin(F.broadcast(sr))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            round_half_up(p, 6).alias("token_share"),
+            round_half_up(q, 6).alias("temp_weight"),
+            round_half_up(q / p, 6).alias("sample_factor"),
+        )
+    )
+
+
+MIX_TEMPERATURE_SQL = f"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(n_tokens)::BIGINT AS tot_tokens FROM per
+), withr AS (
+  SELECT per.*, tot_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS r
+  FROM per, tot
+), sr AS (
+  SELECT sum(r)::BIGINT AS sum_r FROM withr
+)
+SELECT lang, n_docs, n_tokens,
+       {sql_round_half_up('CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)', 6)} AS token_share,
+       {sql_round_half_up('CAST(r AS DOUBLE) / CAST(sum_r AS DOUBLE)', 6)} AS temp_weight,
+       {sql_round_half_up('(CAST(r AS DOUBLE) / CAST(sum_r AS DOUBLE)) / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))', 6)} AS sample_factor
+FROM withr, sr
+"""
+
+
 def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END pretraining curation pipeline as ONE declarative
     plan — the composition every individual operator in this family
@@ -870,6 +937,7 @@ QUERIES = {
     "vocab_drift_top_movers": vocab_drift_top_movers,
     "text_token_stats": text_token_stats,
     "mix_domain_weights": mix_domain_weights,
+    "mix_temperature_weights": mix_temperature_weights,
     "pipeline_pretrain_manifest": pipeline_pretrain_manifest,
     "text_quality_score": text_quality_score,
     "lang_id_ngram": lang_id_ngram,
@@ -887,6 +955,7 @@ QUERIES = {
 ORACLES = {
     "vocab_drift_top_movers": VOCAB_DRIFT_SQL,
     "mix_domain_weights": MIX_DOMAIN_SQL,
+    "mix_temperature_weights": MIX_TEMPERATURE_SQL,
     "pipeline_pretrain_manifest": _pretrain_manifest_sql(),
     "text_redact_pii": TEXT_REDACT_SQL,
     "text_pack_sequences": TEXT_PACK_SQL,

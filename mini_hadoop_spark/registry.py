@@ -69,6 +69,7 @@ DRIVER_WINDOW = [
     "streaming_ivf_maintenance_drain",
     "streaming_ivf_recenter_drain",
     "quality_bigram_lm_score",
+    "mix_temperature_weights",
     "dup_span_coverage",
     "bpe_compression_curve",
     "bpe_encode_docs",
@@ -100,7 +101,6 @@ DRIVER_WINDOW = [
     "window_ntile_quartiles",
     "window_running_sum",
     # --- r04 cohort (agg_approx_sketches excluded: rows-only by design) ---
-    "agg_cube",
     "agg_grouping_sets",
     "agg_rollup",
     "doc_fingerprint",

@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     "tfidf_top_terms",
     "scalar_subquery_uncorrelated",
     "mix_domain_weights",
+    # mix_temperature_weights: two 1-row scalar-attaches (token total +
+    # fixed-point sqrt-share sum) — the canonical scalar-attach.
+    "mix_temperature_weights",
     "events_funnel",
     "pipeline_pretrain_manifest",
     "sample_weighted_mix",
