@@ -43,13 +43,17 @@ _MODULES = [
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
 # r10 ROTATION (VERDICT r9 #1: "rotate the final 7 never-driver-seen
-# queries and reach zero evidence debt"): slots 1-7 are exactly the
-# rotation_report never-seen set (the six r9-late additions plus the
-# dup_span_coverage carry-over), so CORRECTNESS_r10 retires the debt
-# entirely.  The remaining slots refresh the STALEST driver evidence:
-# every query whose last driver row is r02 (25) plus most of the r04
-# cohort — these have been green in the local oracle battery every
-# round since, but their driver-hard evidence is 6-8 rounds old.
+# queries and reach zero evidence debt"): the head of the window is
+# exactly the rotation_report never-seen set (the six r9-late additions
+# plus the dup_span_coverage carry-over) PLUS the five r10-NEW queries
+# (ivf_recenter_apply, streaming_ivf_recenter_drain,
+# quality_bigram_lm_score, mix_temperature_weights — all in-window on
+# day one like bpe_train_merges was in r9, so the round creates no fresh
+# debt), so CORRECTNESS_r10 retires the debt entirely.  The remaining
+# slots refresh the STALEST driver evidence: every query whose last
+# driver row is r02 (25) plus most of the r04 cohort — these have been
+# green in the local oracle battery every round since, but their
+# driver-hard evidence is 6-8 rounds old.
 # `python tools/rotation_report.py` regenerates the debt list
 # mechanically.  Rotated-out queries keep running in the local oracle
 # battery (tests/test_oracle_battery.py) every round.
@@ -61,8 +65,7 @@ _MODULES = [
 ROTATION_WAITING: tuple[str, ...] = ()
 DRIVER_WINDOW = [
     # --- the 7 never-driver-seen queries (rotation_report shortlist)
-    # plus the r10-new recenter apply (in-window on day one, like
-    # bpe_train_merges was in r9 — no fresh debt) ---
+    # plus the r10-new queries (in-window on day one — no fresh debt) ---
     "dedup_semantic_semdedup",
     "ivf_recenter_audit",
     "ivf_recenter_apply",
