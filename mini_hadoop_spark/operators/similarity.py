@@ -459,20 +459,41 @@ def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) ->
         ).alias("scores"),
     )
 
-    def by_cos_desc_then_cid(l, r):
-        return (
-            F.when(l["cs"] > r["cs"], F.lit(-1))
-            .when(l["cs"] < r["cs"], F.lit(1))
-            .when(l["cid"] < r["cid"], F.lit(-1))
-            .when(l["cid"] > r["cid"], F.lit(1))
-            .otherwise(F.lit(0))
+    if n_nearest == 1:
+        # Top-1 is the hot path (full-corpus list assignment, SemDeDup,
+        # recenter) and K now scales with the corpus — sorting a
+        # K-element array per row is O(K log K) with comparator-lambda
+        # overhead, measured as the wall-clock wall at the 100x smoke's
+        # K=6250.  A left FOLD keeps the single best struct in O(K) with
+        # the exact same (cs desc, cid asc) tie-break, so results are
+        # bit-identical to the sort path and to the oracles' row_number.
+        best = F.aggregate(
+            F.expr("slice(scores, 2, greatest(size(scores) - 1, 0))"),
+            F.col("scores")[0],
+            lambda acc, s: F.when(
+                (s["cs"] > acc["cs"]) | ((s["cs"] == acc["cs"]) & (s["cid"] < acc["cid"])),
+                s,
+            ).otherwise(acc),
         )
+        picked = F.when(F.size("scores") > 0, F.array(best)).otherwise(
+            F.expr("array()").cast("array<struct<cs:double,cid:bigint>>")
+        )
+    else:
+
+        def by_cos_desc_then_cid(l, r):
+            return (
+                F.when(l["cs"] > r["cs"], F.lit(-1))
+                .when(l["cs"] < r["cs"], F.lit(1))
+                .when(l["cid"] < r["cid"], F.lit(-1))
+                .when(l["cid"] > r["cid"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        picked = F.slice(F.array_sort("scores", by_cos_desc_then_cid), 1, n_nearest)
 
     return scored.select(
         "vec_id", "e", "nv",
-        F.explode(
-            F.slice(F.array_sort("scores", by_cos_desc_then_cid), 1, n_nearest)
-        ).alias("_pick"),
+        F.explode(picked).alias("_pick"),
     ).select("vec_id", "e", "nv", F.col("_pick.cid").alias(out_col))
 
 
@@ -750,10 +771,12 @@ def ann_results(spark: SparkSession, sf_dir: str, method: str) -> DataFrame:
 
 
 def clear_memo() -> None:
-    """Drop memoized quantizer/list/ANN frames (tests that rewrite an
-    sf_dir in place call this; distinct tmp dirs never collide)."""
+    """Drop memoized quantizer/list/ANN frames and corpus counts (tests
+    that rewrite an sf_dir in place call this; distinct tmp dirs never
+    collide)."""
     _quantizers.clear()
     _ann_memo.clear()
+    _corpus_counts.clear()
 
 
 def similarity_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -887,3 +887,51 @@ def test_bigram_lm_score_ranks_predictable_text(spark, tmp_path):
     # 'cat'->'the' — every conditional is cnt12/cnt1 of the JOINT corpus
     # model, so the exact values are auditable by hand if this moves
     assert out[1].avg_cond_p > 0.6
+
+
+def test_mix_temperature_weights_invariants(spark):
+    """Temperature weights are a probability distribution (sum == 1 up
+    to the 1e-6 rounding) that FLATTENS the share distribution: every
+    language's temp_weight sits between its raw share and the uniform
+    1/n (sqrt pulls toward uniform), so under-represented languages get
+    sample_factor > 1 and over-represented ones < 1."""
+    from mini_hadoop_spark.operators.text_analysis import mix_temperature_weights
+
+    rows = mix_temperature_weights(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n >= 2
+    assert abs(sum(r.temp_weight for r in rows) - 1.0) < n * 1e-6
+    uniform = 1.0 / n
+    for r in rows:
+        lo, hi = sorted((r.token_share, uniform))
+        assert lo - 1e-6 <= r.temp_weight <= hi + 1e-6, r
+        if r.token_share < uniform - 1e-6:
+            assert r.sample_factor > 1.0, r
+        elif r.token_share > uniform + 1e-6:
+            assert r.sample_factor < 1.0, r
+
+
+def test_bigram_lm_score_bounds(spark):
+    """Every scored document's avg conditional probability is a real
+    probability: in (0, 1] for docs with bigrams, exactly -1.0 for the
+    guard rows; n_bigrams == max(token_count - 1, 0) per doc."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.functions.text import tokens
+    from mini_hadoop_spark.operators.text_scoring import quality_bigram_lm_score
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    out = {r.doc_id: r for r in quality_bigram_lm_score(spark, SF_DIR).collect()}
+    toks = {
+        r.doc_id: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    assert set(out) == set(toks)
+    for doc_id, r in out.items():
+        assert r.n_bigrams == max(toks[doc_id] - 1, 0)
+        if r.n_bigrams:
+            assert 0.0 < r.avg_cond_p <= 1.0, r
+        else:
+            assert r.avg_cond_p == -1.0

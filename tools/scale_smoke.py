@@ -169,11 +169,12 @@ NOTES = {
     ),
     "dedup_semantic_semdedup": (
         "MEASURED with corpus-scaled K (r10: semdedup_k = ceil(n/32), the "
-        "published recipe): a 10x corpus now gets ~10x clusters of bounded "
-        "cardinality, so SUM(|cluster|^2) pair work is LINEAR in n — the "
-        "ratio fell 10.0 -> 4.3 the round K-scaling landed; the extra cost "
-        "over pure linear is the K-times-larger broadcast quantizer scoring "
-        "per vector (still a zero-shuffle projection)"
+        "published recipe): a 10x corpus gets ~10x clusters of bounded "
+        "cardinality, so SUM(|cluster|^2) pair work is LINEAR in n (ratio "
+        "was 10.0 under fixed K=32); see the 100x SemDeDup appendix below "
+        "for the deep point — wall ratio 91.8 / pair ratio 102.3 on a 100x "
+        "corpus, with top-1 assignment an O(K) fold (not an O(K log K) "
+        "per-row sort) since the same round"
     ),
 }
 
@@ -287,6 +288,153 @@ def lsh_family_mode(n: int) -> int:
     return 0
 
 
+SEMDEDUP_OUT_TMPL = "/tmp/spark_graft_scale_semdedup{n}x"
+
+
+def build_semdedup_corpus(spark, n: int) -> str:
+    """n-times embeddings corpus for the SemDeDup deep-scale smoke:
+    copy i shifts vec_id and ROLLS the 64-dim vector by i positions —
+    a common rotation preserves every WITHIN-copy pairwise cosine (the
+    per-copy dup structure is identical to the base corpus) while the
+    copies occupy distinct directions, so the corpus-scaled quantizer
+    can actually separate them — the embedding analogue of the LSH
+    smoke's token-suffix construction."""
+    from pyspark.sql import functions as F
+
+    out = SEMDEDUP_OUT_TMPL.format(n=n)
+    dst = f"{out}/embeddings.parquet"
+    if os.path.exists(dst):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = spark.read.parquet(f"{BASE}/embeddings.parquet")
+
+    def copy(i: int):
+        k = i % 64
+        e = F.col("embedding")
+        rolled = e if k == 0 else F.concat(
+            F.slice(e, k + 1, 64 - k), F.slice(e, 1, k)
+        )
+        return base.select(
+            (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+            rolled.alias("embedding"),
+            "label",
+        )
+
+    parts = [copy(i) for i in range(n)]
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionAll(p)
+    tmp = f"{out}/_emb_dir"
+    full.coalesce(8).write.mode("overwrite").parquet(tmp)
+    os.makedirs(dst, exist_ok=True)
+    for j, f in enumerate(sorted(os.listdir(tmp))):
+        if f.endswith(".parquet"):
+            shutil.move(f"{tmp}/{f}", f"{dst}/part-{j:03d}.parquet")
+    shutil.rmtree(tmp)
+    return out
+
+
+def semdedup_family_mode(n: int) -> int:
+    """One deeper scale point for the K-scaled SemDeDup path (the r9
+    verdict's weak item, fixed in r10): cold end-to-end
+    dedup_semantic_semdedup at 1x vs n-x, recording the derived K and
+    the within-cluster pair-space size at each scale.  LINEAR pair
+    growth at n-x is the direct evidence the corpus-derived K keeps
+    cluster cardinality bounded."""
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-semdedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = build_semdedup_corpus(spark, n)
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators import dedup, similarity
+
+    def cold_run(sf_dir: str) -> dict:
+        similarity.clear_memo()
+        k = similarity.semdedup_k(similarity.corpus_vector_count(spark, sf_dir))
+        t0 = time.perf_counter()
+        out = dedup.dedup_semantic_semdedup(spark, sf_dir)
+        out.write.format("noop").mode("overwrite").save()
+        t = time.perf_counter() - t0
+        # within-cluster ORDERED pair count Σ|c|·(|c|−1) — the quantity
+        # fixed K made quadratic in n, now bounded per cluster
+        pairs = (
+            similarity.ivf_lists(spark, sf_dir, k)
+            .groupBy("cid")
+            .agg(F.count("*").alias("m"))
+            .agg(F.sum(F.col("m") * (F.col("m") - 1)).alias("p"))
+            .collect()[0]["p"]
+        )
+        return {"t": t, "k": k, "pairs": int(pairs)}
+
+    one = cold_run(BASE)
+    big = cold_run(corpus)
+    data = {
+        "copies": n,
+        "t1": one["t"], "tn": big["t"], "ratio": big["t"] / one["t"],
+        "k1": one["k"], "kn": big["k"],
+        "pairs1": one["pairs"], "pairsn": big["pairs"],
+        "pair_ratio": big["pairs"] / max(one["pairs"], 1),
+    }
+    with open(os.path.join(_repo_root(), "SCALE_SEMDEDUP.json"), "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(
+        f"semdedup cold: 1x {data['t1']:.2f}s (K={data['k1']}, pairs {data['pairs1']}) -> "
+        f"{n}x {data['tn']:.2f}s (K={data['kn']}, pairs {data['pairsn']}); "
+        f"wall ratio {data['ratio']:.1f}, pair ratio {data['pair_ratio']:.1f}"
+    )
+    md = os.path.join(_repo_root(), "SCALE.md")
+    js = os.path.join(_repo_root(), "SCALE.json")
+    if os.path.exists(js):
+        with open(js) as fh:
+            write_scale_md(json.load(fh), md)
+        print(f"re-rendered {md} with the {n}x SemDeDup appendix")
+    spark.stop()
+    return 0
+
+
+def _semdedup_appendix_lines() -> list[str]:
+    path = os.path.join(_repo_root(), "SCALE_SEMDEDUP.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        d = json.load(fh)
+    n = d["copies"]
+    return [
+        "",
+        f"## Appendix: {n}x SemDeDup smoke (corpus-scaled K)",
+        "",
+        f"`python tools/scale_smoke.py --semdedup-family {n}` — one deeper",
+        "scale point for the K-scaled SemDeDup path (the r9 verdict's weak",
+        f"item, fixed in r10): {n} rolled copies of the sf0.1 embeddings",
+        "(a common rotation preserves within-copy cosines, so each copy",
+        "keeps the base corpus's dup structure while occupying distinct",
+        "directions).  COLD end-to-end runs; K derives from the corpus",
+        "count on both sides.  The within-cluster pair space growing by",
+        "~the copy factor (not its square) is the direct measurement that",
+        "corpus-scaled K bounds cluster cardinality — under fixed K=32 the",
+        f"same construction would grow pairs ~{n}²x.",
+        "",
+        f"| scale | cold sec | derived K | within-cluster pairs |",
+        "|---|---|---|---|",
+        f"| 1x | {d['t1']:.2f} | {d['k1']} | {d['pairs1']} |",
+        f"| {n}x | {d['tn']:.2f} | {d['kn']} | {d['pairsn']} |",
+        "",
+        f"Wall ratio {d['ratio']:.1f}x, pair ratio {d['pair_ratio']:.1f}x on a",
+        f"{n}x corpus — the pair space (the term fixed K made quadratic) is",
+        "linear.  The remaining super-linear term is the quantizer",
+        "assignment itself: O(n·K) with K ∝ n — the k-means build cost",
+        "every IVF/SemDeDup deployment pays (the paper trains 50k-centroid",
+        "k-means on LAION); it is capped by K_MAX and, at these scales, a",
+        f"minor term ({n}²x more scorings fit inside the {d['ratio']:.1f}x wall",
+        "because scoring is a vectorized codegen projection).  Past K_MAX,",
+        "shard the corpus or go hierarchical (two-level quantizer).",
+    ]
+
+
 def _lsh_appendix_lines() -> list[str]:
     path = os.path.join(_repo_root(), "SCALE_LSH.json")
     if not os.path.exists(path):
@@ -364,6 +512,7 @@ def write_scale_md(rows: list[dict], path: str) -> None:
     for name, reason in sorted(EXCLUDED.items()):
         lines.append(f"| {name} | {reason} |")
     lines.extend(_lsh_appendix_lines())
+    lines.extend(_semdedup_appendix_lines())
     lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
@@ -375,6 +524,10 @@ def main() -> int:
         i = args.index("--lsh-family")
         n = int(args[i + 1]) if len(args) > i + 1 else 100
         return lsh_family_mode(n)
+    if "--semdedup-family" in args:
+        i = args.index("--semdedup-family")
+        n = int(args[i + 1]) if len(args) > i + 1 else 100
+        return semdedup_family_mode(n)
     all_mode = "--all" in args
     update_mode = "--update" in args
     if "--render" in args:
