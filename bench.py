@@ -141,6 +141,8 @@ def main() -> int:
     # consumer runs first
     for _m in ("brute", "lsh", "ivf", "ivfpq"):
         _build(f"ann_{_m}", lambda m=_m: _sim.ann_results(spark, sf_dir, m))
+    # the 4-arm nprobe tuning curve (r10): memoized audit artifact
+    _build("ann_nprobe_curve", lambda: _sim.similarity_ann_nprobe_curve(spark, sf_dir))
 
     # the shared outer-join drain (r9): ONE end-to-end streaming run
     # serves both registered join drains; its real cost is itemized here

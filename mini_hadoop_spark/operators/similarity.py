@@ -394,7 +394,7 @@ def _ivf_ctes(k_limit: int | str = IVF_CENTROIDS) -> str:
 )"""
 
 
-def _ann_ivf_sql() -> str:
+def _ann_ivf_sql(nprobe: int = IVF_NPROBE) -> str:
     return f"""
 WITH {_ivf_ctes()}, probes AS (
   SELECT vec_id AS query_id, e AS qe, nv AS nq, cid FROM (
@@ -404,7 +404,7 @@ WITH {_ivf_ctes()}, probes AS (
              c.cid) AS r
     FROM v CROSS JOIN cent c
     WHERE v.vec_id % {QUERY_MODULUS} = 0)
-  WHERE r <= {IVF_NPROBE}
+  WHERE r <= {nprobe}
 ), cand AS (
   SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id,
          list_dot_product(p.qe, l.e) / p.nq / l.nv AS cos
@@ -618,7 +618,9 @@ def semdedup_k(n: int) -> int:
     return min(max(math.ceil(n / SEMDEDUP_TARGET_CLUSTER), SEMDEDUP_K_MIN), SEMDEDUP_K_MAX)
 
 
-def _ann_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_ivf_plan(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     """ANN top-3 per query via IVF: vectors live in their nearest
     centroid's inverted list; each query probes its IVF_NPROBE nearest
     centroids and scores ONLY those lists (equi-join on cid — shuffle
@@ -636,7 +638,7 @@ def _ann_ivf_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ivf_quantizer(spark, sf_dir)
     lists = ivf_lists(spark, sf_dir)
     probes = _assign(
-        v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, IVF_NPROBE, "cid"
+        v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, nprobe, "cid"
     ).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nv").alias("nq"), "cid",
@@ -1562,9 +1564,97 @@ UNION ALL
 SIMILARITY_ANN_RECALL_SQL = _ann_recall_sql()
 
 
+#: nprobe ladder for the IVF tuning curve — spans "cheapest" (1 list
+#: per query) to "most of the index" (8 of 32 lists).
+NPROBE_CURVE = (1, 2, 4, 8)
+
+
+def similarity_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF TUNING curve — corpus-level recall@3 vs nprobe: the
+    how-many-lists-must-I-probe sizing decision every IVF deployment
+    makes (probe count is THE latency/recall dial: candidates scanned
+    grow ~linearly with nprobe).  For each nprobe in NPROBE_CURVE, run
+    the exact IVF candidate path (`_ann_ivf_plan`, the audited plan of
+    similarity_ann_ivf, parametric in nprobe) and score its top-3
+    against the memoized brute ground truth.  Output one row per
+    nprobe: (nprobe, n_queries, n_true, n_hit, recall) — the curve an
+    operator reads to pick the knee.  Companion to
+    `similarity_ann_recall` (fixed-nprobe, per-query, 3 methods) the
+    way `vocab_coverage_curve` companions `vocab_oov_rate`.
+
+    Plan: the 4 arms share the memoized quantizer/lists; each adds one
+    probe assignment (broadcast fold/sort), one cid equi-join bounded
+    by list sizes, a semi-join on (query_id, neighbor_id) scalars and
+    two 1-row aggregates cross-attached (allowlisted scalar-attach).
+    At 100 TB the curve runs on the sampled query set like every ANN
+    audit here (vec_id % QUERY_MODULUS).
+
+    Cites reference surface: none (extension operator — SURVEY §2.3)."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), "nprobe_curve")
+    if key in _ann_memo:
+        return _ann_memo[key]
+    brute = (
+        ann_results(spark, sf_dir, "brute")
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    totals = brute.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_true"),
+    )
+    arms = []
+    for np_ in NPROBE_CURVE:
+        ann = _ann_ivf_plan(spark, sf_dir, nprobe=np_).select("query_id", "neighbor_id")
+        hit = brute.join(ann, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count("*").alias("n_hit")
+        )
+        arms.append(
+            totals.crossJoin(F.broadcast(hit)).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                "n_queries",
+                "n_true",
+                "n_hit",
+                round_half_up(
+                    F.col("n_hit").cast("double") / F.col("n_true"), 6
+                ).alias("recall"),
+            )
+        )
+    out = arms[0]
+    for arm in arms[1:]:
+        out = out.unionAll(arm)
+    _ann_memo[key] = out.localCheckpoint(eager=True)
+    return _ann_memo[key]
+
+
+def _ann_nprobe_curve_sql() -> str:
+    arms = []
+    for np_ in NPROBE_CURVE:
+        arms.append(
+            f"""SELECT {np_}::BIGINT AS nprobe,
+       (SELECT count(DISTINCT query_id) FROM brute)::BIGINT AS n_queries,
+       (SELECT count(*) FROM brute)::BIGINT AS n_true,
+       (SELECT count(*) FROM brute b
+        JOIN (SELECT query_id, neighbor_id FROM ({_ann_ivf_sql(np_)})) a
+        USING (query_id, neighbor_id))::BIGINT AS n_hit,
+       {sql_round_half_up(
+           'CAST((SELECT count(*) FROM brute b '
+           'JOIN (SELECT query_id, neighbor_id FROM (' + _ann_ivf_sql(np_) + ')) a '
+           'USING (query_id, neighbor_id)) AS DOUBLE) '
+           '/ (SELECT count(*) FROM brute)', 6)} AS recall"""
+        )
+    return (
+        f"WITH brute AS (\n  SELECT query_id, neighbor_id FROM ({SIMILARITY_TOPK_SQL}) WHERE rnk <= 3\n)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
+SIMILARITY_ANN_NPROBE_CURVE_SQL = _ann_nprobe_curve_sql()
+
+
 QUERIES = {
     "similarity_topk_brute": similarity_topk_brute,
     "similarity_ann_recall": similarity_ann_recall,
+    "similarity_ann_nprobe_curve": similarity_ann_nprobe_curve,
     "similarity_hard_negatives": similarity_hard_negatives,
     "similarity_matryoshka_agreement": similarity_matryoshka_agreement,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -1605,4 +1695,5 @@ ORACLES = {
     # subquery chains — bit-identical inputs in, exact integer hit
     # counts out.
     "similarity_ann_recall": SIMILARITY_ANN_RECALL_SQL,
+    "similarity_ann_nprobe_curve": SIMILARITY_ANN_NPROBE_CURVE_SQL,
 }

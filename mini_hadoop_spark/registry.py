@@ -73,6 +73,7 @@ DRIVER_WINDOW = [
     "streaming_ivf_recenter_drain",
     "quality_bigram_lm_score",
     "mix_temperature_weights",
+    "similarity_ann_nprobe_curve",
     "dup_span_coverage",
     "bpe_compression_curve",
     "bpe_encode_docs",
@@ -110,7 +111,6 @@ DRIVER_WINDOW = [
     "join_anti",
     "join_broadcast_dims",
     "join_left_null_handling",
-    "join_semi",
     "lang_id_ngram",
     "pipeline_clean_corpus",
     "q1_pricing_summary",

@@ -122,6 +122,9 @@ BNLJ_ALLOWED = {
     # centroid-array attach for the post-recenter reassignment (same
     # bounded build side as similarity_ann_ivf / cluster_kmeans_topics).
     "ivf_recenter_apply",
+    # similarity_ann_nprobe_curve: per-arm 1-row scalar-attaches
+    # (totals x hit count) plus the IVF arms' centroid-array attach.
+    "similarity_ann_nprobe_curve",
 }
 
 
