@@ -935,3 +935,43 @@ def test_bigram_lm_score_bounds(spark):
             assert 0.0 < r.avg_cond_p <= 1.0, r
         else:
             assert r.avg_cond_p == -1.0
+
+
+def test_semdedup_k_clamps_and_scales():
+    """K derivation: ceil(n/target) inside the clamp, the floor for tiny
+    corpora, the ceiling for planetary ones — and monotone in n."""
+    from mini_hadoop_spark.operators.similarity import (
+        SEMDEDUP_K_MAX,
+        SEMDEDUP_K_MIN,
+        SEMDEDUP_TARGET_CLUSTER,
+        semdedup_k,
+    )
+
+    assert semdedup_k(0) == SEMDEDUP_K_MIN
+    assert semdedup_k(1) == SEMDEDUP_K_MIN
+    assert semdedup_k(500) == max(SEMDEDUP_K_MIN, -(-500 // SEMDEDUP_TARGET_CLUSTER))
+    assert semdedup_k(2000) == -(-2000 // SEMDEDUP_TARGET_CLUSTER)
+    assert semdedup_k(10**12) == SEMDEDUP_K_MAX
+    ks = [semdedup_k(n) for n in (0, 10, 100, 1000, 10**6, 10**9)]
+    assert ks == sorted(ks)
+
+
+def test_ann_nprobe_curve_monotone(spark):
+    """Probing more inverted lists can only widen the candidate set, so
+    recall@3 must be non-decreasing in nprobe, and the largest arm's
+    recall must match the registered fixed-nprobe IVF audit."""
+    from mini_hadoop_spark.operators.similarity import (
+        IVF_NPROBE,
+        similarity_ann_nprobe_curve,
+    )
+
+    rows = sorted(
+        similarity_ann_nprobe_curve(spark, SF_DIR).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.recall for r in rows]
+    assert recalls == sorted(recalls)
+    assert all(r.n_hit <= r.n_true for r in rows)
+    # all arms share one ground truth
+    assert len({(r.n_queries, r.n_true) for r in rows}) == 1
+    assert IVF_NPROBE in [r.nprobe for r in rows]
