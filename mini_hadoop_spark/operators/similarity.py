@@ -38,7 +38,14 @@ from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.sources.catalog import load_table
 
 TOP_K = 5
-QUERY_MODULUS = 50  # vec_id % 50 == 0 -> N/50 query vectors
+# Absolute md5-ranked ANN query budget (r10 verdict: the relative
+# vec_id % 50 sample made every ANN audit's query set grow WITH the
+# corpus — total candidate work O(n²/400) at 100x, the exact regime
+# where ANN is supposed to win).  The budget is the matryoshka /
+# hard-negative idiom: deterministic, engine-portable (md5 ranks agree
+# across Spark and DuckDB), and ABSOLUTE — total audit work is
+# budget x candidates, linear in corpus size.
+ANN_QUERY_BUDGET = 32
 
 LSH_TABLES = 4  # independent hash tables (union of candidates)
 LSH_BITS = 8  # bucket width per table: E[bucket size] = N / 2^8 per table
@@ -64,13 +71,39 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_query_ids(v: DataFrame) -> DataFrame:
+    """The ANN_QUERY_BUDGET query vec_ids whose md5(vec_id) ranks lowest
+    — the absolute, deterministic, engine-portable query sample EVERY
+    ANN arm and audit shares (brute ground truth included, so recall
+    joins always align).  The ranking window sorts id-only rows —
+    negligible next to the candidate joins it bounds — and the result is
+    always exactly min(budget, n) rows: broadcast-able at any scale."""
+    return (
+        v.select("vec_id")
+        .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
+        .withColumn("rn", F.row_number().over(W.orderBy(F.col("mh"), F.col("vec_id"))))
+        .filter(F.col("rn") <= ANN_QUERY_BUDGET)
+        .select("vec_id")
+    )
+
+
+#: DuckDB twin of ``ann_query_ids`` — depends on a prior ``v`` CTE
+#: (vec_id, e, ...), so splice it AFTER v in a WITH chain.
+ANN_QSET_CTE = f"""qset AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+    FROM v)
+  WHERE rn <= {ANN_QUERY_BUDGET}
+)"""
+
+
 def _topk_brute_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 cosine neighbors for every query vector (vec_id % 50 == 0),
-    deterministic tiebreak on neighbor_id.  Plan builder behind the
-    memoized ``similarity_topk_brute`` (guarded directly in
-    tests/test_plan_guards.py::_internal_plans)."""
+    """Top-5 cosine neighbors for each of the ANN_QUERY_BUDGET
+    md5-selected query vectors, deterministic tiebreak on neighbor_id.
+    Plan builder behind the memoized ``similarity_topk_brute`` (guarded
+    directly in tests/test_plan_guards.py::_internal_plans)."""
     v = _vectors(spark, sf_dir)
-    queries = v.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+    queries = v.join(F.broadcast(ann_query_ids(v)), "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nv").alias("nq")
     )
     scored = (
@@ -94,8 +127,8 @@ def _topk_brute_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_TOPK_SQL = f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), q AS (
-  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % {QUERY_MODULUS} = 0
+), {ANN_QSET_CTE}, q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v JOIN qset USING (vec_id)
 ), pairs AS (
   SELECT q.query_id, v.vec_id AS neighbor_id,
          list_dot_product(qe, e)
@@ -260,7 +293,7 @@ def _ann_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized (vec_id, table_id, bucket) rows instead of each
     # recomputing the 32 projection folds over every vector.
     keyed = _bucketed(v).localCheckpoint(eager=False)
-    queries = keyed.filter(F.col("vec_id") % QUERY_MODULUS == 0).select(
+    queries = keyed.join(F.broadcast(ann_query_ids(v)), "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nv").alias("nq"), "table_id", "bucket",
     )
@@ -314,11 +347,11 @@ def _ann_lsh_sql() -> str:
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-), keyed AS (
+), {ANN_QSET_CTE}, keyed AS (
 {table_arms}
 ), q AS (
   SELECT vec_id AS query_id, e AS qe, table_id, bucket
-  FROM keyed WHERE vec_id % {QUERY_MODULUS} = 0
+  FROM keyed JOIN qset USING (vec_id)
 ), cand AS (
   SELECT DISTINCT q.query_id, k.vec_id AS neighbor_id,
          list_dot_product(qe, k.e)
