@@ -5,7 +5,9 @@ embedding: array<float>, label) — LLM-pipeline operator family #2.
   baseline.  The (small) query set broadcasts into a single scan of the
   full vector table (BroadcastNestedLoopJoin — a deliberate, bounded
   non-equi join, NOT an accidental cartesian: cost = |queries| x N with
-  |queries| = N/50).  Oracle-checked — cosines are bit-identical to
+  |queries| = ANN_QUERY_BUDGET, an absolute md5-ranked sample — total
+  audit work stays linear in corpus size).  Oracle-checked — cosines
+  are bit-identical to
   DuckDB (see functions/vectors.py determinism contract).
 * ``similarity_ann_lsh``  — the 100 TB path: LSH_TABLES (4) independent
   LSH_BITS-bit (8) random-hyperplane (sign-random-projection) hash
@@ -149,6 +151,9 @@ FROM ranked WHERE rnk <= {TOP_K}
 # corpus scale — DESIGN lesson 18), top-K other-label neighbors each.
 HARD_NEG_BUDGET = 32
 HARD_NEG_K = 5
+# the hard-negatives plan + oracle reuse ann_query_ids/ANN_QSET_CTE,
+# which sample ANN_QUERY_BUDGET ids — keep the budgets in lockstep
+assert HARD_NEG_BUDGET == ANN_QUERY_BUDGET
 
 
 def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,14 +173,10 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the candidate generation swaps to the shared LSH/IVF index
     family (equi-join on bucket/list, filter label, same ranking)."""
     v = _vectors(spark, sf_dir).select("vec_id", "label", "e", "nv")
-    picked = (
-        v.select("vec_id")
-        .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
-        .withColumn("rn", F.row_number().over(W.orderBy(F.col("mh"), F.col("vec_id"))))
-        .filter(F.col("rn") <= HARD_NEG_BUDGET)
-        .select("vec_id")
-    )
-    queries = v.join(F.broadcast(picked), "vec_id").select(
+    # HARD_NEG_BUDGET == ANN_QUERY_BUDGET, so the shared md5-ranked
+    # sampler yields exactly the HARD_NEG_BUDGET query set (one
+    # definition of the sampling idiom — ADVICE r11).
+    queries = v.join(F.broadcast(ann_query_ids(v)), "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("e").alias("qe"),
@@ -211,12 +212,9 @@ WITH v AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
   FROM embeddings
-), q AS (
-  SELECT vec_id AS query_id, label AS query_label, e AS qe, nv AS nq FROM (
-    SELECT vec_id, label, e, nv,
-           row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
-    FROM v)
-  WHERE rn <= {HARD_NEG_BUDGET}
+), {ANN_QSET_CTE}, q AS (
+  SELECT vec_id AS query_id, label AS query_label, e AS qe, nv AS nq
+  FROM v JOIN qset USING (vec_id)
 ), pairs AS (
   SELECT q.query_id, q.query_label, v.vec_id AS neighbor_id,
          v.label AS neighbor_label,
@@ -429,14 +427,13 @@ def _ivf_ctes(k_limit: int | str = IVF_CENTROIDS) -> str:
 
 def _ann_ivf_sql(nprobe: int = IVF_NPROBE) -> str:
     return f"""
-WITH {_ivf_ctes()}, probes AS (
+WITH {_ivf_ctes()}, {ANN_QSET_CTE}, probes AS (
   SELECT vec_id AS query_id, e AS qe, nv AS nq, cid FROM (
     SELECT v.vec_id, v.e, v.nv, c.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
              list_dot_product(v.e, c.ce) / v.nv / sqrt(list_dot_product(c.ce, c.ce)) DESC,
              c.cid) AS r
-    FROM v CROSS JOIN cent c
-    WHERE v.vec_id % {QUERY_MODULUS} = 0)
+    FROM v JOIN qset USING (vec_id) CROSS JOIN cent c)
   WHERE r <= {nprobe}
 ), cand AS (
   SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id,
@@ -671,7 +668,7 @@ def _ann_ivf_plan(
     centroids = ivf_quantizer(spark, sf_dir)
     lists = ivf_lists(spark, sf_dir)
     probes = _assign(
-        v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, nprobe, "cid"
+        v.join(F.broadcast(ann_query_ids(v)), "vec_id"), centroids, nprobe, "cid"
     ).select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe"),
         F.col("nv").alias("nq"), "cid",
@@ -725,7 +722,7 @@ def _ann_ivfpq_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ivf_quantizer(spark, sf_dir)
     lists = ivf_lists(spark, sf_dir)
     probes = _assign(
-        v.filter(F.col("vec_id") % QUERY_MODULUS == 0), centroids, IVF_NPROBE, "cid"
+        v.join(F.broadcast(ann_query_ids(v)), "vec_id"), centroids, IVF_NPROBE, "cid"
     ).select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cid")
     cand = (
         lists.select("vec_id", "cid")
@@ -842,14 +839,13 @@ def _ann_ivfpq_sql() -> str:
     from mini_hadoop_spark.operators.compression import PQ_M, PQ_SUBDIM, pq_ctes
 
     return f"""
-WITH {_ivf_ctes()}, {pq_ctes()}, probes AS (
+WITH {_ivf_ctes()}, {pq_ctes()}, {ANN_QSET_CTE}, probes AS (
   SELECT vec_id AS query_id, e AS qe, cid FROM (
     SELECT v.vec_id, v.e, c.cid,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
              list_dot_product(v.e, c.ce) / v.nv / sqrt(list_dot_product(c.ce, c.ce)) DESC,
              c.cid) AS r
-    FROM v CROSS JOIN cent c
-    WHERE v.vec_id % {QUERY_MODULUS} = 0)
+    FROM v JOIN qset USING (vec_id) CROSS JOIN cent c)
   WHERE r <= {IVF_NPROBE}
 ), cnd AS (
   SELECT DISTINCT p.query_id, l.vec_id
@@ -1520,7 +1516,7 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit adds only left-semi joins on (query_id, neighbor_id)
     scalars and two ≤|queries|-row aggregates.  At 100 TB the audit runs
     on a sampled query set exactly as its inputs do (all three inherit
-    the vec_id % QUERY_MODULUS query rule).
+    the ANN_QUERY_BUDGET md5-ranked query sample via ann_query_ids).
 
     r9: all four inputs are the MEMOIZED materialized neighbor sets
     (ann_results) — the audit no longer re-derives any arm; it joins
@@ -1620,7 +1616,7 @@ def similarity_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     by list sizes, a semi-join on (query_id, neighbor_id) scalars and
     two 1-row aggregates cross-attached (allowlisted scalar-attach).
     At 100 TB the curve runs on the sampled query set like every ANN
-    audit here (vec_id % QUERY_MODULUS).
+    audit here (the ANN_QUERY_BUDGET md5-ranked sample, ann_query_ids).
 
     Cites reference surface: none (extension operator — SURVEY §2.3)."""
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), "nprobe_curve")
