@@ -104,3 +104,37 @@ def test_hook_checks_staged_index_not_working_tree(tmp_path):
         f"(working-tree fix must not mask it):\n{proc.stdout}{proc.stderr}"
     )
     assert "NameError" in proc.stderr
+
+
+def test_every_package_module_imports_standalone():
+    """Round-11 shape generalized: a half-finished rename left a deleted
+    name inside a module-level f-string, so ONE module's import error
+    took down all 189 queries.  Import every module in the package
+    individually — any module-level NameError/SyntaxError fails here,
+    not only the ones on __spark_entry__'s transitive path."""
+    import importlib
+
+    pkg_root = REPO / "mini_hadoop_spark"
+    mods = sorted(
+        ".".join(("mini_hadoop_spark", *p.relative_to(pkg_root).with_suffix("").parts))
+        for p in pkg_root.rglob("*.py")
+        if p.name != "__init__.py"
+    )
+    assert len(mods) > 20
+    for mod in mods:
+        importlib.import_module(mod)
+
+
+def test_no_dangling_sampling_constant_names():
+    """The r11 break specifically: QUERY_MODULUS was deleted but still
+    referenced in 4 module-level f-strings.  Pin that retired sampling
+    constants never reappear in package source (grep-level insurance —
+    the import test above is the real gate, this names the incident)."""
+    retired = ("QUERY_MODULUS",)
+    hits = []
+    for p in (REPO / "mini_hadoop_spark").rglob("*.py"):
+        src = p.read_text()
+        for name in retired:
+            if name in src:
+                hits.append(f"{p}:{name}")
+    assert not hits, f"retired sampling constants referenced: {hits}"
