@@ -30,6 +30,7 @@ for skew.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
@@ -371,11 +372,44 @@ FROM ranked WHERE rnk <= 3
 SIMILARITY_ANN_LSH_SQL = _ann_lsh_sql()
 
 
-IVF_CENTROIDS = 32
 IVF_NPROBE = 4
 
+# Corpus-derived coarse-quantizer sizing (VERDICT r10/r11: a fixed K
+# means each probe scans a list that grows linearly with the corpus —
+# at 100x data every query reads 100x more candidate rows).  The
+# classic IVF tradeoff (FAISS guidance: K ~ c*sqrt(n)) balances the two
+# costs that pull K in opposite directions: per-query probe work =
+# nprobe x n/K and per-query quantizer scoring = K, so K = sqrt(2n)
+# makes BOTH grow as sqrt(n) instead of either growing linearly.  The
+# one-time build (n x K assignment fold) is n^1.5 — itemized in bench
+# index_build, amortized over every query against the corpus.  sqrt is
+# the one exponent IEEE 754 guarantees correctly rounded, so Python's
+# math.sqrt and DuckDB's sqrt return the SAME double and ceil lands on
+# the same integer — the Spark plans and the oracles derive identical K
+# at every scale factor (the semdedup_k precedent).  At the K_MAX cap
+# the broadcast quantizer is 65536 x 64 doubles ~ 33 MB (still
+# broadcast-able); past that — n > 2.1e9 vectors — shard the corpus.
+IVF_K_MIN = 8
+IVF_K_MAX = 65536
 
-def _ivf_ctes(k_limit: int | str = IVF_CENTROIDS) -> str:
+
+def ivf_k(n: int) -> int:
+    """Corpus-derived IVF centroid count: clamp(ceil(sqrt(2n)), 8, 64Ki).
+    n=500 (sf0.01 embeddings) -> 32 — identical to the historical fixed
+    K at the driver's correctness SF; n=2000 (sf0.1) -> 64."""
+    return min(max(math.ceil(math.sqrt(2 * n)), IVF_K_MIN), IVF_K_MAX)
+
+
+#: DuckDB twin of ``ivf_k`` over the full embeddings table — a scalar
+#: subquery usable directly as a LIMIT bound (no CTE, so it composes
+#: with callers that define their own kparam CTE, e.g. SemDeDup's).
+IVF_KPARAM_SQL = (
+    f"(SELECT least(greatest(CAST(ceil(sqrt(2 * count(*))) AS BIGINT), "
+    f"{IVF_K_MIN}), {IVF_K_MAX}) FROM embeddings)"
+)
+
+
+def _ivf_ctes(k_limit: int | str | None = None) -> str:
     """Shared DuckDB CTE chain reproducing the IVF build bit-for-bit:
     ``v`` (vectors + hoisted norm) → ``seeds`` (first K by vec_id) →
     first Lloyd assignment → fixed-point per-(cid,pos) mean → ``cent``
@@ -385,11 +419,15 @@ def _ivf_ctes(k_limit: int | str = IVF_CENTROIDS) -> str:
     fixed-point sum, so downstream rankings agree exactly.  Used by both
     the ANN oracle and the kmeans-topics oracle.
 
-    ``k_limit`` parameterizes K: an int literal (the default ANN build)
-    or a SQL scalar expression such as ``(SELECT k FROM kparam)`` for
-    corpus-derived K (the SemDeDup oracle derives K from count(*) so
-    both engines agree at every SF — DuckDB accepts a scalar subquery
-    in LIMIT)."""
+    ``k_limit`` parameterizes K: an int literal, a SQL scalar
+    expression such as ``(SELECT k FROM kparam)`` (the SemDeDup oracle
+    derives its own K from count(*) — DuckDB accepts a scalar subquery
+    in LIMIT), or None (default) for the corpus-derived ``ivf_k``
+    sizing via IVF_KPARAM_SQL — the twin of the Spark side's
+    ``ivf_quantizer``/``ivf_lists`` defaults, so every engine derives
+    the same K at every scale factor."""
+    if k_limit is None:
+        k_limit = IVF_KPARAM_SQL
     cos = "list_dot_product({v}.e, {c}.ce) / {v}.nv / sqrt(list_dot_product({c}.ce, {c}.ce))"
     return f"""v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -527,7 +565,7 @@ def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) ->
     ).select("vec_id", "e", "nv", F.col("_pick.cid").alias(out_col))
 
 
-def ivf_index(v: DataFrame, k: int = IVF_CENTROIDS, refine: bool = True) -> DataFrame:
+def ivf_index(v: DataFrame, k: int, refine: bool = True) -> DataFrame:
     """Build an IVF coarse-quantizer index: (cid, ce: array<double>).
 
     Seeds are the first ``k`` vectors by vec_id (deterministic — no RNG
@@ -588,10 +626,14 @@ def fixed_point_means(assigned: DataFrame) -> DataFrame:
 _quantizers: dict[tuple, DataFrame] = {}
 
 
-def ivf_quantizer(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> DataFrame:
+def ivf_quantizer(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
     """The memoized, materialized (localCheckpoint) IVF coarse quantizer
     for a corpus — built once per (session, sf_dir, k) and reused by
-    every subsequent assignment pass."""
+    every subsequent assignment pass.  ``k=None`` (every registered
+    query) uses the corpus-derived ``ivf_k`` sizing; explicit k is for
+    callers with their own scaling rule (SemDeDup) and tests."""
+    if k is None:
+        k = ivf_k(corpus_vector_count(spark, sf_dir))
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), k)
     if key not in _quantizers:
         v = _vectors(spark, sf_dir).select("vec_id", "e", "nv")
@@ -599,11 +641,14 @@ def ivf_quantizer(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> D
     return _quantizers[key]
 
 
-def ivf_lists(spark: SparkSession, sf_dir: str, k: int = IVF_CENTROIDS) -> DataFrame:
+def ivf_lists(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
     """The memoized inverted lists (vec_id, e, nv, cid) — like the
     quantizer, a build-once index artifact: the full-corpus assignment
-    pass (score x K centroids + argmax window) runs once per
-    (session, sf_dir), not once per query call."""
+    pass (score x K centroids + argmax fold) runs once per
+    (session, sf_dir), not once per query call.  ``k=None`` = the
+    corpus-derived ``ivf_k`` sizing (matches the quantizer default)."""
+    if k is None:
+        k = ivf_k(corpus_vector_count(spark, sf_dir))
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), k, "lists")
     if key not in _quantizers:
         v = _vectors(spark, sf_dir).select("vec_id", "e", "nv")

@@ -599,17 +599,17 @@ def test_triangle_enumeration_on_planted_graphs(spark):
 
 def test_cluster_kmeans_topics_contract(spark):
     """Clustering report: every vector is assigned exactly once (sizes
-    sum to the corpus), ≤ IVF_CENTROIDS clusters, fractions/cohesions in
+    sum to the corpus), ≤ ivf_k(n) clusters, fractions/cohesions in
     range, majority label is real, and repeated runs are row-identical
     (the determinism contract in the module docstring)."""
     from mini_hadoop_spark.operators.clustering import cluster_kmeans_topics
-    from mini_hadoop_spark.operators.similarity import IVF_CENTROIDS
+    from mini_hadoop_spark.operators.similarity import ivf_k
     from mini_hadoop_spark.sources.catalog import load_table
     from tests.conftest import SF_DIR
 
     rows = cluster_kmeans_topics(spark, SF_DIR).collect()
     n_corpus = load_table(spark, SF_DIR, "embeddings").count()
-    assert 0 < len(rows) <= IVF_CENTROIDS
+    assert 0 < len(rows) <= ivf_k(n_corpus)
     assert sum(r.n_vecs for r in rows) == n_corpus
     labels = {
         r.label for r in load_table(spark, SF_DIR, "embeddings").select("label").distinct().collect()
