@@ -144,6 +144,12 @@ def main() -> int:
     # the 4-arm nprobe tuning curve (r10): memoized audit artifact
     _build("ann_nprobe_curve", lambda: _sim.similarity_ann_nprobe_curve(spark, sf_dir))
 
+    # the converged PageRank rank vector (r12): the loop-until-converged
+    # iteration (~8 rounds of join+agg) runs once per (session, corpus)
+    from mini_hadoop_spark.workloads import parity as _parity
+
+    _build("pagerank_conv", lambda: _parity.pagerank_converged_query(spark, sf_dir))
+
     # the shared outer-join drain (r9): ONE end-to-end streaming run
     # serves both registered join drains; its real cost is itemized here
     from mini_hadoop_spark.streaming import windowed as _sw

@@ -28,6 +28,8 @@ dir at the cost of an extra write.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -188,3 +190,85 @@ def converged(old: DataFrame, new: DataFrame, tolerance: float = 1e-4) -> bool:
         .first()
     )
     return (delta["max_delta"] or 0.0) < tolerance
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol9: int = 50_000_000,
+    max_iters: int = 12,
+) -> tuple[DataFrame, int]:
+    """Loop-until-converged PageRank with INTEGER fixed-point ranks —
+    the reference's iteration driver + convergence check
+    (mini_hadoop.ex:53-73 threads ranks between jobs; README's
+    ``converged`` helper stops on small deltas) as an engine-
+    deterministic registered query.
+
+    Ranks are BIGINTs in units of 1e-9 (``rank9``): each per-edge
+    contribution is ``floor(d * rank9 / deg + 0.5)`` — one double
+    multiply + divide on identical operands (correctly rounded in any
+    IEEE engine) quantized straight back to integer — and the per-page
+    rank is an INTEGER sum, order-independent across partitionings AND
+    engines.  So every iteration's rank vector is bit-identical in
+    Spark and DuckDB, the convergence test compares the SAME integers,
+    and the stop iteration is deterministic — what lets the oracle
+    (parity.py::_pagerank_conv_sql, the loop unrolled) carry a full
+    value hash.
+
+    Convergence: mean absolute change per page < tol9 units, tested as
+    the pure-integer ``sum(|Δrank9|) < tol9 * n_pages`` (no division).
+    An ABSOLUTE max-delta test at 1e-4 would take ~log(1e-4)/log(d)
+    ≈ 57 iterations — the delta decays geometrically by the damping
+    factor, so tolerance placement, not graph shape, sets the count;
+    0.05 mean units converges this family of graphs in ~8.
+
+    Scale posture: same as ``pagerank`` — per iteration one keyed join
+    + one hash aggregate; the (edge ⋈ out-degree) fact is materialized
+    once before the loop; each frontier localCheckpoints (truncated
+    lineage) and the convergence test is a single scalar aggregate per
+    iteration.  Returns ``((page, rank9), stop_iteration)``.
+    """
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ej = edges.join(out_deg, "src").localCheckpoint(eager=True)
+    n_pages = (
+        edges.select(F.col("src").alias("p"))
+        .union(edges.select(F.col("dst").alias("p")))
+        .distinct()
+        .count()
+    )
+    # literal op order matches the oracle: 0.15 / n * 1e9 + 0.5
+    t9 = int(math.floor((1.0 - damping) / n_pages * 1e9 + 0.5))
+    teleport = out_deg.select(F.col("src").alias("page"), F.lit(t9).cast("long").alias("c9"))
+
+    def step(prev: DataFrame | None) -> DataFrame:
+        if prev is None:
+            src_rank = F.lit(1_000_000_000)
+            joined = ej
+        else:
+            src_rank = F.coalesce(F.col("rank9"), F.lit(1_000_000_000))
+            joined = ej.join(
+                prev.select(F.col("page").alias("src"), "rank9"), "src", "left"
+            )
+        contribs = joined.select(
+            F.col("dst").alias("page"),
+            F.floor(F.lit(damping) * src_rank / F.col("deg") + F.lit(0.5)).alias("c9"),
+        )
+        return (
+            contribs.unionAll(teleport)
+            .groupBy("page")
+            .agg(F.sum("c9").alias("rank9"))
+            .localCheckpoint(eager=True)
+        )
+
+    prev = step(None)
+    for k in range(2, max_iters + 1):
+        cur = step(prev)
+        d = (
+            cur.join(prev.select("page", F.col("rank9").alias("p9")), "page")
+            .agg(F.sum(F.abs(F.col("rank9") - F.col("p9"))).alias("s"), F.count("*").alias("c"))
+            .first()
+        )
+        prev = cur
+        if d["s"] < tol9 * d["c"]:
+            return cur, k
+    return prev, max_iters

@@ -417,6 +417,38 @@ def test_pagerank_convergence_helper(spark):
     assert not converged(r1, r2, tolerance=1e-12)
 
 
+def test_pagerank_converged_iteration_count_pinned(spark):
+    """The fixed-point convergence loop must stop at an ENGINE-
+    DETERMINISTIC iteration: k=8 on the lineitem graph at the test SFs
+    (measured in r12 — delta decays by ~the damping factor per round,
+    so the mean-|delta| < 0.05 rule lands at 8 across sf0.001/0.01/0.1).
+    Also pins the fixed-point contract: every rank is a BIGINT in 1e-9
+    units, and the query's iters column equals the loop's stop round."""
+    from mini_hadoop_spark.workloads.parity import (
+        PAGERANK_CONV_MAX_ITERS,
+        pagerank_converged_query,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = pagerank_converged_query(spark, SF_DIR).collect()
+    iters = {r.iters for r in rows}
+    assert iters == {8}, f"stop iteration moved: {iters}"
+    assert 8 < PAGERANK_CONV_MAX_ITERS  # oracle unroll has headroom
+    assert all(isinstance(r.rank_fp9, int) for r in rows[:5])
+    # convergence is real: one more fixed-point round moves the mean
+    # rank by < 0.05 units (re-derive round 9 and compare)
+    from mini_hadoop_spark.workloads.pagerank import pagerank_fixed_point
+    from mini_hadoop_spark.workloads.parity import _lineitem_edges
+
+    r9, k9 = pagerank_fixed_point(
+        _lineitem_edges(spark, SF_DIR), tol9=1, max_iters=9
+    )
+    assert k9 == 9  # tol=1e-9 units never converges by round 9
+    by_page = {r.page: r.rank_fp9 for r in rows}
+    drift = [abs(r.rank9 - by_page[r.page]) for r in r9.collect()]
+    assert sum(drift) / len(drift) < 50_000_000
+
+
 def test_run_job_empty_input(spark, tmp_path):
     """Empty input must yield an empty result, not a schema-inference
     crash (found by an empty-file probe)."""
