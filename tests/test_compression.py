@@ -191,7 +191,10 @@ def test_bpe_curve_total_matches_encoder(spark, tmp_path):
 
     d = _write_docs(tmp_path, ["aaaa aaa abab abab baba zz zz zz", "abab aaab zz"])
     curve = {r.rnd: r for r in compression.bpe_compression_curve(spark, d).collect()}
-    assert list(curve) == list(range(1, compression.BPE_TRAIN_ROUNDS + 1))
+    # tiny fixture exhausts its pair space before BPE_TRAIN_ROUNDS: the
+    # curve is a contiguous 1..k prefix (early stop, both engines)
+    assert list(sorted(curve)) == list(range(1, len(curve) + 1))
+    assert 1 <= len(curve) <= compression.BPE_TRAIN_ROUNDS
     # monotone non-increasing symbol totals; each round removes at least
     # one symbol occurrence while its pair still exists
     totals = [curve[r].corpus_syms_after for r in sorted(curve)]
@@ -202,3 +205,27 @@ def test_bpe_curve_total_matches_encoder(spark, tmp_path):
         .first()["t"]
     )
     assert enc_total == totals[-1]
+
+
+def test_bpe_early_stop_matches_oracle_on_exhausting_corpus(spark, tmp_path):
+    """When the pair space exhausts before BPE_TRAIN_ROUNDS, BOTH
+    engines must emit the identical TRUNCATED merge table: the Spark
+    loop breaks, the oracle's empty b{r} rounds contribute no rows and
+    the LEFT JOIN keeps v{r} = v{r-1}.  Pins the total-semantics
+    contract on a corpus that exhausts (round 9 here)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    d = _write_docs(tmp_path, ["aaaa aaa abab abab baba zz zz zz"])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    for name in ("bpe_train_merges", "bpe_compression_curve", "bpe_encode_docs"):
+        s = entry_mod.queries()[name](spark, d).toPandas()
+        o = con.sql(entry_mod.oracle_sql()[name]).fetchdf()
+        s, o = s[sorted(s.columns)], o[sorted(o.columns)]
+        assert list(s.columns) == list(o.columns), name
+        assert len(s) == len(o), (name, len(s), len(o))
+        sv = sorted(map(tuple, s.astype(str).itertuples(index=False)))
+        ov = sorted(map(tuple, o.astype(str).itertuples(index=False)))
+        assert sv == ov, name

@@ -249,12 +249,11 @@ def _internal_plans():
     from mini_hadoop_spark.operators import compression, dedup, similarity
 
     return {
-        # r10: trainer + curve share ONE combined pass (_bpe_train_plan
-        # emits merge table + per-round symbol totals together)
-        "bpe_train_lazy_plan": (
-            lambda spark, sf: compression._bpe_train_plan(spark, sf, _checkpoint=False),
-            True,
-        ),
+        # r12: the merge loop moved driver-side over the bounded vocab
+        # dict (SentencePiece/HF architecture); the corpus-scale stage —
+        # the only distributed plan training still has — is the vocab
+        # count, guarded here
+        "bpe_vocab_plan": (compression._bpe_vocab_plan, False),
         "near_dup_pairs_jaccard_plan": (dedup._near_jaccard_plan, False),
         "near_dup_pairs_minhash_plan": (dedup._minhash_lsh_plan, False),
         "near_dup_pairs_minhash_md5_plan": (dedup._minhash_lsh_md5_plan, False),
