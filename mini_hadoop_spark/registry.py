@@ -42,82 +42,81 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r10 ROTATION (VERDICT r9 #1: "rotate the final 7 never-driver-seen
-# queries and reach zero evidence debt"): the head of the window is
-# exactly the rotation_report never-seen set (the six r9-late additions
-# plus the dup_span_coverage carry-over) PLUS the five r10-NEW queries
-# (ivf_recenter_apply, streaming_ivf_recenter_drain,
-# quality_bigram_lm_score, mix_temperature_weights — all in-window on
-# day one like bpe_train_merges was in r9, so the round creates no fresh
-# debt), so CORRECTNESS_r10 retires the debt entirely.  The remaining
-# slots refresh the STALEST driver evidence: every query whose last
-# driver row is r02 (25) plus most of the r04 cohort — these have been
-# green in the local oracle battery every round since, but their
-# driver-hard evidence is 6-8 rounds old.
-# `python tools/rotation_report.py` regenerates the debt list
-# mechanically.  Rotated-out queries keep running in the local oracle
-# battery (tests/test_oracle_battery.py) every round.
+# r12 ROTATION (VERDICT r11 #3 = r10 #2, untouched in the dead r11
+# round): the window is now exactly the MECHANICALLY stalest evidence —
+# the one never-driver-seen query (pagerank_converged, r12-new, in
+# window on day one so the round creates no fresh debt) followed by the
+# 49 oracled queries with the oldest last-seen driver round: the full
+# r04 cohort (7), the full oracled r05 cohort (13 — the exact-dedup and
+# events families the r10 verdict named), the full r07 cohort (23) and
+# the 6 alphabetically-first r08s.  After the r12 artifact no oracled
+# query's evidence is older than r08 (age 4).  Computed by the exact
+# recipe in tools/rotation_report.py; rotated-out queries keep running
+# in the local oracle battery (tests/test_oracle_battery.py) every
+# round.
 
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
 # enforces exact membership here — raw source mentions no longer count).
-# Empty this round: all seven r9 never-seens rotate in above.
+# Empty this round: pagerank_converged rotates in above.
 ROTATION_WAITING: tuple[str, ...] = ()
 DRIVER_WINDOW = [
-    # --- the 7 never-driver-seen queries (rotation_report shortlist)
-    # plus the r10-new queries (in-window on day one — no fresh debt) ---
-    "dedup_semantic_semdedup",
-    "ivf_recenter_audit",
-    "ivf_recenter_apply",
-    "streaming_ivf_maintenance_drain",
-    "streaming_ivf_recenter_drain",
-    "quality_bigram_lm_score",
-    "mix_temperature_weights",
-    "similarity_ann_nprobe_curve",
-    "dup_span_coverage",
-    "bpe_compression_curve",
-    "bpe_encode_docs",
-    "bpe_fertility_by_lang",
-    # --- stalest evidence refresh: full r02 cohort (last driver row 8 rounds old) ---
-    "agg_filtered_counts",
-    "agg_global_no_group",
-    "array_agg_regions",
-    "case_when_bucketing",
-    "global_topk",
-    "having_filter",
-    "join_full_outer",
-    "json_extract_props",
-    "page_orders_offset",
-    "pivot_linestatus",
-    "q9_profit_by_nation_year",
-    "quantile_disc_price",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_subquery_uncorrelated",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "subquery_in",
-    "unpivot_lineitem_measures",
-    "window_lag_delta",
-    "window_ntile_quartiles",
-    "window_running_sum",
+    # --- never driver-seen (r12-new, in-window on day one) ---
+    "pagerank_converged",
     # --- r04 cohort (agg_approx_sketches excluded: rows-only by design) ---
-    "agg_grouping_sets",
-    "agg_rollup",
-    "doc_fingerprint",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_left_null_handling",
-    "lang_id_ngram",
-    "pipeline_clean_corpus",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "text_lang_stats",
-    "text_quality_score",
+    "agg_cube",
+    "agg_distinct",
+    "filter_project",
+    "join_inner_agg",
+    "join_semi",
+    "ngram_bigram_freq",
+    "window_topk_per_group",
+    # --- full oracled r05 cohort (xxhash64 rows-only forms excluded;
+    # their oracled md5 twins are in the r07 block below) ---
+    "dedup_exact_normalized",
+    "dedup_funnel_report",
+    "dedup_histogram",
+    "dedup_incremental",
+    "embedding_dim_stats",
+    "events_dau_wau",
+    "events_first_touch_attribution",
+    "events_funnel",
+    "events_gap_quantiles",
+    "events_hourly_window",
+    "events_session_window",
+    "events_type_transitions",
+    "events_type_value_stats",
+    # --- full r07 cohort ---
+    "dedup_clusters_lsh_md5",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "embedding_label_centroids",
+    "embedding_norm_stats",
+    "graph_triangle_count",
+    "join_asof_next_order",
+    "join_asof_recent_order",
+    "join_range_event_followups",
+    "join_salted_skew",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "q12_shipping_delay",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "sample_stratified_per_lang",
+    "sample_weighted_mix",
+    "similarity_matryoshka_agreement",
+    "split_leakage_audit",
+    "tfidf_top_terms",
+    "wordcount_strict",
+    # --- r08 cohort head (alphabetical) ---
+    "centroid_classify_eval",
+    "contamination_ngram",
+    "correlated_scalar_subquery",
+    "customer_segment_value",
+    "dedup_clusters",
+    "dedup_cross_source_matrix",
 ]
 
 
