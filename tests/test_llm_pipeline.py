@@ -956,6 +956,36 @@ def test_semdedup_k_clamps_and_scales():
     assert ks == sorted(ks)
 
 
+def test_ivf_k_clamps_scales_and_matches_sql():
+    """IVF K derivation (r12): ceil(sqrt(2n)) inside the clamp, floor
+    for tiny corpora, ceiling for planetary ones, monotone in n — and
+    the SQL twin (IVF_KPARAM_SQL) derives the IDENTICAL value from
+    count(*), the cross-engine lockstep every IVF oracle depends on."""
+    import math
+
+    import duckdb
+
+    from mini_hadoop_spark.operators.similarity import (
+        IVF_K_MAX,
+        IVF_K_MIN,
+        IVF_KPARAM_SQL,
+        ivf_k,
+    )
+
+    assert ivf_k(0) == IVF_K_MIN
+    assert ivf_k(1) == IVF_K_MIN
+    assert ivf_k(500) == 32  # the driver's sf0.01 corpus — historical K
+    assert ivf_k(2000) == 64  # sf0.1
+    assert ivf_k(10**12) == IVF_K_MAX
+    ks = [ivf_k(n) for n in (0, 10, 100, 1000, 10**6, 10**9)]
+    assert ks == sorted(ks)
+    con = duckdb.connect()
+    for n in (0, 1, 7, 31, 32, 33, 499, 500, 501, 2000, 123457, 10**9):
+        con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+        sql_k = con.sql(f"SELECT {IVF_KPARAM_SQL} AS k").fetchone()[0]
+        assert sql_k == ivf_k(n), (n, sql_k, ivf_k(n))
+
+
 def test_ann_nprobe_curve_monotone(spark):
     """Probing more inverted lists can only widen the candidate set, so
     recall@3 must be non-decreasing in nprobe, and the largest arm's
