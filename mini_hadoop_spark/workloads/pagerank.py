@@ -253,22 +253,25 @@ def pagerank_fixed_point(
             F.col("dst").alias("page"),
             F.floor(F.lit(damping) * src_rank / F.col("deg") + F.lit(0.5)).alias("c9"),
         )
-        return (
-            contribs.unionAll(teleport)
-            .groupBy("page")
-            .agg(F.sum("c9").alias("rank9"))
-            .localCheckpoint(eager=True)
-        )
+        agg = contribs.unionAll(teleport).groupBy("page").agg(F.sum("c9").alias("rank9"))
+        if prev is not None:
+            # attach the previous rank BEFORE the checkpoint: both sides
+            # are hash-partitioned on page (groupBy output / checkpointed
+            # groupBy output), so the join adds no shuffle, and the
+            # convergence test below becomes a scan of the checkpointed
+            # frame instead of a second shuffle join per iteration (the
+            # page set is identical every round — pages = dst ∪ src of
+            # the same edge set — so this left join never adds nulls)
+            agg = agg.join(prev.select("page", F.col("rank9").alias("p9")), "page", "left")
+        return agg.localCheckpoint(eager=True)
 
     prev = step(None)
     for k in range(2, max_iters + 1):
         cur = step(prev)
-        d = (
-            cur.join(prev.select("page", F.col("rank9").alias("p9")), "page")
-            .agg(F.sum(F.abs(F.col("rank9") - F.col("p9"))).alias("s"), F.count("*").alias("c"))
-            .first()
-        )
+        d = cur.agg(
+            F.sum(F.abs(F.col("rank9") - F.col("p9"))).alias("s"), F.count("*").alias("c")
+        ).first()
         prev = cur
         if d["s"] < tol9 * d["c"]:
-            return cur, k
-    return prev, max_iters
+            return cur.select("page", "rank9"), k
+    return prev.select("page", "rank9"), max_iters
