@@ -228,6 +228,21 @@ def main() -> int:
                 edges_big, iterations=2, damping=0.85, total_pages=227323
             ).write.format("noop").mode("overwrite").save(),
         )
+        # the reference's headline flow iterates PageRank until the
+        # README convergence helper fires (mini_hadoop.ex:53-73 +
+        # README.md:843-854) — the loop-until-converged counterpart on
+        # the same 227k-node/1M-edge graph (fixed-point ranks, mean-|Δ|
+        # stop rule; r12)
+        from mini_hadoop_spark.workloads.pagerank import pagerank_fixed_point
+
+        conv_iters: list[int] = []
+
+        def run_converged(_p):
+            ranks, iters = pagerank_fixed_point(edges_big, max_iters=12)
+            ranks.write.format("noop").mode("overwrite").save()
+            conv_iters.append(iters)
+
+        timed("pagerank_converged_ref_graph_227k", run_converged)
 
     out = {
         "metric": "parity_wall_sec",
@@ -236,6 +251,8 @@ def main() -> int:
         "timing": "min_of_2_passes",
         "workloads": timings,
     }
+    if conv_iters:
+        out["pagerank_converged_iters"] = conv_iters[0]
     if failures:
         out["failures"] = failures
     print(json.dumps(out))
