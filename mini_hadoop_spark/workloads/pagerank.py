@@ -236,6 +236,13 @@ def pagerank_fixed_point(
         .distinct()
         .count()
     )
+    if n_pages == 0:
+        # empty graph: no pages, already "converged" — return the empty
+        # (page, rank9) frame instead of dividing by zero in the
+        # teleport term (the oracle's WHERE-filtered unions are empty
+        # too, so both engines emit zero rows)
+        empty = edges.sparkSession.createDataFrame([], "page bigint, rank9 bigint")
+        return empty, 0
     # literal op order matches the oracle: 0.15 / n * 1e9 + 0.5
     t9 = int(math.floor((1.0 - damping) / n_pages * 1e9 + 0.5))
     teleport = out_deg.select(F.col("src").alias("page"), F.lit(t9).cast("long").alias("c9"))

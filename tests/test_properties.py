@@ -303,3 +303,60 @@ def test_range_join_binned_matches_naive(spark, left, right, gap):
     )
     got = {(r.lid, r.rid) for r in out.collect()}
     assert got == expected
+
+
+def _ref_pagerank_fixed_point(edges, damping=0.85, tol9=50_000_000, max_iters=12):
+    """Pure-Python model of pagerank_fixed_point: BIGINT 1e-9 ranks,
+    per-edge floor(d * r9 / deg + 0.5) contributions, integer sums,
+    teleport to sources only, mean-|Δ| stop rule."""
+    import math as m
+    from collections import defaultdict
+
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    pages = {s for s, _ in edges} | {d for _, d in edges}
+    if not pages:
+        return {}, 0
+    t9 = m.floor((1.0 - damping) / len(pages) * 1e9 + 0.5)
+
+    def step(prev):
+        nxt = defaultdict(int)
+        for s, d in edges:
+            r9 = prev.get(s, 1_000_000_000) if prev is not None else 1_000_000_000
+            nxt[d] += m.floor(damping * r9 / deg[s] + 0.5)
+        for s in deg:
+            nxt[s] += t9
+        return dict(nxt)
+
+    prev = step(None)
+    for k in range(2, max_iters + 1):
+        cur = step(prev)
+        s = sum(abs(cur[p] - prev[p]) for p in cur)
+        prev = cur
+        if s < tol9 * len(cur):
+            return cur, k
+    return prev, max_iters
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=24
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_pagerank_fixed_point_matches_python_model(spark, edges):
+    """The distributed convergence loop lands on EXACTLY the model's
+    integer rank vector and stop iteration on arbitrary small graphs —
+    self-loops, dangling sinks, multi-edges, empty input included.
+    Integer fixed-point state means equality is exact, not approximate."""
+    from mini_hadoop_spark.workloads.pagerank import pagerank_fixed_point
+
+    df = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    got_df, got_k = pagerank_fixed_point(df, tol9=200_000_000, max_iters=6)
+    got = {r.page: r.rank9 for r in got_df.collect()}
+    want, want_k = _ref_pagerank_fixed_point(edges, tol9=200_000_000, max_iters=6)
+    assert got == want
+    assert got_k == want_k
