@@ -13,10 +13,12 @@ pipeline needs:
   "feature vector" as pure JVM expressions (whole-stage codegen, full
   DuckDB oracle), while ``extract_features`` is the Arrow-batched
   ``mapInPandas`` twin with a REAL batch contract (schema, partition-
-  parallel, bounded memory) — the seam a real decoder plugs into.  The
-  container has no image/audio libs, so ``decode_payload`` raises
-  ``NotImplementedError`` unless ``fake=True``; tests assert the two
-  fake paths produce identical features.
+  parallel, bounded memory) — the seam real decoders plug into.  Two
+  real decoders exist: PIL images (when PIL is importable) and 16-bit
+  PCM WAV audio via the stdlib ``wave`` module (r12 — always
+  available, fixture-tested through the Arrow seam); video and other
+  codecs raise ``NotImplementedError`` loudly unless ``fake=True``;
+  tests assert the two fake paths produce identical features.
 
 At 100 TB: payloads live in parquet binary columns; the meta pass is a
 projection (no shuffle); feature extraction is mapInPandas — linear,
@@ -119,6 +121,36 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
     return [h / max(n, 1) for h in hist]
 
 
+def _real_audio_features(payload: bytes, dim: int) -> list[float]:
+    """Real audio decode via the stdlib ``wave`` module (16-bit PCM
+    WAV — no external dependency): parse the RIFF container, unpack the
+    little-endian samples, and bin each sample's |amplitude| (0..32768)
+    into a ``dim``-bin histogram normalized by sample count — the same
+    output shape and normalization convention as the fake decoder and
+    the image path, so downstream schema, partitioning and batch
+    handling are identical.  Raises ``wave.Error``/``EOFError`` on
+    non-WAV payloads and NotImplementedError on non-16-bit PCM (caller
+    surfaces both as the loud NotImplementedError)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sampwidth != 2:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is decoded here, got sampwidth={sampwidth}"
+        )
+    n = len(raw) // 2
+    samples = struct.unpack(f"<{n}h", raw[: n * 2])
+    hist = [0] * dim
+    for s in samples:
+        mag = -s if s < 0 else s  # 0..32768 (abs(-32768) = 32768)
+        hist[min(mag * dim // 32768, dim - 1)] += 1
+    return [h / max(n, 1) for h in hist]
+
+
 def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one payload into a FEATURE_DIM feature vector.
 
@@ -126,9 +158,11 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
     normalized) that keeps the full pipeline executable and
     test-checkable in this container.  ``fake=False`` → a REAL decoder:
     images go through PIL when it is importable
-    (:func:`_real_image_features`); audio/video decoders
-    (librosa/ffmpeg) and a missing PIL fail loudly — never silently
-    degrade to the stub.
+    (:func:`_real_image_features`); audio goes through the stdlib
+    ``wave`` module for 16-bit PCM WAV (:func:`_real_audio_features` —
+    r12, always available); video decoders (ffmpeg), non-WAV audio
+    codecs and a missing PIL fail loudly — never silently degrade to
+    the stub.
     """
     if not fake:
         if modality == "image":
@@ -138,6 +172,17 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
                 raise NotImplementedError(
                     "real image decoding requires PIL, which is not importable "
                     "in this environment; pass fake=True for the deterministic stub"
+                ) from None
+        if modality == "audio":
+            import wave
+
+            try:
+                return _real_audio_features(payload, FEATURE_DIM)
+            except (wave.Error, EOFError) as exc:
+                raise NotImplementedError(
+                    f"audio payload is not PCM WAV ({exc}); other codecs need "
+                    "decoders not present in this environment — pass fake=True "
+                    "for the deterministic stub"
                 ) from None
         raise NotImplementedError(
             f"real {modality} decoding requires audio/video libraries not present "
