@@ -13,12 +13,15 @@ pipeline needs:
   "feature vector" as pure JVM expressions (whole-stage codegen, full
   DuckDB oracle), while ``extract_features`` is the Arrow-batched
   ``mapInPandas`` twin with a REAL batch contract (schema, partition-
-  parallel, bounded memory) — the seam real decoders plug into.  Two
-  real decoders exist: PIL images (when PIL is importable) and 16-bit
-  PCM WAV audio via the stdlib ``wave`` module (r12 — always
-  available, fixture-tested through the Arrow seam); video and other
-  codecs raise ``NotImplementedError`` loudly unless ``fake=True``;
-  tests assert the two fake paths produce identical features.
+  parallel, bounded memory) — the seam real decoders plug into.  Three
+  real decode stages exist: PIL images (when PIL is importable),
+  16-bit PCM WAV audio via the stdlib ``wave`` module, and AVI video
+  container demux via stdlib struct (``demux_avi_frames`` +
+  ``sample_avi_frames``) with per-frame MJPEG decode gating on PIL —
+  all r12, always container-testable, fixture-tested through the Arrow
+  seam; other codecs/containers raise ``NotImplementedError`` loudly
+  unless ``fake=True``; tests assert the two fake paths produce
+  identical features.
 
 At 100 TB: payloads live in parquet binary columns; the meta pass is a
 projection (no shuffle); feature extraction is mapInPandas — linear,
@@ -151,6 +154,57 @@ def _real_audio_features(payload: bytes, dim: int) -> list[float]:
     return [h / max(n, 1) for h in hist]
 
 
+def demux_avi_frames(payload: bytes) -> list[bytes]:
+    """REAL video-container demux (stdlib struct — no external
+    dependency): walk an AVI's RIFF chunk tree and return the raw video
+    frame payloads (fourcc ``..dc``/``..db`` chunks inside the ``movi``
+    LIST — JPEG images for the common MJPEG codec).  Container-level
+    work only; codec decode of each frame is a separate (PIL/ffmpeg)
+    step.  Lenient: any RIFF/'AVI ' payload demuxes, even-byte chunk
+    padding honored.  Raises ValueError on non-AVI payloads."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("payload is not a RIFF/AVI container")
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start, body_end = pos + 8, min(pos + 8 + size, end)
+            if fourcc == b"LIST":
+                walk(buf, body_start + 4, body_end)  # skip the list type
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(buf[body_start:body_end])
+            pos = body_end + (size & 1)  # chunks pad to even byte counts
+
+    walk(payload, 12, len(payload))
+    return frames
+
+
+def sample_avi_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """The REAL-container twin of :func:`sample_frames`: 1→N mapInPandas
+    that demuxes each AVI payload with :func:`demux_avi_frames` and
+    emits every ``every_n``-th ACTUAL frame chunk (same output schema as
+    the synthetic slicer, same row-expanding Arrow batch contract).
+    Non-AVI payloads raise — a video pipeline must not silently treat a
+    corrupt container as a 0-frame file."""
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = demux_avi_frames(bytes(payload))
+                for idx in range(0, len(frames), every_n):
+                    out.append((doc_id, idx, frames[idx], len(frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_payload", "n_frames"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
 def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:
     """Decode one payload into a FEATURE_DIM feature vector.
 
@@ -184,6 +238,28 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
                     "decoders not present in this environment — pass fake=True "
                     "for the deterministic stub"
                 ) from None
+        if modality == "video":
+            # container demux is REAL (stdlib); per-frame codec decode
+            # (MJPEG frames are JPEG images) still needs PIL
+            try:
+                frames = demux_avi_frames(payload)
+            except ValueError as exc:
+                raise NotImplementedError(
+                    f"video payload is not an AVI container ({exc}); other "
+                    "containers need demuxers not present in this environment "
+                    "— pass fake=True for the deterministic stub"
+                ) from None
+            if not frames:
+                raise NotImplementedError("AVI container demuxed to zero video frames")
+            try:
+                per_frame = [_real_image_features(f, FEATURE_DIM) for f in frames]
+            except ImportError:
+                raise NotImplementedError(
+                    f"demuxed {len(frames)} real frames, but per-frame image "
+                    "decoding requires PIL, which is not importable in this "
+                    "environment; pass fake=True for the deterministic stub"
+                ) from None
+            return [sum(h[i] for h in per_frame) / len(per_frame) for i in range(FEATURE_DIM)]
         raise NotImplementedError(
             f"real {modality} decoding requires audio/video libraries not present "
             "in this environment; pass fake=True for the deterministic stub"

@@ -1095,3 +1095,82 @@ def test_real_audio_features_on_wav_fixture(spark):
     assert len(rows) == 1
     assert rows[0].n_bytes == len(payload)
     assert list(rows[0].features) == want
+
+
+def test_avi_fixture_demuxes_to_exact_frames(spark):
+    """tests/fixtures/clip_3frames.avi is a committed REAL RIFF/AVI
+    container (hand-built: hdrl/avih + movi with three 00dc frame
+    chunks, one odd-sized to exercise even-byte padding).  The stdlib
+    demuxer recovers the exact frame payloads, and the mapInPandas twin
+    (sample_avi_frames) emits them through the Arrow row-expanding
+    batch contract."""
+    from pathlib import Path
+
+    from mini_hadoop_spark.operators.multimodal import demux_avi_frames, sample_avi_frames
+
+    data = Path(__file__).parent.joinpath("fixtures", "clip_3frames.avi").read_bytes()
+    frames = demux_avi_frames(data)
+    assert frames == [b"FRAME-0-PAYLOAD!", b"FRAME-1-ODD", b"FRAME-2-PAYLOAD!"]
+    with pytest.raises(ValueError):
+        demux_avi_frames(b"\x00\x01")
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(data))], "doc_id long, modality string, payload binary"
+    )
+    rows = sorted(sample_avi_frames(df, every_n=2).collect(), key=lambda r: r.frame_idx)
+    assert [(r.doc_id, r.frame_idx, bytes(r.frame_payload), r.n_frames) for r in rows] == [
+        (7, 0, b"FRAME-0-PAYLOAD!", 3),
+        (7, 2, b"FRAME-2-PAYLOAD!", 3),
+    ]
+
+
+def test_video_decode_demuxes_then_gates_on_pil():
+    """decode_payload('video'): the demux stage is REAL and always runs
+    (its frame count appears in the loud error when PIL is absent);
+    non-AVI payloads and empty containers fail loudly too."""
+    from pathlib import Path
+
+    from mini_hadoop_spark.operators.multimodal import decode_payload
+
+    data = Path(__file__).parent.joinpath("fixtures", "clip_3frames.avi").read_bytes()
+    if _pil_available():
+        # frames here are not JPEGs; PIL decode of raw bytes must raise
+        # loudly, never silently stub
+        with pytest.raises(Exception):
+            decode_payload(data, "video")
+    else:
+        with pytest.raises(NotImplementedError, match="demuxed 3 real frames"):
+            decode_payload(data, "video")
+    with pytest.raises(NotImplementedError, match="not an AVI"):
+        decode_payload(b"\x00\x01", "video")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not installed in this container")
+def test_video_decode_real_mjpeg_end_to_end():
+    """With PIL present: an in-memory MJPEG AVI (JPEG frames) decodes
+    end-to-end — demux, per-frame luma histogram, frame mean."""
+    import io
+    import struct
+
+    from PIL import Image
+
+    from mini_hadoop_spark.operators.multimodal import FEATURE_DIM, decode_payload
+
+    def jpeg(gray):
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (gray, gray, gray)).save(buf, format="JPEG")
+        return buf.getvalue()
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(t, body):
+        inner = t + body
+        return b"LIST" + struct.pack("<I", len(inner)) + inner
+
+    movi = lst(b"movi", b"".join(chunk(b"00dc", jpeg(g)) for g in (16, 240)))
+    body = b"AVI " + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    feats = decode_payload(payload, "video")
+    assert len(feats) == FEATURE_DIM
+    assert sum(feats) == pytest.approx(1.0)
