@@ -1231,9 +1231,18 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates-then-reconcile shape (ledger reconciliation, A/B totals).
 
     All revenue sums are exact DECIMALs; the balance is one exact
-    DECIMAL subtraction.  Plan: two independent fact aggregates (each
-    one orderkey/suppkey join tree with broadcast dims) + a
-    |nations|-row full-outer join."""
+    DECIMAL subtraction.  Plan (r12): ONE pass over the fact table —
+    the naive shape (two independent aggregates, each re-scanning
+    lineitem and re-paying the l⋈o shuffle join) does every expensive
+    step twice for results that differ only in which nation key they
+    group on.  Instead: one orderkey shuffle join + broadcast dims →
+    partial grid aggregate on (cust_nation, supp_nation) (≤ |nations|²
+    rows — the whole fact volume collapses here), explode each grid
+    cell into its two side attributions, and take conditional sums in
+    a single |nations|-bounded aggregate.  A nation absent on one side
+    gets a NULL conditional sum → coalesce(0), exactly the old
+    full-outer semantics.  DECIMAL addition is associative, so the
+    regrouped sums are bit-identical to the two-aggregate oracle."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1243,20 +1252,37 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")
            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")))
-    cust_side = (
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    grid = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).alias("cust_revenue"))
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.sum(rev).alias("r"))
     )
-    supp_side = (
-        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).alias("supp_revenue"))
+    sides = grid.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("c").alias("side"),
+                    F.col("cust_nation").alias("nation"),
+                    F.col("r"),
+                ),
+                F.struct(
+                    F.lit("s").alias("side"),
+                    F.col("supp_nation").alias("nation"),
+                    F.col("r"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    j = sides.groupBy("nation").agg(
+        F.sum(F.when(F.col("side") == "c", F.col("r"))).alias("cust_revenue"),
+        F.sum(F.when(F.col("side") == "s", F.col("r"))).alias("supp_revenue"),
     )
-    j = cust_side.join(supp_side, "nation", "full")
     zero = F.lit(0).cast("decimal(28,6)")
     cr = F.coalesce(F.col("cust_revenue").cast("decimal(28,6)"), zero)
     sr = F.coalesce(F.col("supp_revenue").cast("decimal(28,6)"), zero)
