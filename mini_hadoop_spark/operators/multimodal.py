@@ -15,9 +15,12 @@ pipeline needs:
   ``mapInPandas`` twin with a REAL batch contract (schema, partition-
   parallel, bounded memory) — the seam real decoders plug into.  Three
   real decode stages exist: PIL images (when PIL is importable),
-  16-bit PCM WAV audio via the stdlib ``wave`` module, and AVI video
-  container demux via stdlib struct (``demux_avi_frames`` +
-  ``sample_avi_frames``) with per-frame MJPEG decode gating on PIL —
+  16-bit PCM WAV audio via the stdlib ``wave`` module, and video
+  container demux via stdlib struct for BOTH RIFF/AVI
+  (``demux_avi_frames``) and ISO-BMFF/MP4 sample tables
+  (``demux_mp4_frames``; ``demux_video_frames`` sniffs per payload,
+  ``sample_video_frames`` is the mixed-corpus Arrow twin) with
+  per-frame MJPEG decode gating on PIL —
   all r12, always container-testable, fixture-tested through the Arrow
   seam; other codecs/containers raise ``NotImplementedError`` loudly
   unless ``fake=True``; tests assert the two fake paths produce
@@ -183,6 +186,123 @@ def demux_avi_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
+def demux_mp4_frames(payload: bytes) -> list[bytes]:
+    """REAL MP4 / ISO-BMFF container demux (stdlib struct — no external
+    dependency): parse the box tree, locate the first VIDEO track
+    (``moov``→``trak``→``mdia``→``hdlr`` handler ``vide``), and
+    reconstruct its sample byte ranges from the sample tables —
+    ``stsz`` (sizes), ``stsc`` (sample→chunk runs), ``stco``/``co64``
+    (chunk file offsets) — exactly the walk every MP4 reader performs
+    (ISO/IEC 14496-12 §8.5–8.7).  Returns the raw sample payloads
+    (codec frames — e.g. JPEG images for MJPEG tracks); codec decode is
+    a separate (PIL/ffmpeg) step, same contract as
+    :func:`demux_avi_frames`.  Raises ValueError on payloads that are
+    not ISO-BMFF or carry no video track."""
+    import struct
+
+    def boxes(buf: bytes, pos: int, end: int):
+        """Yield (type, body_start, body_end) for each box in [pos, end)."""
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize follows the type
+                if pos + 16 > end:
+                    raise ValueError("truncated ISO-BMFF largesize box")
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                body = pos + 16
+            elif size == 0:  # box extends to the end of the enclosure
+                size = end - pos
+            if size < (body - pos) or pos + size > end:
+                raise ValueError("invalid ISO-BMFF box size")
+            yield btype, body, pos + size
+            pos += size
+
+    def find(buf: bytes, pos: int, end: int, btype: bytes):
+        for t, b, e in boxes(buf, pos, end):
+            if t == btype:
+                return b, e
+        return None
+
+    if len(payload) < 8:
+        raise ValueError("payload is not an ISO-BMFF/MP4 container")
+    try:
+        top = list(boxes(payload, 0, len(payload)))
+    except (ValueError, struct.error):
+        raise ValueError("payload is not an ISO-BMFF/MP4 container") from None
+    types = [t for t, _, _ in top]
+    if b"ftyp" not in types and b"moov" not in types:
+        raise ValueError("payload is not an ISO-BMFF/MP4 container")
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("ISO-BMFF payload has no moov box")
+
+    for t, tb, te in boxes(payload, *moov):
+        if t != b"trak":
+            continue
+        mdia = find(payload, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(payload, *mdia, b"hdlr")
+        # hdlr body: version/flags(4) pre_defined(4) handler_type(4)
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = find(payload, *mdia, b"minf")
+        stbl = find(payload, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+        stsz = find(payload, *stbl, b"stsz")
+        stsc = find(payload, *stbl, b"stsc")
+        stco = find(payload, *stbl, b"stco")
+        co64 = find(payload, *stbl, b"co64")
+        if stsz is None or stsc is None or (stco is None and co64 is None):
+            raise ValueError("video trak is missing stsz/stsc/stco sample tables")
+
+        # stsz: ver/flags(4) sample_size(4) sample_count(4) [sizes...]
+        fixed_size, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
+        if fixed_size:
+            sizes = [fixed_size] * n_samples
+        else:
+            sizes = list(struct.unpack_from(f">{n_samples}I", payload, stsz[0] + 12))
+        # stco/co64: ver/flags(4) entry_count(4) [offsets...]
+        if stco is not None:
+            (n_chunks,) = struct.unpack_from(">I", payload, stco[0] + 4)
+            offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco[0] + 8))
+        else:
+            (n_chunks,) = struct.unpack_from(">I", payload, co64[0] + 4)
+            offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, co64[0] + 8))
+        # stsc: ver/flags(4) entry_count(4) [(first_chunk, samples_per_chunk,
+        # sample_description_index)...] — runs: entry i applies to chunks
+        # first_chunk(i) .. first_chunk(i+1)-1
+        (n_runs,) = struct.unpack_from(">I", payload, stsc[0] + 4)
+        runs = [
+            struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
+            for i in range(n_runs)
+        ]
+
+        frames: list[bytes] = []
+        sample = 0
+        for ci in range(n_chunks):  # chunk index, 0-based (spec is 1-based)
+            per_chunk = 0
+            for first, spc in runs:
+                if first <= ci + 1:
+                    per_chunk = spc
+                else:
+                    break
+            off = offsets[ci]
+            for _ in range(per_chunk):
+                if sample >= n_samples:
+                    break
+                size = sizes[sample]
+                if off + size > len(payload):
+                    raise ValueError("sample table points past the payload end")
+                frames.append(payload[off : off + size])
+                off += size
+                sample += 1
+        return frames
+    raise ValueError("ISO-BMFF payload has no video (vide) track")
+
+
 def sample_avi_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
     """The REAL-container twin of :func:`sample_frames`: 1→N mapInPandas
     that demuxes each AVI payload with :func:`demux_avi_frames` and
@@ -198,6 +318,44 @@ def sample_avi_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
             out: list[tuple] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 frames = demux_avi_frames(bytes(payload))
+                for idx in range(0, len(frames), every_n):
+                    out.append((doc_id, idx, frames[idx], len(frames)))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_payload", "n_frames"])
+
+    return binary_df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
+def demux_video_frames(payload: bytes) -> list[bytes]:
+    """Container-sniffing demux: RIFF/AVI payloads go through
+    :func:`demux_avi_frames`, ISO-BMFF/MP4 payloads through
+    :func:`demux_mp4_frames` (sniffed on the RIFF magic — ISO-BMFF has
+    no fixed magic, so it is the fall-through that validates its own
+    box tree).  Raises ValueError naming both formats when neither
+    container parses."""
+    if payload[:4] == b"RIFF":
+        return demux_avi_frames(payload)
+    try:
+        return demux_mp4_frames(payload)
+    except ValueError:
+        raise ValueError(
+            "payload is neither a RIFF/AVI nor an ISO-BMFF/MP4 container"
+        ) from None
+
+
+def sample_video_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """The container-agnostic twin of :func:`sample_avi_frames`: 1→N
+    mapInPandas that demuxes each payload with the sniffing
+    :func:`demux_video_frames` (AVI or MP4 per row — mixed-container
+    corpora are the 100 TB norm) and emits every ``every_n``-th actual
+    frame chunk through the same row-expanding Arrow batch contract."""
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = demux_video_frames(bytes(payload))
                 for idx in range(0, len(frames), every_n):
                     out.append((doc_id, idx, frames[idx], len(frames)))
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_payload", "n_frames"])
@@ -239,18 +397,19 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
                     "for the deterministic stub"
                 ) from None
         if modality == "video":
-            # container demux is REAL (stdlib); per-frame codec decode
-            # (MJPEG frames are JPEG images) still needs PIL
+            # container demux is REAL (stdlib) for both AVI and MP4;
+            # per-frame codec decode (MJPEG frames are JPEG images)
+            # still needs PIL
             try:
-                frames = demux_avi_frames(payload)
+                frames = demux_video_frames(payload)
             except ValueError as exc:
                 raise NotImplementedError(
-                    f"video payload is not an AVI container ({exc}); other "
+                    f"video payload is not a demuxable container ({exc}); other "
                     "containers need demuxers not present in this environment "
                     "— pass fake=True for the deterministic stub"
                 ) from None
             if not frames:
-                raise NotImplementedError("AVI container demuxed to zero video frames")
+                raise NotImplementedError("video container demuxed to zero frames")
             try:
                 per_frame = [_real_image_features(f, FEATURE_DIM) for f in frames]
             except ImportError:
