@@ -1700,6 +1700,89 @@ def similarity_ann_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_memo[key]
 
 
+def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance report — the capacity check every
+    production IVF deployment runs: per-query probe cost is nprobe x
+    the sizes of the PROBED lists, so one oversized list (a dense
+    region the coarse quantizer under-splits) silently turns the
+    average-case sqrt(n) design point into near-linear scans for every
+    query routed there.  One row: configured K (corpus-derived
+    ``ivf_k``), non-empty/empty list counts, min/max/avg and exact
+    discrete p50/p90 list sizes, and the imbalance factor max/avg (1.0
+    = perfectly balanced; FAISS guidance flags >~3 as re-train-the-
+    quantizer territory — at 100 TB this report is what pages before
+    latency does).
+
+    Exactness: sizes and selections are integers (type-1 discrete
+    quantiles, value at position ceil(p·m) of the size multiset — tie
+    order can't change the selected VALUE, so no cid tiebreak is
+    needed); avg and imbalance are single double divisions of exact
+    BIGINTs, rounded half-up — bit-identical cross-engine.  Plan: one
+    groupBy over the memoized lists (K rows out) and ONE global
+    aggregate whose quantiles come from ``sort_array(collect_list)`` —
+    K is clamped at 64Ki (``IVF_K_MAX``), so the collected size array
+    is bounded regardless of corpus size, and the whole report is two
+    shuffles past the index scan ``ivf_lists`` already paid."""
+    k = ivf_k(corpus_vector_count(spark, sf_dir))
+    sizes = ivf_lists(spark, sf_dir).groupBy("cid").agg(F.count("*").alias("sz"))
+    agg = sizes.agg(
+        F.count("*").alias("n_lists"),
+        F.sum("sz").alias("n_vectors"),
+        F.min("sz").alias("min_list"),
+        F.max("sz").alias("max_list"),
+        F.sort_array(F.collect_list("sz")).alias("szs"),
+    )
+
+    def q_at(p: float) -> Column:
+        return F.element_at(
+            F.col("szs"), F.ceil(F.size("szs") * F.lit(p)).cast("int")
+        )
+
+    return agg.select(
+        F.lit(k).cast("long").alias("k_configured"),
+        "n_lists",
+        (F.lit(k) - F.col("n_lists")).cast("long").alias("empty_lists"),
+        "n_vectors",
+        "min_list",
+        "max_list",
+        q_at(0.5).alias("p50_list"),
+        q_at(0.9).alias("p90_list"),
+        round_half_up(
+            F.col("n_vectors").cast("double") / F.col("n_lists"), 6
+        ).alias("avg_list"),
+        round_half_up(
+            F.col("max_list").cast("double") * F.col("n_lists") / F.col("n_vectors"),
+            6,
+        ).alias("imbalance"),
+    )
+
+
+IVF_LIST_BALANCE_SQL = f"""
+WITH {_ivf_ctes()}, sizes AS (
+  SELECT cid, count(*) AS sz FROM lists GROUP BY cid
+), ranked AS (
+  SELECT cid, sz, row_number() OVER (ORDER BY sz, cid) AS rn,
+         count(*) OVER () AS m
+  FROM sizes
+), med AS (
+  SELECT sz AS p50_list FROM ranked WHERE rn = ceil(m * 0.5)
+), p90 AS (
+  SELECT sz AS p90_list FROM ranked WHERE rn = ceil(m * 0.9)
+), agg AS (
+  SELECT count(*) AS n_lists, sum(sz) AS n_vectors,
+         min(sz) AS min_list, max(sz) AS max_list
+  FROM sizes
+)
+SELECT {IVF_KPARAM_SQL} AS k_configured,
+       n_lists,
+       {IVF_KPARAM_SQL} - n_lists AS empty_lists,
+       n_vectors, min_list, max_list, p50_list, p90_list,
+       {sql_round_half_up('CAST(n_vectors AS DOUBLE) / n_lists', 6)} AS avg_list,
+       {sql_round_half_up('CAST(max_list AS DOUBLE) * n_lists / n_vectors', 6)} AS imbalance
+FROM agg, med, p90
+"""
+
+
 def _ann_nprobe_curve_sql() -> str:
     arms = []
     for np_ in NPROBE_CURVE:
@@ -1736,6 +1819,7 @@ QUERIES = {
     "similarity_ann_ivfpq": similarity_ann_ivfpq,
     "ivf_recenter_audit": ivf_recenter_audit,
     "ivf_recenter_apply": ivf_recenter_apply,
+    "ivf_list_balance": ivf_list_balance,
     "embedding_norm_stats": embedding_norm_stats,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_outlier_audit": embedding_outlier_audit,
@@ -1765,6 +1849,7 @@ ORACLES = {
     "similarity_ann_ivfpq": SIMILARITY_ANN_IVFPQ_SQL,
     "ivf_recenter_audit": IVF_RECENTER_SQL,
     "ivf_recenter_apply": IVF_RECENTER_APPLY_SQL,
+    "ivf_list_balance": IVF_LIST_BALANCE_SQL,
     # similarity_ann_recall composes the three oracles above as
     # subquery chains — bit-identical inputs in, exact integer hit
     # counts out.

@@ -58,8 +58,12 @@ _MODULES = [
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
 # enforces exact membership here — raw source mentions no longer count).
-# Empty this round: pagerank_converged rotates in above.
-ROTATION_WAITING: tuple[str, ...] = ()
+#
+# ivf_list_balance: r12-new (added MID-round, after this round's window
+# was already pinned to the mechanically stalest evidence cohort);
+# DuckDB-oracled + driver-sim green at both SFs locally, rotates into
+# the r13 window as its first-ever slot.
+ROTATION_WAITING: tuple[str, ...] = ("ivf_list_balance",)
 DRIVER_WINDOW = [
     # --- never driver-seen (r12-new, in-window on day one) ---
     "pagerank_converged",

@@ -987,6 +987,29 @@ def test_ivf_k_clamps_scales_and_matches_sql():
         assert sql_k == ivf_k(n), (n, sql_k, ivf_k(n))
 
 
+def test_ivf_list_balance_invariants(spark):
+    """ivf_list_balance (r12): one row whose integer fields reconcile —
+    list sizes sum to the corpus, quantiles sit inside [min, max],
+    imbalance = max/avg >= 1, and empty + non-empty = configured K
+    (the corpus-derived ivf_k)."""
+    from mini_hadoop_spark.operators.similarity import (
+        corpus_vector_count,
+        ivf_k,
+        ivf_list_balance,
+    )
+
+    rows = ivf_list_balance(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n = corpus_vector_count(spark, SF_DIR)
+    assert r.k_configured == ivf_k(n)
+    assert r.n_lists + r.empty_lists == r.k_configured
+    assert r.n_vectors == n
+    assert r.min_list <= r.p50_list <= r.p90_list <= r.max_list
+    assert r.imbalance >= 1.0
+    assert r.avg_list == pytest.approx(n / r.n_lists, abs=1e-6)
+
+
 def test_ann_nprobe_curve_monotone(spark):
     """Probing more inverted lists can only widen the candidate set, so
     recall@3 must be non-decreasing in nprobe, and the largest arm's
