@@ -232,6 +232,93 @@ FROM ranked WHERE rnk <= {HARD_NEG_K}
 """
 
 
+# Cosine above which a training vector counts as semantically
+# contaminated by an eval vector.  On this corpus the pairwise cosine
+# p99 is ~0.295 (max ~0.47), so 0.3 flags the genuinely-near ~1% tail
+# at every SF; a production run sets this from a held-out calibration
+# (the same way ngram decontamination picks its n).
+SEMANTIC_CONTAM_THRESHOLD = 0.3
+
+
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space twin of
+    ``contamination_ngram`` (exact n-gram overlap misses paraphrases;
+    Phi/LLaMA-class reports use embedding similarity as the stronger
+    second pass).  The ANN_QUERY_BUDGET md5-selected vectors stand in
+    for the eval set; every OTHER corpus vector is the train side.  Per
+    eval vector: how many train vectors sit above the contamination
+    threshold, the max cosine, and the nearest train vector — the
+    per-benchmark exposure report a release review reads.
+
+    Plan: identical brute shape to ``similarity_topk_brute`` — the
+    bounded eval set broadcasts over one corpus scan (work = budget x
+    corpus, linear at 100x), eval rows leave the train side via a
+    broadcast anti join, and the per-eval aggregate + nearest pick run
+    as window functions over ONE eval_id shuffle.  At 100 TB the
+    candidate pass swaps to the shared LSH/IVF index family, same as
+    the other brute baselines.  Threshold compares raw doubles — both
+    engines compute bit-identical cosines (the topk_brute determinism
+    contract), so the flag set matches exactly."""
+    v = _vectors(spark, sf_dir)
+    qids = ann_query_ids(v)
+    evalq = v.join(F.broadcast(qids), "vec_id").select(
+        F.col("vec_id").alias("eval_id"), F.col("e").alias("qe"), F.col("nv").alias("nq")
+    )
+    train = v.join(F.broadcast(qids), "vec_id", "left_anti")
+    scored = train.crossJoin(F.broadcast(evalq)).select(
+        "eval_id",
+        F.col("vec_id").alias("train_id"),
+        (dot(F.col("qe"), F.col("e")) / F.col("nq") / F.col("nv")).alias("cos"),
+    )
+    w = W.partitionBy("eval_id")
+    wo = w.orderBy(F.col("cos").desc(), "train_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_train", F.count("*").over(w))
+        .withColumn(
+            "n_contaminated",
+            F.sum(
+                F.when(F.col("cos") >= SEMANTIC_CONTAM_THRESHOLD, 1).otherwise(0)
+            ).over(w),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            "n_train",
+            "n_contaminated",
+            round_half_up(F.col("cos"), 6).alias("max_cos"),
+            F.col("train_id").alias("nearest_train_id"),
+        )
+    )
+
+
+CONTAMINATION_SEMANTIC_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+  FROM embeddings
+), {ANN_QSET_CTE}, evalq AS (
+  SELECT vec_id AS eval_id, e AS qe, nv AS nq FROM v JOIN qset USING (vec_id)
+), pairs AS (
+  SELECT q.eval_id, t.vec_id AS train_id,
+         list_dot_product(q.qe, t.e) / q.nq / t.nv AS cos
+  FROM v t CROSS JOIN evalq q
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM qset)
+), ranked AS (
+  SELECT eval_id, train_id, cos,
+         row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, train_id) AS rn,
+         count(*) OVER (PARTITION BY eval_id) AS n_train,
+         sum(CASE WHEN cos >= {SEMANTIC_CONTAM_THRESHOLD} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY eval_id) AS n_contaminated
+  FROM pairs
+)
+SELECT eval_id, n_train, n_contaminated,
+       {sql_round_half_up('cos', 6)} AS max_cos,
+       train_id AS nearest_train_id
+FROM ranked WHERE rn = 1
+"""
+
+
 def _srp_bucket_sql(e_col: str, table: int) -> str:
     """SQL text for the LSH_BITS-bit sign-random-projection bucket id of
     hash table ``table``: bit j = (sum_i sign(table,j,i) * e[i]) > 0,
@@ -1813,6 +1900,7 @@ QUERIES = {
     "similarity_ann_recall": similarity_ann_recall,
     "similarity_ann_nprobe_curve": similarity_ann_nprobe_curve,
     "similarity_hard_negatives": similarity_hard_negatives,
+    "contamination_semantic": contamination_semantic,
     "similarity_matryoshka_agreement": similarity_matryoshka_agreement,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ann_ivf": similarity_ann_ivf,
@@ -1830,6 +1918,7 @@ QUERIES = {
 ORACLES = {
     "similarity_topk_brute": SIMILARITY_TOPK_SQL,
     "similarity_hard_negatives": SIMILARITY_HARD_NEG_SQL,
+    "contamination_semantic": CONTAMINATION_SEMANTIC_SQL,
     "similarity_matryoshka_agreement": MATRYOSHKA_SQL,
     "embedding_norm_stats": EMBEDDING_NORM_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,

@@ -1010,6 +1010,38 @@ def test_ivf_list_balance_invariants(spark):
     assert r.avg_list == pytest.approx(n / r.n_lists, abs=1e-6)
 
 
+def test_contamination_semantic_invariants(spark):
+    """contamination_semantic (r12): one row per md5-budget eval vector;
+    n_train excludes the eval set, the flag count is bounded by it, the
+    nearest train vector is never an eval vector, and max_cos is a
+    valid cosine."""
+    from mini_hadoop_spark.operators.similarity import (
+        ANN_QUERY_BUDGET,
+        _vectors,
+        ann_query_ids,
+        contamination_semantic,
+        corpus_vector_count,
+    )
+
+    rows = contamination_semantic(spark, SF_DIR).collect()
+    n = corpus_vector_count(spark, SF_DIR)
+    budget = min(ANN_QUERY_BUDGET, n)
+    assert len(rows) == budget
+    eval_ids = {
+        r.vec_id for r in ann_query_ids(_vectors(spark, SF_DIR)).collect()
+    }
+    assert {r.eval_id for r in rows} == eval_ids
+    for r in rows:
+        assert r.n_train == n - budget
+        assert 0 <= r.n_contaminated <= r.n_train
+        assert -1.0 <= r.max_cos <= 1.0
+        assert r.nearest_train_id not in eval_ids
+    # the threshold is calibrated to flag a real (non-empty, non-total)
+    # tail on this corpus family
+    total_flagged = sum(r.n_contaminated for r in rows)
+    assert 0 < total_flagged < sum(r.n_train for r in rows)
+
+
 def test_ann_nprobe_curve_monotone(spark):
     """Probing more inverted lists can only widen the candidate set, so
     recall@3 must be non-decreasing in nprobe, and the largest arm's

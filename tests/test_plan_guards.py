@@ -91,6 +91,10 @@ BNLJ_ALLOWED = {
     # md5-budget query set over one corpus scan — the same deliberate
     # bounded brute shape as similarity_topk_brute.
     "similarity_hard_negatives",
+    # contamination_semantic: crossJoin(broadcast(<32-row md5-budget
+    # eval set>)) over one train scan — the same deliberate bounded
+    # brute shape (work = budget x corpus, linear at 100x).
+    "contamination_semantic",
     # quantize_pq_codes: crossJoin(broadcast(<1-row m-indexed PQ
     # codebook array>)) — bounded constant build side (PQ_M x PQ_KS
     # entries packed into one row), the zero-shuffle assignment idiom.
