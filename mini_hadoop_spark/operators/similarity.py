@@ -308,8 +308,8 @@ WITH v AS (
   SELECT eval_id, train_id, cos,
          row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC, train_id) AS rn,
          count(*) OVER (PARTITION BY eval_id) AS n_train,
-         sum(CASE WHEN cos >= {SEMANTIC_CONTAM_THRESHOLD} THEN 1 ELSE 0 END)
-           OVER (PARTITION BY eval_id) AS n_contaminated
+         CAST(sum(CASE WHEN cos >= {SEMANTIC_CONTAM_THRESHOLD} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY eval_id) AS BIGINT) AS n_contaminated
   FROM pairs
 )
 SELECT eval_id, n_train, n_contaminated,
@@ -1856,7 +1856,7 @@ WITH {_ivf_ctes()}, sizes AS (
 ), p90 AS (
   SELECT sz AS p90_list FROM ranked WHERE rn = ceil(m * 0.9)
 ), agg AS (
-  SELECT count(*) AS n_lists, sum(sz) AS n_vectors,
+  SELECT count(*) AS n_lists, CAST(sum(sz) AS BIGINT) AS n_vectors,
          min(sz) AS min_list, max(sz) AS max_list
   FROM sizes
 )
