@@ -1728,6 +1728,72 @@ FROM hits h JOIN sizes s ON h.train_doc_id = s.doc_id
 """
 
 
+#: Jaccard cutoffs the threshold-sensitivity curve probes.  The floor is
+#: the pipeline's operating JACCARD_THRESHOLD (0.2 — the memoized pair
+#: graph is built there, so the curve reuses it instead of re-running
+#: the shingle self-join per probe); the rest ladder up to near-exact.
+DEDUP_THRESHOLD_PROBES = (0.2, 0.3, 0.5, 0.7, 0.9)
+
+
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity curve — the dedup family's tuning
+    dial (the ``similarity_ann_nprobe_curve`` of near-dup): per cutoff
+    in DEDUP_THRESHOLD_PROBES, how many pairs survive, how many
+    distinct documents they touch, and what share of the corpus that
+    is.  A curation team reads the knee of this curve to set the
+    operating threshold — too low and the cluster pass erases real
+    content, too high and syndicated copy survives to training.  A FLAT
+    segment is itself the finding: it means the pair population is
+    bimodal (real dups far above, incidental overlap far below) and the
+    threshold is insensitive across it — the healthiest answer a corpus
+    can give (this synthetic corpus reads exactly so: planted dups sit
+    >= ~0.9, incidental overlap < 0.05).  The curve deliberately starts
+    AT the operating threshold: probing below it would need the raw
+    unthresholded pair graph — the near-all-pairs blowup the operating
+    cutoff exists to avoid building at 100 TB.
+
+    Plan: the pair set is the MEMOIZED exact-Jaccard graph (built once
+    per session); probes attach via a 5-row broadcast non-equi join
+    (bounded x bounded — the scalar-attach shape), a LEFT join so a
+    cutoff that kills every pair still emits its zero row; counts are
+    two tiny aggregates + a 1-row corpus total attach.  Comparisons run
+    on the graph's 6-decimal rounded jaccard — the same doubles both
+    engines computed bit-identically.  At 100 TB the pair graph is the
+    audited linear-candidate build; this curve stays O(|pairs|)."""
+    pairs = near_dup_pairs(spark, sf_dir, "jaccard")
+    probes = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in DEDUP_THRESHOLD_PROBES])
+        ).alias("threshold")
+    )
+    hits = probes.join(
+        F.broadcast(pairs), F.col("jaccard") >= F.col("threshold"), "left"
+    )
+    np_ = hits.groupBy("threshold").agg(F.count("doc_a").alias("n_pairs"))
+    nd = (
+        hits.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs"))  # count_distinct skips NULLs
+    )
+    total = F.broadcast(
+        load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_total"))
+    )
+    return (
+        np_.join(nd, "threshold")
+        .crossJoin(total)
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs",
+            round_half_up(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("doc_share"),
+        )
+    )
+
+
 def dedup_lsh_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision audit of the MinHash-LSH near-dup pipeline
     against the exact-Jaccard truth — the acceptance gate an LSH config
@@ -1789,6 +1855,31 @@ SELECT n_true, n_detected, n_hit,
             THEN {sql_round_half_up('CAST(n_hit AS DOUBLE) / n_detected', 6)}
             ELSE 0.0 END AS precision
 FROM t, d, h
+"""
+
+
+DEDUP_THRESHOLD_CURVE_SQL = f"""
+WITH rp AS (
+  SELECT doc_a, doc_b, jaccard FROM ({DEDUP_NEAR_JACCARD_SQL})
+), probes AS (
+  SELECT unnest([{", ".join(f"{t}::DOUBLE" for t in DEDUP_THRESHOLD_PROBES)}]) AS threshold
+), hit AS (
+  SELECT p.threshold, r.doc_a, r.doc_b
+  FROM probes p LEFT JOIN rp r ON r.jaccard >= p.threshold
+), np AS (
+  SELECT threshold, count(doc_a)::BIGINT AS n_pairs FROM hit GROUP BY threshold
+), nd AS (
+  SELECT threshold, count(DISTINCT d)::BIGINT AS n_docs FROM (
+    SELECT threshold, doc_a AS d FROM hit
+    UNION ALL
+    SELECT threshold, doc_b FROM hit)
+  GROUP BY threshold
+), tot AS (
+  SELECT count(*)::BIGINT AS n_total FROM documents
+)
+SELECT threshold, n_pairs, n_docs,
+       {sql_round_half_up('CAST(n_docs AS DOUBLE) / n_total', 6)} AS doc_share
+FROM np JOIN nd USING (threshold), tot
 """
 
 
@@ -1912,6 +2003,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_semantic_semdedup": dedup_semantic_semdedup,
     "dedup_lsh_quality_audit": dedup_lsh_quality_audit,
+    "dedup_threshold_curve": dedup_threshold_curve,
     "dedup_exact_normalized": dedup_exact_normalized,
     "dedup_incremental": dedup_incremental,
     "dedup_histogram": dedup_histogram,
@@ -1936,6 +2028,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_semantic_semdedup": _semdedup_sql(),
     "dedup_lsh_quality_audit": DEDUP_LSH_QUALITY_SQL,
+    "dedup_threshold_curve": DEDUP_THRESHOLD_CURVE_SQL,
     "dedup_exact_normalized": DEDUP_EXACT_NORMALIZED_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_histogram": DEDUP_HISTOGRAM_SQL,

@@ -59,12 +59,17 @@ _MODULES = [
 # round, each with a written rationale (tests/test_rotation_report.py
 # enforces exact membership here — raw source mentions no longer count).
 #
-# ivf_list_balance + contamination_semantic: r12-new (added MID-round,
-# after this round's window was already pinned to the mechanically
-# stalest evidence cohort); both DuckDB-oracled + driver-sim green at
-# sf0.001/0.01/0.1 locally, rotate into the r13 window as first-ever
+# ivf_list_balance + contamination_semantic + dedup_threshold_curve:
+# r12-new (added MID-round, after this round's window was already
+# pinned to the mechanically stalest evidence cohort); all
+# DuckDB-oracled + driver-sim green at sf0.001/0.01 (and 0.1 where the
+# build cost allows) locally, rotate into the r13 window as first-ever
 # slots.
-ROTATION_WAITING: tuple[str, ...] = ("ivf_list_balance", "contamination_semantic")
+ROTATION_WAITING: tuple[str, ...] = (
+    "ivf_list_balance",
+    "contamination_semantic",
+    "dedup_threshold_curve",
+)
 DRIVER_WINDOW = [
     # --- never driver-seen (r12-new, in-window on day one) ---
     "pagerank_converged",

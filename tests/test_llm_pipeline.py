@@ -1010,6 +1010,30 @@ def test_ivf_list_balance_invariants(spark):
     assert r.avg_list == pytest.approx(n / r.n_lists, abs=1e-6)
 
 
+def test_dedup_threshold_curve_invariants(spark):
+    """dedup_threshold_curve (r12): one row per probe, counts monotone
+    NON-INCREASING as the cutoff tightens, doc counts consistent with
+    pair counts, and the bottom probe equal to the full operating pair
+    graph (the curve starts AT the memoized graph's threshold)."""
+    from mini_hadoop_spark.operators.dedup import (
+        DEDUP_THRESHOLD_PROBES,
+        dedup_near_jaccard,
+        dedup_threshold_curve,
+    )
+
+    rows = sorted(dedup_threshold_curve(spark, SF_DIR).collect(), key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == sorted(DEDUP_THRESHOLD_PROBES)
+    pair_counts = [r.n_pairs for r in rows]
+    doc_counts = [r.n_docs for r in rows]
+    assert pair_counts == sorted(pair_counts, reverse=True)
+    assert doc_counts == sorted(doc_counts, reverse=True)
+    for r in rows:
+        assert r.n_docs <= 2 * r.n_pairs
+        if r.n_pairs:
+            assert r.n_docs >= 2
+    assert rows[0].n_pairs == dedup_near_jaccard(spark, SF_DIR).count()
+
+
 def test_contamination_semantic_invariants(spark):
     """contamination_semantic (r12): one row per md5-budget eval vector;
     n_train excludes the eval set, the flag count is bounded by it, the

@@ -95,6 +95,9 @@ BNLJ_ALLOWED = {
     # eval set>)) over one train scan — the same deliberate bounded
     # brute shape (work = budget x corpus, linear at 100x).
     "contamination_semantic",
+    # dedup_threshold_curve: 5 probe rows non-equi-joined onto the
+    # broadcast memoized pair graph — bounded x bounded scalar-attach.
+    "dedup_threshold_curve",
     # quantize_pq_codes: crossJoin(broadcast(<1-row m-indexed PQ
     # codebook array>)) — bounded constant build side (PQ_M x PQ_KS
     # entries packed into one row), the zero-shuffle assignment idiom.
