@@ -165,6 +165,7 @@ def main() -> int:
     _build("stream_session", lambda: _sw.streaming_session_drain(spark, sf_dir))
     _build("stream_dedup", lambda: _sw.streaming_dedup_drain(spark, sf_dir))
     _build("stream_enrich", lambda: _sw.streaming_enrich_drain(spark, sf_dir))
+    _build("stream_contam", lambda: _sw.streaming_contamination_drain(spark, sf_dir))
 
     # TWO timed passes per query; report the per-query MIN.  This host
     # shows external load spikes (load-average bursts with no local

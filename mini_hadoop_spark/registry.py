@@ -69,6 +69,7 @@ ROTATION_WAITING: tuple[str, ...] = (
     "ivf_list_balance",
     "contamination_semantic",
     "dedup_threshold_curve",
+    "streaming_contamination_drain",
 )
 DRIVER_WINDOW = [
     # --- never driver-seen (r12-new, in-window on day one) ---

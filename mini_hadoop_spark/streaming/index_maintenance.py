@@ -112,3 +112,82 @@ def run_incremental_dedup_index(
         .start()
     )
     q.awaitTermination()
+
+
+def contamination_batch(batch: DataFrame, eval_sh: DataFrame) -> DataFrame:
+    """ONE micro-batch of the streaming decontamination gate: the
+    train-side rows of ``batch`` (eval docs are filtered out — the
+    benchmark suite never contaminates itself) shingle into distinct
+    word 5-grams and broadcast-join the STATIC eval index; output is
+    the per-(train, eval) overlap rows of ``contamination_ngram``,
+    byte-identical because every measure is DOC-LOCAL (a document's
+    distinct-shingle set and its per-eval overlap depend on that one
+    row only), so per-batch aggregation composes to the batch answer
+    under ANY batching of the corpus.
+
+    Scale posture matches the batch twin: the eval side broadcasts
+    (benchmark suites are small next to a 100 TB crawl), the train side
+    streams through with NO shuffle of its shingles; the only shuffle
+    is the per-pair count over matched rows — per batch, bounded by the
+    batch's matched rows."""
+    from mini_hadoop_spark.functions.text import round_half_up, shingles, tokens
+    from mini_hadoop_spark.operators.dedup import CONTAM_EVAL_MODULUS, CONTAM_K
+
+    train_sh = (
+        batch.filter(F.col("doc_id") % CONTAM_EVAL_MODULUS != 0)
+        .select("doc_id", tokens("text").alias("t"))
+        .select("doc_id", F.explode(shingles("t", CONTAM_K)).alias("shingle"))
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_train_shingles"))
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return hits.join(
+        sizes.select(F.col("doc_id").alias("train_doc_id"), "n_train_shingles"),
+        "train_doc_id",
+    ).select(
+        "train_doc_id",
+        "eval_doc_id",
+        "n_shared",
+        round_half_up(F.col("n_shared") / F.col("n_train_shingles"), 6).alias(
+            "contam_frac"
+        ),
+    )
+
+
+def run_streaming_contamination(
+    spark: SparkSession,
+    docs_dir: str,
+    eval_sh: DataFrame,
+    report_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain every unprocessed document shard through the contamination
+    gate, appending each batch's overlap rows to the on-disk report
+    (availableNow trigger; the checkpoint remembers which shards are
+    done — the production ingest loop where every newly crawled shard
+    is decontaminated against the frozen benchmark suite as it lands).
+
+    Replay safety differs from the dedup index: a replayed batch would
+    APPEND duplicate report rows (counts, not membership), so exactly-
+    once here leans on the checkpoint commit; production would write a
+    transactional table keyed on (train_doc_id, eval_doc_id)."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def _append_report(batch: DataFrame, _batch_id: int) -> None:
+        rows = contamination_batch(batch, eval_sh).localCheckpoint(eager=True)
+        rows.write.mode("append").parquet(report_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_append_report)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

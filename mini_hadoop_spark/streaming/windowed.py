@@ -320,6 +320,62 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_drain(spark, sf_dir, "dedup", build)
 
 
+def streaming_contamination_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #9: eval-set DECONTAMINATION at
+    ingest, run END-TO-END (file source → per-batch shingle explode →
+    broadcast join against the STATIC frozen eval 5-gram index →
+    parquet-append report → availableNow drain), then the accumulated
+    report read back.  This is where a production pipeline actually
+    runs the contamination check — on every newly crawled shard as it
+    lands, not as a batch sweep — and it composes exactly because every
+    measure is doc-local (a train document's distinct-shingle count and
+    per-eval overlap depend on that one row only), so the union of
+    per-batch reports equals the batch ``contamination_ngram`` under
+    ANY sharding.  The whole documents table arrives as ONE
+    availableNow batch here, so the drained report hash-matches the
+    same DuckDB oracle (CONTAMINATION_SQL); multi-batch equality is
+    pinned by tests/test_streaming.py.  Memoized per (session,
+    corpus)."""
+
+    def build() -> DataFrame:
+        import uuid
+
+        from mini_hadoop_spark.functions.text import shingles, tokens
+        from mini_hadoop_spark.operators.dedup import CONTAM_EVAL_MODULUS, CONTAM_K
+        from mini_hadoop_spark.sources.catalog import load_table, table_path
+        from mini_hadoop_spark.streaming.index_maintenance import (
+            run_streaming_contamination,
+        )
+
+        src = table_path(sf_dir, "documents")
+        # the frozen benchmark suite: built ONCE from the eval subset and
+        # broadcast into every micro-batch (production ships this as a
+        # versioned artifact next to the eval sets themselves)
+        eval_sh = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % CONTAM_EVAL_MODULUS == 0)
+            .select(F.col("doc_id").alias("eval_doc_id"), tokens("text").alias("t"))
+            .select("eval_doc_id", F.explode(shingles("t", CONTAM_K)).alias("shingle"))
+            .localCheckpoint(eager=True)
+        )
+        root = tempfile.mkdtemp(prefix="stream_contam_")
+        try:
+            docs_dir = os.path.join(root, "docs")
+            os.makedirs(docs_dir)
+            _stage_parquet(src, docs_dir)
+            report_dir = os.path.join(root, "report")
+            ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
+            with _drain_scope(spark, no_data_batches=False):
+                run_streaming_contamination(
+                    spark, docs_dir, eval_sh, report_dir, ckpt_dir
+                )
+            return spark.read.parquet(report_dir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    return _memo_drain(spark, sf_dir, "contamination", build)
+
+
 # (application, sf_dir) -> the drained LEFT OUTER interval-join result,
 # materialized once per session.  The outer drain's matched-pair rows
 # ARE the inner join result (a left-outer interval join emits matched
@@ -548,6 +604,7 @@ QUERIES = {
     "streaming_hourly_drain": streaming_hourly_drain,
     "streaming_session_drain": streaming_session_drain,
     "streaming_dedup_drain": streaming_dedup_drain,
+    "streaming_contamination_drain": streaming_contamination_drain,
     "streaming_join_drain": streaming_join_drain,
     "streaming_enrich_drain": streaming_enrich_drain,
     "streaming_outer_join_drain": streaming_outer_join_drain,
@@ -572,6 +629,12 @@ def _dedup_oracle() -> str:
     from mini_hadoop_spark.operators.dedup import DEDUP_EXACT_SQL
 
     return DEDUP_EXACT_SQL
+
+
+def _contamination_oracle() -> str:
+    from mini_hadoop_spark.operators.dedup import CONTAMINATION_SQL
+
+    return CONTAMINATION_SQL
 
 
 def _join_oracle() -> str:
@@ -689,6 +752,7 @@ ORACLES = {
     "streaming_hourly_drain": _hourly_oracle(),
     "streaming_session_drain": _session_oracle(),
     "streaming_dedup_drain": _dedup_oracle(),
+    "streaming_contamination_drain": _contamination_oracle(),
     "streaming_join_drain": _join_oracle(),
     "streaming_enrich_drain": STREAMING_ENRICH_SQL,
     "streaming_outer_join_drain": _outer_join_oracle(),

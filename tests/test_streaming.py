@@ -762,3 +762,85 @@ def test_streaming_ivf_index_maintenance(spark, tmp_path):
     # the returned quantizer is the moved centroids (one per surviving
     # non-empty list), ready to freeze for subsequent ivf_assign_batch
     assert new_cents.count() == len(set(want.values()))
+
+
+def test_streaming_contamination_matches_batch_across_shards(spark, tmp_path):
+    """Streaming decontamination gate (r12): train documents landing in
+    SEPARATE shards (maxFilesPerTrigger=1 → one micro-batch each) yield
+    a report whose union equals the batch contamination computation —
+    the doc-local composition property the drain leans on — and new
+    shards extend the report incrementally without touching prior rows."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.functions.text import shingles, tokens
+    from mini_hadoop_spark.operators.dedup import CONTAM_EVAL_MODULUS, CONTAM_K
+    from mini_hadoop_spark.streaming.index_maintenance import (
+        contamination_batch,
+        run_streaming_contamination,
+    )
+
+    # eval doc 0 (doc_id % MODULUS == 0) defines the frozen suite; the
+    # phrase is 6 tokens -> two overlapping 5-grams
+    phrase = "alpha beta gamma delta epsilon zeta"
+    schema = "doc_id long, text string, source string, lang string"
+    assert 0 % CONTAM_EVAL_MODULUS == 0
+    eval_df = spark.createDataFrame([(0, phrase, "suite", "en")], schema)
+    eval_sh = (
+        eval_df.select(F.col("doc_id").alias("eval_doc_id"), tokens("text").alias("t"))
+        .select("eval_doc_id", F.explode(shingles("t", CONTAM_K)).alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        staged = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        _sh.copy(part, landing / f"{name}.parquet")
+
+    def report_rows():
+        return {
+            (r.train_doc_id, r.eval_doc_id): (r.n_shared, r.contam_frac)
+            for r in spark.read.parquet(report).collect()
+        }
+
+    # two shards, forced into separate micro-batches; train doc 1 copies
+    # the whole phrase (both 5-grams + 2 extra grams of its own), train
+    # doc 2 shares nothing, train doc 3 (second shard) shares one 5-gram
+    land("s0", [(1, phrase + " eta theta", "web", "en"),
+                (2, "totally unrelated words here friend", "web", "en")])
+    land("s1", [(3, "alpha beta gamma delta epsilon nope", "web", "en")])
+    run_streaming_contamination(
+        spark, str(landing), eval_sh, report, ckpt, max_files_per_trigger=1
+    )
+    rows = report_rows()
+    # doc 1: 8 tokens -> 4 distinct 5-grams, 2 shared -> frac 0.5
+    # doc 3: 6 tokens -> 2 distinct 5-grams, 1 shared -> frac 0.5
+    assert rows == {(1, 0): (2, 0.5), (3, 0): (1, 0.5)}
+
+    # the union equals the one-shot batch computation over all docs
+    all_train = spark.createDataFrame(
+        [(1, phrase + " eta theta", "web", "en"),
+         (2, "totally unrelated words here friend", "web", "en"),
+         (3, "alpha beta gamma delta epsilon nope", "web", "en")],
+        schema,
+    )
+    batch = {
+        (r.train_doc_id, r.eval_doc_id): (r.n_shared, r.contam_frac)
+        for r in contamination_batch(all_train, eval_sh).collect()
+    }
+    assert rows == batch
+
+    # a later shard extends the report without rewriting earlier rows
+    land("s2", [(5, "beta gamma delta epsilon zeta yes", "web", "en")])
+    run_streaming_contamination(
+        spark, str(landing), eval_sh, report, ckpt, max_files_per_trigger=1
+    )
+    assert report_rows() == {**rows, (5, 0): (1, 0.5)}
