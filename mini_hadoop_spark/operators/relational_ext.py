@@ -268,28 +268,40 @@ GROUP BY o_orderpriority
 
 def quantile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (type-1) quantiles of l_extendedprice per returnflag —
-    the EXACT element at position ceil(p*n), selected via row_number
-    over a total order.  Discrete selection (vs interpolated
-    percentile) is an actual data value and bit-identical across
-    engines — no float-interpolation op-order risk.  Plan: one window
-    shuffle on the group key + a broadcast-free self-contained filter;
-    per-group partitions sort in one task (same cohort-granularity
-    caveat as ntile — returnflag is a demo-grade 3-value key)."""
-    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
-    w = W.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")
+    the EXACT element at position ceil(p*n) of the value-ordered cohort.
+    Discrete selection (vs interpolated percentile) is an actual data
+    value and bit-identical across engines — no float-interpolation
+    op-order risk.
+
+    Plan (r13, VERDICT r12 #2 — sufficient statistics, not a cohort
+    sort): type-1 quantiles are VALUE-determined, so they fall out of
+    the per-(flag, value) counts.  Stage 1 is a map-combined hash agg
+    keyed by (flag, value) — the shuffle parallelizes across distinct
+    values, not the 3-value flag.  Stage 2 windows over the DISTINCT
+    values only (running cumulative count + cohort total): its input is
+    bounded by |distinct prices per flag|, orders of magnitude below
+    row count, so the per-flag sort task is tiny at any corpus size.
+    The quantile is the first value whose cumulative count reaches
+    ceil(p*n) — identical output to the old row_number plan (the
+    rank-ceil(p*n) row's VALUE is the value at that cumulative
+    position), so the oracle's row_number formulation is unchanged."""
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    counts = l.groupBy("l_returnflag", "l_extendedprice").agg(F.count("*").alias("cnt"))
+    w_ord = W.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    w_all = W.partitionBy("l_returnflag")
+    cum = counts.withColumn("cum", F.sum("cnt").over(w_ord)).withColumn(
+        "n", F.sum("cnt").over(w_all)
     )
-    n = F.count("*").over(W.partitionBy("l_returnflag"))
-    ranked = l.withColumn("rn", F.row_number().over(w)).withColumn("n", n)
-    # ONE window pass for all quantiles: explode the probe list and keep
-    # rows whose rank is a probed position (a filtered-union of branches
-    # would re-run the expensive sort+window once per quantile)
+    # ONE distinct-value pass for all quantiles: explode the probe list
+    # and keep the first value whose cumulative count covers the probed
+    # position ceil(p*n)
+    target = F.ceil(F.col("p") * F.col("n"))
     return (
-        ranked.select(
-            "l_returnflag", "l_extendedprice", "rn", "n",
+        cum.select(
+            "l_returnflag", "l_extendedprice", "cnt", "cum", "n",
             F.explode(F.array(F.lit(0.5), F.lit(0.95))).alias("p"),
         )
-        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+        .filter((F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target))
         .select("l_returnflag", "p", F.col("l_extendedprice").alias("quantile_disc"))
     )
 
@@ -532,20 +544,51 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both functions are value-determined: ties share a rank and a
     cume_dist, so engine row order can't leak into results, and each is
     ONE exact-integer division ((rank-1)/(n-1), n_le/n) — identical
-    doubles on both engines with no float accumulation.  Plan: one
-    window shuffle on the flag; each cohort sorts in one task, so the
-    cohort key is the parallelism knob (same trade as ntile)."""
+    doubles on both engines with no float accumulation.
+
+    Plan (r13, VERDICT r12 #2 — sufficient statistics, not a cohort
+    sort): because both functions are value-determined, they are
+    computable from the per-(flag, quantity) group counts alone:
+    rank-1 = rows strictly below = cum - cnt, n_le = cum.  Stage 1 is a
+    map-combined hash agg keyed by (flag, quantity) — parallel across
+    distinct values; stage 2 windows over the DISTINCT values only
+    (input bounded by |distinct quantities per flag|, not row count);
+    stage 3 broadcast-joins the tiny per-value stats back to the fact
+    scan — zero shuffle on the fact side.  The divisions replicate
+    Spark's PercentRank/CumeDist exactly ((rank-1)/(n-1) with the n=1
+    guard, n_le/n — same integer operands, one IEEE double division),
+    so output is bit-identical to the old whole-cohort window.  If the
+    distinct-value table ever outgrew broadcast (continuous keys), drop
+    the hint: the join falls back to a (flag, quantity)-keyed shuffle,
+    still never a 3-partition sort."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
-    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
-    return l.select(
+    counts = l.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("cnt"))
+    w_ord = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    w_all = W.partitionBy("l_returnflag")
+    stats = (
+        counts.withColumn("cum", F.sum("cnt").over(w_ord))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .select(
+            "l_returnflag",
+            "l_quantity",
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise(
+                (F.col("cum") - F.col("cnt")).cast("double")
+                / (F.col("n") - 1).cast("double")
+            )
+            .alias("pr_raw"),
+            (F.col("cum").cast("double") / F.col("n").cast("double")).alias("cd_raw"),
+        )
+    )
+    return l.join(F.broadcast(stats), ["l_returnflag", "l_quantity"]).select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",
         "l_quantity",
-        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
-        round_half_up(F.cume_dist().over(w), 6).alias("cum_dist"),
+        round_half_up(F.col("pr_raw"), 6).alias("pct_rank"),
+        round_half_up(F.col("cd_raw"), 6).alias("cum_dist"),
     )
 
 

@@ -42,92 +42,77 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r12 ROTATION (VERDICT r11 #3 = r10 #2, untouched in the dead r11
-# round): the window is now exactly the MECHANICALLY stalest evidence —
-# the one never-driver-seen query (pagerank_converged, r12-new, in
-# window on day one so the round creates no fresh debt) followed by the
-# 49 oracled queries with the oldest last-seen driver round: the full
-# r04 cohort (7), the full oracled r05 cohort (13 — the exact-dedup and
-# events families the r10 verdict named), the full r07 cohort (23) and
-# the 6 alphabetically-first r08s.  After the r12 artifact no oracled
-# query's evidence is older than r08 (age 4).  Computed by the exact
-# recipe in tools/rotation_report.py; rotated-out queries keep running
-# in the local oracle battery (tests/test_oracle_battery.py) every
-# round.
+# r13 ROTATION (VERDICT r12 #1): the 4 r12-new ROTATION_WAITING queries
+# take first-ever slots on day one, joined by mapreduce_wordcount
+# (r13-new: the generic MapReduce shim under the driver's hash check,
+# in-window from birth so the round creates no fresh debt); the other
+# 45 slots are the mechanically stalest oracled evidence — the ENTIRE
+# remaining r08 cohort (36; the alphabetical head rotated in r12) and
+# the 9 alphabetically-first r09s.  After the r13 artifact no query is
+# never-driver-seen and no oracled query's evidence is older than r09
+# (age 4).  Computed by the exact recipe in tools/rotation_report.py;
+# rotated-out queries keep running in the local oracle battery
+# (tests/test_oracle_battery.py) every round.
 
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
 # enforces exact membership here — raw source mentions no longer count).
-#
-# ivf_list_balance + contamination_semantic + dedup_threshold_curve:
-# r12-new (added MID-round, after this round's window was already
-# pinned to the mechanically stalest evidence cohort); all
-# DuckDB-oracled + driver-sim green at sf0.001/0.01 (and 0.1 where the
-# build cost allows) locally, rotate into the r13 window as first-ever
-# slots.
-ROTATION_WAITING: tuple[str, ...] = (
+# r13: empty — every never-driver-seen query is in the window.
+ROTATION_WAITING: tuple[str, ...] = ()
+DRIVER_WINDOW = [
+    # --- never driver-seen: the 4 r12 ROTATION_WAITING + r13-new ---
     "ivf_list_balance",
     "contamination_semantic",
     "dedup_threshold_curve",
     "streaming_contamination_drain",
-)
-DRIVER_WINDOW = [
-    # --- never driver-seen (r12-new, in-window on day one) ---
-    "pagerank_converged",
-    # --- r04 cohort (agg_approx_sketches excluded: rows-only by design) ---
-    "agg_cube",
-    "agg_distinct",
-    "filter_project",
-    "join_inner_agg",
-    "join_semi",
-    "ngram_bigram_freq",
-    "window_topk_per_group",
-    # --- full oracled r05 cohort (xxhash64 rows-only forms excluded;
-    # their oracled md5 twins are in the r07 block below) ---
-    "dedup_exact_normalized",
-    "dedup_funnel_report",
-    "dedup_histogram",
-    "dedup_incremental",
-    "embedding_dim_stats",
-    "events_dau_wau",
-    "events_first_touch_attribution",
-    "events_funnel",
-    "events_gap_quantiles",
-    "events_hourly_window",
-    "events_session_window",
-    "events_type_transitions",
-    "events_type_value_stats",
-    # --- full r07 cohort ---
-    "dedup_clusters_lsh_md5",
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "embedding_label_centroids",
-    "embedding_norm_stats",
-    "graph_triangle_count",
-    "join_asof_next_order",
-    "join_asof_recent_order",
-    "join_range_event_followups",
-    "join_salted_skew",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "q12_shipping_delay",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "sample_stratified_per_lang",
-    "sample_weighted_mix",
-    "similarity_matryoshka_agreement",
-    "split_leakage_audit",
-    "tfidf_top_terms",
-    "wordcount_strict",
-    # --- r08 cohort head (alphabetical) ---
-    "centroid_classify_eval",
-    "contamination_ngram",
-    "correlated_scalar_subquery",
-    "customer_segment_value",
-    "dedup_clusters",
-    "dedup_cross_source_matrix",
+    "mapreduce_wordcount",
+    # --- full remaining r08 cohort ---
+    "dedup_exact",
+    "dedup_near_jaccard",
+    "dedup_span_removal",
+    "dq_distribution_drift",
+    "embedding_outlier_audit",
+    "events_sessionization",
+    "events_user_lifecycle",
+    "events_weekly_retention",
+    "multimodal_payload_dedup",
+    "multimodal_storage_report",
+    "orders_rfm_segmentation_approx",
+    "pagerank_2iter",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q20_excess_suppliers",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "quality_c4_rules",
+    "quality_dup_deciles",
+    "quantize_pq_codes",
+    "similarity_ann_ivf",
+    "similarity_ann_ivfpq",
+    "similarity_ann_lsh",
+    "similarity_hard_negatives",
+    "similarity_topk_brute",
+    "skew_heavy_hitters",
+    "streaming_dedup_drain",
+    "streaming_enrich_drain",
+    "streaming_hourly_drain",
+    "streaming_join_drain",
+    "streaming_session_drain",
+    "subquery_exists_priority",
+    "text_token_stats",
+    "vocab_coverage_curve",
+    "window_cume_dist",
+    # --- r09 cohort head (alphabetical) ---
+    "agg_salted_skew",
+    "basket_pair_affinity",
+    "bm25_search",
+    "bpe_merge_candidates",
+    "bpe_train_merges",
+    "cluster_kmeans_topics",
+    "corpus_profile",
+    "corr_quantity_price",
+    "dedup_lsh_quality_audit",
 ]
 
 
