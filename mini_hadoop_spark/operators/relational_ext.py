@@ -1285,7 +1285,17 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single |nations|-bounded aggregate.  A nation absent on one side
     gets a NULL conditional sum → coalesce(0), exactly the old
     full-outer semantics.  DECIMAL addition is associative, so the
-    regrouped sums are bit-identical to the two-aggregate oracle."""
+    regrouped sums are bit-identical to the two-aggregate oracle.
+
+    FK-integrity assumption (ADVICE r12): the one-pass shape routes
+    supplier-side revenue through the l⋈o⋈c chain, so a lineitem whose
+    order or customer row is MISSING would drop from supp_revenue,
+    whereas the oracle's supplier aggregate sums lineitem⋈supplier
+    alone.  Equality therefore requires lineitem→orders→customer
+    referential integrity — guaranteed by this generator (TPC-H FKs)
+    and asserted by tests/test_oracle_battery.py::
+    test_corpus_fk_integrity; on a corpus with orphaned lineitems,
+    split the supplier side back into its own aggregate."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )

