@@ -1176,27 +1176,18 @@ GRID_DIMS = 2  # blocking dims; 3^GRID_DIMS probe cells per vector
 PRUNE_DIMS = 8  # scalar-prefilter dims (lossless; safe if dim < PRUNE_DIMS)
 
 
-def embedding_dup_pairs(
-    v: DataFrame, threshold: float = COSINE_DUP_THRESHOLD, grid_dims: int = GRID_DIMS
+def _grid_candidate_join(
+    v: DataFrame, threshold: float, grid_dims: int
 ) -> DataFrame:
-    """EXACT embedding near-dup pairs (cosine >= threshold) via lossless
-    grid blocking — all-pairs-free with zero false negatives.
-
-    For unit-normalized vectors u, cos(a,b) >= t  ⟺  ||ua-ub|| <= d
-    where d = sqrt(2-2t); then |ua_i - ub_i| <= d for EVERY component i,
-    so a qualifying pair's cells (floor(u_i/d)) differ by at most 1 per
-    blocked dim.  Side A explodes into its 3^grid_dims neighbor cells and
-    equi-joins side B's home cell: a superset of all qualifying pairs by
-    construction, verified with the exact cosine.
-
-    Input: (vec_id, e: array<double>).  Scale: one explode (x3^dims), one
-    equi-join shuffle on the cell key, no cartesian.  Pruning power rises
-    with component spread / more dims; raise ``grid_dims`` (3^k probes)
-    for tighter buckets on clustered corpora.
-    """
+    """The blocking half of :func:`embedding_dup_pairs`: the oriented
+    cell-join candidate set (each qualifying pair generated exactly
+    once), BEFORE the scalar prefilter and exact-cosine verify.  Split
+    out so the scale smoke (tools/scale_smoke.py --grid-family) can
+    measure the candidate volume — the quantity grid blocking must keep
+    ~linear in corpus size — without running the verify stage."""
     import itertools
 
-    from mini_hadoop_spark.functions.vectors import dot, norm
+    from mini_hadoop_spark.functions.vectors import norm
 
     d = float((2.0 - 2.0 * threshold) ** 0.5)
     # per-vector norm computed ONCE (the per-pair cosine is then a single
@@ -1255,6 +1246,45 @@ def embedding_dup_pairs(
         *[F.col(f"p{i}").alias(f"pb{i}") for i in range(PRUNE_DIMS)],
         home.alias("cell"),
     )
+    return a.join(b, ["cell"]).filter(
+        (~F.col("same_cell") & (F.col("ia") != F.col("ib"))) | (F.col("ia") < F.col("ib"))
+    )
+
+
+def embedding_dup_pairs(
+    v: DataFrame, threshold: float = COSINE_DUP_THRESHOLD, grid_dims: int = GRID_DIMS
+) -> DataFrame:
+    """EXACT embedding near-dup pairs (cosine >= threshold) via lossless
+    grid blocking — all-pairs-free with zero false negatives.
+
+    For unit-normalized vectors u, cos(a,b) >= t  ⟺  ||ua-ub|| <= d
+    where d = sqrt(2-2t); then |ua_i - ub_i| <= d for EVERY component i,
+    so a qualifying pair's cells (floor(u_i/d)) differ by at most 1 per
+    blocked dim.  Side A explodes into its 3^grid_dims neighbor cells and
+    equi-joins side B's home cell (:func:`_grid_candidate_join`): a
+    superset of all qualifying pairs by construction, verified with the
+    exact cosine.
+
+    Input: (vec_id, e: array<double>).  Scale: one explode (x3^dims), one
+    equi-join shuffle on the cell key, no cartesian — but the PRUNING
+    POWER is corpus-spread-derived, not corpus-size-derived: the
+    lossless cell width equals d (threshold-fixed), so blocking
+    discriminates only where some blockable coordinate's spread exceeds
+    d.  On ISOTROPIC high-dim corpora (per-coordinate std << d — this
+    synthetic corpus measures std ≈ 0.13 vs d ≈ 0.316) every coordinate
+    spans ~1 cell and the candidate set degrades toward all-pairs:
+    measured QUADRATIC (SCALE_GRID.json: 9936x candidates on a 100x
+    corpus; raising grid_dims doesn't help — 9914x at dims+1 — and a
+    PCA-projected basis can't either, top projected std ≈ 0.14).  Exact
+    near-dup join is sub-quadratic only on anisotropic/clustered
+    corpora (real embedding corpora concentrate in cones; raise
+    ``grid_dims`` there for 3^k-probe tighter buckets); on spread-less
+    corpora use the registered approximate scale path — SemDeDup
+    (corpus-scaled K, measured linear) or the ANN family."""
+    from mini_hadoop_spark.functions.vectors import dot
+
+    d = float((2.0 - 2.0 * threshold) ** 0.5)
+    candidates = _grid_candidate_join(v, threshold, grid_dims)
 
     # Lossless scalar prefilter: cos >= t ⟺ ||ua-ub||² <= d², and a
     # coordinate-subset projection only SHRINKS the squared distance, so
@@ -1268,8 +1298,7 @@ def embedding_dup_pairs(
     )
     cos = dot(F.col("ea"), F.col("eb")) / F.col("na") / F.col("nb")
     return (
-        a.join(b, ["cell"])
-        .filter((~F.col("same_cell") & (F.col("ia") != F.col("ib"))) | (F.col("ia") < F.col("ib")))
+        candidates
         # tiny epsilon: the bound holds in real arithmetic; don't let a
         # last-ulp float wobble reject an exactly-at-threshold pair
         .filter(proj_dist2 <= F.lit(d * d * (1.0 + 1e-9) + 1e-12))

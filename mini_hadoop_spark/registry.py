@@ -5,6 +5,7 @@ unique across modules."""
 from __future__ import annotations
 
 from mini_hadoop_spark.operators import (
+    classifier,
     clustering,
     compression,
     dedup,
@@ -28,7 +29,7 @@ from mini_hadoop_spark.workloads import parity
 _MODULES = [
     dedup, similarity, parity, streaming_windowed, events, temporal, skew,
     sampling, multimodal, text_analysis, text_scoring, clustering,
-    retrieval, compression, dq,
+    retrieval, compression, dq, classifier,
     relational, relational_ext, relational_tpch,
 ]
 
@@ -43,12 +44,13 @@ _MODULES = [
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
 # r13 ROTATION (VERDICT r12 #1): the 4 r12-new ROTATION_WAITING queries
-# take first-ever slots on day one, joined by mapreduce_wordcount
-# (r13-new: the generic MapReduce shim under the driver's hash check,
-# in-window from birth so the round creates no fresh debt); the other
-# 45 slots are the mechanically stalest oracled evidence — the ENTIRE
+# take first-ever slots on day one, joined by the 3 r13-new queries
+# (mapreduce_wordcount — the generic MapReduce shim under the driver's
+# hash check — and the two perceptron-classifier queries), all
+# in-window from birth so the round creates no fresh debt; the other
+# 43 slots are the mechanically stalest oracled evidence — the ENTIRE
 # remaining r08 cohort (36; the alphabetical head rotated in r12) and
-# the 9 alphabetically-first r09s.  After the r13 artifact no query is
+# the 7 alphabetically-first r09s.  After the r13 artifact no query is
 # never-driver-seen and no oracled query's evidence is older than r09
 # (age 4).  Computed by the exact recipe in tools/rotation_report.py;
 # rotated-out queries keep running in the local oracle battery
@@ -66,6 +68,8 @@ DRIVER_WINDOW = [
     "dedup_threshold_curve",
     "streaming_contamination_drain",
     "mapreduce_wordcount",
+    "classifier_train_curve",
+    "classifier_eval_confusion",
     # --- full remaining r08 cohort ---
     "dedup_exact",
     "dedup_near_jaccard",
@@ -111,8 +115,6 @@ DRIVER_WINDOW = [
     "bpe_train_merges",
     "cluster_kmeans_topics",
     "corpus_profile",
-    "corr_quantity_price",
-    "dedup_lsh_quality_audit",
 ]
 
 

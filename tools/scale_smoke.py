@@ -860,6 +860,163 @@ def _ann_appendix_lines() -> list[str]:
     ]
 
 
+def grid_family_mode(n: int) -> int:
+    """Deep-scale smoke for dedup_embedding_cosine's lossless grid
+    blocking (VERDICT r12 #4): the grid's cell width is THRESHOLD-
+    derived (d = sqrt(2-2t) ≈ 0.316 at t=0.95), not corpus-derived, so
+    its pruning power depends entirely on the corpus's per-coordinate
+    SPREAD.  This mode measures the candidate volume (the oriented
+    cell-join row count) at 1x, 10x and n-x on the rolled-copy corpus,
+    for the registered grid_dims AND grid_dims+1 — the second series
+    tests the 'just raise grid_dims' hypothesis directly.
+
+    Candidate counts are computed EXACTLY from the cell histogram
+    (same-cell C(m,2) + Σ_{o>0} m_c·m_{c+o} — the join is a pure cell
+    equi-join, so the identity is structural), asserted equal to the
+    real join's count at 1x.  End-to-end wall is measured at 1x and
+    10x; at 100x the quadratic candidate volume (~2e10 rows, each
+    materializing two 64-dim arrays through the join) runs for HOURS —
+    measured by a killed attempt, and exactly the point: the candidate
+    count is the scale signal, the wall merely follows it."""
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-grid")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus10 = build_semdedup_corpus(spark, 10)
+    corpus = build_semdedup_corpus(spark, n)
+
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators import dedup
+    from mini_hadoop_spark.functions.vectors import norm
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    def vectors(sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+
+    def cell_histogram(v, dims):
+        d = float((2.0 - 2.0 * dedup.COSINE_DUP_THRESHOLD) ** 0.5)
+        u = F.transform(F.col("e"), lambda x: x / F.col("nrm"))
+        cells = (
+            v.select("e", norm(F.col("e")).alias("nrm"))
+            .select(u.alias("u"))
+            .select(*[
+                F.floor(F.col("u").getItem(i) / F.lit(d)).cast("long").alias(f"c{i}")
+                for i in range(dims)
+            ])
+            .groupBy(*[f"c{i}" for i in range(dims)])
+            .count()
+            .collect()
+        )
+        return {tuple(r[f"c{i}"] for i in range(dims)): r["count"] for r in cells}
+
+    def exact_candidates(hist, dims):
+        total = sum(m * (m - 1) // 2 for m in hist.values())
+        for o in itertools.product((-1, 0, 1), repeat=dims):
+            if o <= tuple([0] * dims):
+                continue
+            total += sum(
+                m * hist.get(tuple(c + do for c, do in zip(cell, o)), 0)
+                for cell, m in hist.items()
+            )
+        return total
+
+    def run(sf_dir, wall: bool):
+        out = {"n": vectors(sf_dir).count()}
+        if wall:
+            t0 = time.perf_counter()
+            dedup.dedup_embedding_cosine(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out["t"] = time.perf_counter() - t0
+        for dims in (dedup.GRID_DIMS, dedup.GRID_DIMS + 1):
+            out[f"cand_d{dims}"] = exact_candidates(cell_histogram(vectors(sf_dir), dims), dims)
+        return out
+
+    # pin the histogram identity against the REAL join once, at 1x
+    joined = dedup._grid_candidate_join(
+        vectors(BASE), dedup.COSINE_DUP_THRESHOLD, dedup.GRID_DIMS
+    ).count()
+    one = run(BASE, wall=True)
+    assert one[f"cand_d{dedup.GRID_DIMS}"] == joined, (one, joined)
+    ten = run(corpus10, wall=True)
+    big = run(corpus, wall=False)
+    d2, d3 = f"cand_d{dedup.GRID_DIMS}", f"cand_d{dedup.GRID_DIMS + 1}"
+    data = {
+        "copies": n, "grid_dims": dedup.GRID_DIMS,
+        "n1": one["n"], "n10": ten["n"], "nn": big["n"],
+        "t1": one["t"], "t10": ten["t"], "wall_ratio_10x": ten["t"] / one["t"],
+        "cand1": one[d2], "cand10": ten[d2], "candn": big[d2],
+        "cand_ratio_10x": ten[d2] / max(one[d2], 1),
+        "cand_ratio": big[d2] / max(one[d2], 1),
+        "cand1_dims_plus1": one[d3], "candn_dims_plus1": big[d3],
+        "cand_ratio_dims_plus1": big[d3] / max(one[d3], 1),
+        "join_count_check_1x": joined,
+    }
+    with open(os.path.join(_repo_root(), "SCALE_GRID.json"), "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(
+        f"grid: 1x cold {data['t1']:.2f}s cand {data['cand1']} -> 10x cold "
+        f"{data['t10']:.2f}s cand {data['cand10']} (ratio {data['cand_ratio_10x']:.1f}) -> "
+        f"{n}x cand {data['candn']} (ratio {data['cand_ratio']:.1f}; "
+        f"dims+1 ratio {data['cand_ratio_dims_plus1']:.1f})"
+    )
+    md = os.path.join(_repo_root(), "SCALE.md")
+    js = os.path.join(_repo_root(), "SCALE.json")
+    if os.path.exists(js):
+        with open(js) as fh:
+            write_scale_md(json.load(fh), md)
+        print(f"re-rendered {md} with the {n}x grid appendix")
+    spark.stop()
+    return 0
+
+
+def _grid_appendix_lines() -> list[str]:
+    path = os.path.join(_repo_root(), "SCALE_GRID.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        d = json.load(fh)
+    n = d["copies"]
+    return [
+        "",
+        f"## Appendix: {n}x embedding-cosine grid smoke (measured negative result)",
+        "",
+        f"`python tools/scale_smoke.py --grid-family {n}` — candidate volume of",
+        "dedup_embedding_cosine's lossless grid blocking at 1x / 10x / a",
+        f"rolled-copy {n}x corpus.  Candidate counts are exact (cell-histogram",
+        "arithmetic — the join is a pure cell equi-join so same-cell C(m,2) +",
+        "Σ neighbor products IS its row count — pinned equal to the real",
+        "join's count at 1x); end-to-end wall is measured at 1x and 10x (at",
+        f"{n}x the ~{d['candn'] // 10**9}e9-row join runs for hours — a killed",
+        "attempt confirmed — which is itself the finding).",
+        "",
+        "| scale | vectors | cold sec | grid candidates | candidates at grid_dims+1 |",
+        "|---|---|---|---|---|",
+        f"| 1x | {d['n1']} | {d['t1']:.2f} | {d['cand1']} | {d['cand1_dims_plus1']} |",
+        f"| 10x | {d['n10']} | {d['t10']:.2f} | {d['cand10']} | — |",
+        f"| {n}x | {d['nn']} | (not run) | {d['candn']} | {d['candn_dims_plus1']} |",
+        "",
+        f"Candidate ratio {d['cand_ratio']:.0f}x on a {n}x corpus ({d['cand_ratio_10x']:.0f}x",
+        f"at 10x) — QUADRATIC, and raising grid_dims doesn't help",
+        f"({d['cand_ratio_dims_plus1']:.0f}x at dims+1).  This is a MEASURED STRUCTURAL",
+        "BOUND, not an implementation gap: the lossless cell width is",
+        "threshold-derived (d = sqrt(2-2t) ≈ 0.316 at t=0.95) while this",
+        "corpus's normalized 64-dim coordinates are ISOTROPIC (per-coordinate",
+        "std ≈ 0.13, top-PCA projected std ≈ 0.14 — measured), so every",
+        "blockable coordinate spans ~1 cell and no per-coordinate exact",
+        "blocking — raw, rotated, or PCA-projected — can discriminate.",
+        "Exact near-dup join is sub-quadratic ONLY on anisotropic/clustered",
+        "corpora (where the grid prunes; real embedding corpora concentrate",
+        "in cones), which the operator's docstring now states; on spread-less",
+        "corpora the registered scale path for semantic dedup is SemDeDup",
+        "(dedup_semantic_semdedup, corpus-scaled K, measured linear in the",
+        "100x appendix above) or the ANN family.",
+    ]
+
+
 def budget_family_mode(n: int) -> int:
     """One deeper scale point for the md5-budget BRUTE family — the
     queries whose whole scale design is the ABSOLUTE query budget
@@ -1045,6 +1202,7 @@ def write_scale_md(rows: list[dict], path: str) -> None:
     lines.extend(_budget_appendix_lines())
     lines.extend(_span_appendix_lines())
     lines.extend(_skew_appendix_lines())
+    lines.extend(_grid_appendix_lines())
     lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
@@ -1074,6 +1232,10 @@ def main() -> int:
         return budget_family_mode(n)
     if "--skew-family" in args:
         return skew_family_mode()
+    if "--grid-family" in args:
+        i = args.index("--grid-family")
+        n = int(args[i + 1]) if len(args) > i + 1 else 100
+        return grid_family_mode(n)
     all_mode = "--all" in args
     update_mode = "--update" in args
     if "--render" in args:
