@@ -248,6 +248,36 @@ def classifier_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def score_docs(docs: DataFrame, w: dict[int, int]) -> DataFrame:
+    """Score documents under FROZEN weights — (doc_id, margin,
+    pred_keep).  Doc-local by construction (each row's margin depends
+    on that row's text alone — no teacher, no corpus statistics at
+    serve time), so scoring composes under ANY sharding: the union of
+    per-shard scores equals the whole-corpus scoring.  This is the
+    serve half of the distillation (the streaming ingest drain scores
+    every new shard with it); the weight vector inlines as the same
+    literal-array expression training uses — zero shuffle beyond the
+    per-doc bucket fold."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(CLS_BUCKETS),
+    )
+    buckets = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", bucket.alias("bucket"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("bucket")).alias("buckets"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(buckets, "doc_id", "left")
+        .withColumn("buckets", F.coalesce(F.col("buckets"), F.array().cast("array<bigint>")))
+        .withColumn("margin", _margin_col(w))
+        .select("doc_id", "margin", (F.col("margin") > 0).alias("pred_keep"))
+    )
+
+
 def _cls_ctes() -> str:
     """The training step chain unrolled as DuckDB CTEs (feats/labels →
     u1/w1 → … → u{T·B}/w{T·B}, plus per-epoch full-corpus margin CTEs
@@ -331,6 +361,14 @@ FROM me{CLS_EPOCHS} GROUP BY keep
 
 CLASSIFIER_TRAIN_CURVE_SQL = _train_curve_sql()
 CLASSIFIER_EVAL_CONFUSION_SQL = _eval_confusion_sql()
+#: per-doc scores under the final weights — the oracle for the
+#: streaming ingest-scoring drain (streaming/windowed.py): scoring is
+#: doc-local, so the drained per-shard union must equal this exactly
+CLASSIFIER_SCORES_SQL = (
+    "WITH " + _cls_ctes() + f"""
+SELECT doc_id, m AS margin, m > 0 AS pred_keep FROM me{CLS_EPOCHS}
+"""
+)
 
 QUERIES = {
     "classifier_train_curve": classifier_train_curve,

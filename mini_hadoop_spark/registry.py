@@ -44,17 +44,18 @@ _MODULES = [
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
 # r13 ROTATION (VERDICT r12 #1): the 4 r12-new ROTATION_WAITING queries
-# take first-ever slots on day one, joined by the 3 r13-new queries
+# take first-ever slots on day one, joined by the 4 r13-new queries
 # (mapreduce_wordcount — the generic MapReduce shim under the driver's
-# hash check — and the two perceptron-classifier queries), all
-# in-window from birth so the round creates no fresh debt; the other
-# 43 slots are the mechanically stalest oracled evidence — the ENTIRE
-# remaining r08 cohort (36; the alphabetical head rotated in r12) and
-# the 7 alphabetically-first r09s.  After the r13 artifact no query is
-# never-driver-seen and no oracled query's evidence is older than r09
-# (age 4).  Computed by the exact recipe in tools/rotation_report.py;
-# rotated-out queries keep running in the local oracle battery
-# (tests/test_oracle_battery.py) every round.
+# hash check — the two perceptron-classifier queries, and the
+# classifier scoring drain), all in-window from birth so the round
+# creates no fresh debt; the other 42 slots are the mechanically
+# stalest oracled evidence — the ENTIRE remaining r08 cohort (36; the
+# alphabetical head rotated in r12) and the 6 alphabetically-first
+# r09s.  After the r13 artifact no query is never-driver-seen and no
+# oracled query's evidence is older than r09 (age 4).  Computed by the
+# exact recipe in tools/rotation_report.py; rotated-out queries keep
+# running in the local oracle battery (tests/test_oracle_battery.py)
+# every round.
 
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
@@ -70,6 +71,7 @@ DRIVER_WINDOW = [
     "mapreduce_wordcount",
     "classifier_train_curve",
     "classifier_eval_confusion",
+    "streaming_classifier_drain",
     # --- full remaining r08 cohort ---
     "dedup_exact",
     "dedup_near_jaccard",
@@ -114,7 +116,6 @@ DRIVER_WINDOW = [
     "bpe_merge_candidates",
     "bpe_train_merges",
     "cluster_kmeans_topics",
-    "corpus_profile",
 ]
 
 

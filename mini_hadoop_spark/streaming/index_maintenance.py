@@ -157,6 +157,47 @@ def contamination_batch(batch: DataFrame, eval_sh: DataFrame) -> DataFrame:
     )
 
 
+def run_streaming_classifier_scores(
+    spark: SparkSession,
+    docs_dir: str,
+    w: dict,
+    report_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain every unprocessed document shard through the FROZEN
+    distilled quality scorer (operators/classifier.py), appending each
+    batch's (doc_id, margin, pred_keep) rows to the on-disk score table
+    (availableNow trigger; the checkpoint remembers which shards are
+    done) — the production serve loop where every newly crawled shard
+    is quality-scored as it lands, with the model trained OFFLINE and
+    shipped as a constant.  Scoring is doc-local, so the per-shard
+    union equals whole-corpus scoring under any sharding.
+
+    Replay safety matches run_streaming_contamination: a replayed batch
+    would APPEND duplicate score rows, so exactly-once leans on the
+    checkpoint commit; production would upsert a transactional table
+    keyed on doc_id."""
+    from mini_hadoop_spark.operators.classifier import score_docs
+
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def _append_scores(batch: DataFrame, _batch_id: int) -> None:
+        rows = score_docs(batch, w).localCheckpoint(eager=True)
+        rows.write.mode("append").parquet(report_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_append_scores)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_streaming_contamination(
     spark: SparkSession,
     docs_dir: str,

@@ -376,6 +376,51 @@ def streaming_contamination_drain(spark: SparkSession, sf_dir: str) -> DataFrame
     return _memo_drain(spark, sf_dir, "contamination", build)
 
 
+def streaming_classifier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #10: quality SCORING at ingest with
+    the distilled classifier, run END-TO-END (train the mini-batch
+    perceptron OFFLINE via the memoized `_train` — the same model the
+    batch queries report on — then file source → per-batch doc-local
+    scoring under the FROZEN weight vector → parquet-append →
+    availableNow drain), then the accumulated per-doc score table read
+    back.  This closes the distillation lifecycle train → evaluate →
+    SERVE: production scores every newly crawled shard as it lands,
+    with the model shipped as a constant, exactly this shape.  Scoring
+    is doc-local, so the per-batch union equals the batch scoring under
+    ANY sharding, and the drained table hash-matches the same DuckDB
+    oracle (CLASSIFIER_SCORES_SQL — the me{T} projection of the
+    unrolled training chain); multi-shard equality is pinned by
+    tests/test_streaming.py.  Memoized per (session, corpus)."""
+
+    def build() -> DataFrame:
+        import uuid
+
+        from mini_hadoop_spark.operators.classifier import _train
+        from mini_hadoop_spark.sources.catalog import table_path
+        from mini_hadoop_spark.streaming.index_maintenance import (
+            run_streaming_classifier_scores,
+        )
+
+        _, w = _train(spark, sf_dir)  # offline training, memoized
+        src = table_path(sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="stream_classify_")
+        try:
+            docs_dir = os.path.join(root, "docs")
+            os.makedirs(docs_dir)
+            _stage_parquet(src, docs_dir)
+            report_dir = os.path.join(root, "report")
+            ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
+            with _drain_scope(spark, no_data_batches=False):
+                run_streaming_classifier_scores(
+                    spark, docs_dir, w, report_dir, ckpt_dir
+                )
+            return spark.read.parquet(report_dir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    return _memo_drain(spark, sf_dir, "classifier_scores", build)
+
+
 # (application, sf_dir) -> the drained LEFT OUTER interval-join result,
 # materialized once per session.  The outer drain's matched-pair rows
 # ARE the inner join result (a left-outer interval join emits matched
@@ -605,6 +650,7 @@ QUERIES = {
     "streaming_session_drain": streaming_session_drain,
     "streaming_dedup_drain": streaming_dedup_drain,
     "streaming_contamination_drain": streaming_contamination_drain,
+    "streaming_classifier_drain": streaming_classifier_drain,
     "streaming_join_drain": streaming_join_drain,
     "streaming_enrich_drain": streaming_enrich_drain,
     "streaming_outer_join_drain": streaming_outer_join_drain,
@@ -728,6 +774,12 @@ FROM expired_unmatched
 """
 
 
+def _classifier_drain_oracle() -> str:
+    from mini_hadoop_spark.operators.classifier import CLASSIFIER_SCORES_SQL
+
+    return CLASSIFIER_SCORES_SQL
+
+
 def _ivf_maint_oracle() -> str:
     from mini_hadoop_spark.operators.similarity import _ivf_ctes
 
@@ -753,6 +805,7 @@ ORACLES = {
     "streaming_session_drain": _session_oracle(),
     "streaming_dedup_drain": _dedup_oracle(),
     "streaming_contamination_drain": _contamination_oracle(),
+    "streaming_classifier_drain": _classifier_drain_oracle(),
     "streaming_join_drain": _join_oracle(),
     "streaming_enrich_drain": STREAMING_ENRICH_SQL,
     "streaming_outer_join_drain": _outer_join_oracle(),

@@ -1,0 +1,65 @@
+"""Behavior tests for the classifier-distillation family (classifier.py)
+— the oracle battery covers cross-engine hashes; these pin the
+semantics: training invariants, the cross-query weight-sharing memo,
+and that the student actually LEARNS the teacher at the driver's SF."""
+
+from __future__ import annotations
+
+import os
+
+from tests.conftest import SF_DIR
+
+
+def test_curve_invariants_and_eval_consistency(spark):
+    """Per-epoch counts partition the corpus; weight checksums are
+    coherent (|Σw| ≤ Σ|w|); and the eval query's misclassified total
+    equals the final epoch's curve row — the me{T} identity that ties
+    the two registered queries to ONE training run."""
+    from mini_hadoop_spark.operators import classifier
+
+    curve = classifier.classifier_train_curve(spark, SF_DIR).orderBy("epoch").collect()
+    assert [r.epoch for r in curve] == list(range(1, classifier.CLS_EPOCHS + 1))
+    n_docs = curve[0].n_misclassified + curve[0].n_correct
+    for r in curve:
+        assert r.n_misclassified + r.n_correct == n_docs
+        assert abs(r.weight_sum) <= r.weight_l1
+
+    conf = classifier.classifier_eval_confusion(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in conf) == n_docs
+    eval_miscl = sum(r.n_docs - r.n_correct for r in conf)
+    assert eval_miscl == curve[-1].n_misclassified
+
+
+def test_training_memoized_across_queries(spark):
+    """Both registered queries must share ONE memoized training run per
+    (session, corpus) — the build-once model discipline bench.py
+    itemizes as classifier_model."""
+    from mini_hadoop_spark.operators import classifier
+
+    classifier.classifier_train_curve(spark, SF_DIR).collect()
+    key = (spark.sparkContext.applicationId, os.path.normpath(SF_DIR))
+    assert key in classifier._train_memo
+    memo_obj = classifier._train_memo[key]
+    classifier.classifier_eval_confusion(spark, SF_DIR).collect()
+    assert classifier._train_memo[key] is memo_obj
+
+
+def test_student_learns_teacher_at_driver_sf(spark):
+    """At the driver's sf0.01 the distilled student must actually learn:
+    training error drops from the first epoch and a real share of the
+    teacher's REJECTS is caught (the all-keep degenerate model catches
+    zero) — the quality bar that made mini-batches load-bearing."""
+    import pytest
+
+    from mini_hadoop_spark.operators import classifier
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 corpus not present")
+    curve = classifier.classifier_train_curve(spark, sf_dir).orderBy("epoch").collect()
+    assert curve[-1].n_misclassified < curve[0].n_misclassified
+    conf = {r.keep: r for r in classifier.classifier_eval_confusion(spark, sf_dir).collect()}
+    assert conf[False].n_correct >= conf[False].n_docs // 2, (
+        "student catches under half the teacher's rejects — distillation regressed"
+    )
+    assert conf[True].n_correct >= conf[True].n_docs * 9 // 10

@@ -844,3 +844,71 @@ def test_streaming_contamination_matches_batch_across_shards(spark, tmp_path):
         spark, str(landing), eval_sh, report, ckpt, max_files_per_trigger=1
     )
     assert report_rows() == {**rows, (5, 0): (1, 0.5)}
+
+
+def test_streaming_classifier_scores_match_batch_across_shards(spark, tmp_path):
+    """Streaming quality scoring (r13): documents landing in SEPARATE
+    shards (maxFilesPerTrigger=1 → one micro-batch each) yield a score
+    table whose union equals batch scoring under the same frozen
+    weights — the doc-local composition property the drain leans on —
+    and new shards extend the table incrementally without touching
+    prior rows."""
+    import shutil as _sh
+
+    from mini_hadoop_spark.operators.classifier import score_docs
+    from mini_hadoop_spark.streaming.index_maintenance import (
+        run_streaming_classifier_scores,
+    )
+
+    schema = "doc_id long, text string, source string, lang string"
+    # a hand-built weight vector: every bucket weight 1, so a doc's
+    # margin is simply its count of DISTINCT token buckets — easy to
+    # reason about and independent of training dynamics
+    w = {b: 1 for b in range(64)}
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        staged = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        _sh.copy(part, landing / f"{name}.parquet")
+
+    def score_rows():
+        return {
+            r.doc_id: (r.margin, r.pred_keep)
+            for r in spark.read.parquet(report).collect()
+        }
+
+    land("s0", [(1, "alpha beta alpha", "web", "en"),   # 2 distinct buckets
+                (2, "", "web", "en")])                  # empty text -> margin 0
+    land("s1", [(3, "alpha beta gamma delta", "web", "en")])
+    run_streaming_classifier_scores(
+        spark, str(landing), w, report, ckpt, max_files_per_trigger=1
+    )
+    rows = score_rows()
+    assert rows == {1: (2, True), 2: (0, False), 3: (4, True)}
+
+    # the union equals the one-shot batch scoring over all docs
+    all_docs = spark.createDataFrame(
+        [(1, "alpha beta alpha", "web", "en"),
+         (2, "", "web", "en"),
+         (3, "alpha beta gamma delta", "web", "en")],
+        schema,
+    )
+    batch = {
+        r.doc_id: (r.margin, r.pred_keep)
+        for r in score_docs(all_docs, w).collect()
+    }
+    assert rows == batch
+
+    # a later shard extends the table without rewriting earlier rows
+    land("s2", [(5, "zeta", "web", "en")])
+    run_streaming_classifier_scores(
+        spark, str(landing), w, report, ckpt, max_files_per_trigger=1
+    )
+    assert score_rows() == {**rows, 5: (1, True)}
