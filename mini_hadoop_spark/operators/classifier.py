@@ -93,6 +93,7 @@ CLS_EPOCHS = 3
 CLS_BATCHES = 16
 
 _train_memo: dict[tuple, tuple] = {}
+_doc_table_memo: dict[tuple, DataFrame] = {}
 
 
 def _batch_of(col) -> F.Column:
@@ -149,16 +150,25 @@ def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc — (doc_id, keep, y, batch, buckets array<long>):
     the features folded to an array so every training step is a single
     narrow scan (no per-step join; the weight vector rides along as a
-    literal map expression).  n rows, ≤ CLS_BUCKETS array elements."""
-    feats = _features(spark, sf_dir).groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("bucket")).alias("buckets")
-    )
-    return (
-        _labels(spark, sf_dir)
-        .join(feats, "doc_id", "left")
-        .withColumn("buckets", F.coalesce(F.col("buckets"), F.array().cast("array<bigint>")))
-        .coalesce(8)
-    )
+    literal map expression).  n rows, ≤ CLS_BUCKETS array elements.
+    Memoized + checkpointed per (session, corpus): training takes ~50
+    passes over it and the eval query one more — one feature build
+    serves them all."""
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    if key not in _doc_table_memo:
+        feats = _features(spark, sf_dir).groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("bucket")).alias("buckets")
+        )
+        _doc_table_memo[key] = (
+            _labels(spark, sf_dir)
+            .join(feats, "doc_id", "left")
+            .withColumn(
+                "buckets", F.coalesce(F.col("buckets"), F.array().cast("array<bigint>"))
+            )
+            .coalesce(8)
+            .localCheckpoint(eager=True)
+        )
+    return _doc_table_memo[key]
 
 
 def _margin_col(w: dict[int, int]):
@@ -185,7 +195,7 @@ def _train(spark: SparkSession, sf_dir: str) -> tuple:
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     if key in _train_memo:
         return _train_memo[key]
-    docs = _doc_table(spark, sf_dir).localCheckpoint(eager=True)
+    docs = _doc_table(spark, sf_dir)
     n_docs = docs.count()
     w: dict[int, int] = {}
     stats = []
@@ -369,6 +379,13 @@ CLASSIFIER_SCORES_SQL = (
 SELECT doc_id, m AS margin, m > 0 AS pred_keep FROM me{CLS_EPOCHS}
 """
 )
+
+def clear_memo() -> None:
+    """Drop the training + doc-table memos (scale smokes that rebuild a
+    corpus in place call this; distinct sf_dirs never collide)."""
+    _train_memo.clear()
+    _doc_table_memo.clear()
+
 
 QUERIES = {
     "classifier_train_curve": classifier_train_curve,
