@@ -31,7 +31,7 @@ PERCEPTRON over hashed bag-of-token presence features:
   embedded as the labels CTE (audit-query composition, DESIGN lesson
   27).
 
-Two registered queries share one memoized training run:
+Three registered queries share one memoized training run:
 
 * ``classifier_train_curve`` — end-of-epoch full-corpus
   misclassification counts + integer weight checksums (the
@@ -41,18 +41,21 @@ Two registered queries share one memoized training run:
   label under the final weights (the distillation-quality report;
   training-set evaluation — held-out evaluation composes with the md5
   split operators in sampling.py).
+* ``streaming_classifier_drain`` (streaming/windowed.py) — the SERVE
+  half: every newly landed shard scored at ingest under the frozen
+  weights via :func:`score_docs`.
 
 Scale posture: the feature build is ONE map-combined shuffle keyed by
-(doc_id, bucket) — corpus-linear, like every token aggregate here;
-it is checkpointed once and every training step reuses it.  Each step
-is a broadcast join of the (CLS_BUCKETS)-row weight vector against the
-batch's slice of the feature table plus a bucket-keyed update
-aggregate that collects ≤ CLS_BUCKETS integers — the collected state
-is MODEL-sized, never corpus-sized (the bounded-collect rule,
-DESIGN.md lesson 35).  Steps per corpus are a fixed constant
-(CLS_EPOCHS × CLS_BATCHES = 48), each touching 1/B of the corpus — the
-aggregate training cost is CLS_EPOCHS linear corpus passes, exactly
-like SGD.
+(doc_id, bucket), folded to a per-doc bucket array and checkpointed
+once per (session, corpus) — corpus-linear, like every token aggregate
+here.  Each training step is then a single narrow scan of its batch's
+slice (the weight vector inlines as ONE literal-array expression — no
+join, no broadcast exchange) plus a bucket-keyed update aggregate that
+collects ≤ CLS_BUCKETS integers — the collected state is MODEL-sized,
+never corpus-sized (the bounded-collect rule, DESIGN.md lesson 35).
+Steps per corpus are a fixed constant (CLS_EPOCHS × CLS_BATCHES = 48),
+each touching 1/B of the corpus — the aggregate training cost is
+CLS_EPOCHS linear corpus passes, exactly like SGD.
 
 Honest limit: the oracle chain's length is fixed at import time, so
 the step count cannot grow with the corpus — at larger SFs the
@@ -379,6 +382,7 @@ CLASSIFIER_SCORES_SQL = (
 SELECT doc_id, m AS margin, m > 0 AS pred_keep FROM me{CLS_EPOCHS}
 """
 )
+
 
 def clear_memo() -> None:
     """Drop the training + doc-table memos (scale smokes that rebuild a
