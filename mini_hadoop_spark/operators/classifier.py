@@ -99,42 +99,41 @@ _train_memo: dict[tuple, tuple] = {}
 _doc_table_memo: dict[tuple, DataFrame] = {}
 
 
+def _md5_mod(col, modulus: int) -> F.Column:
+    """First 8 md5 hex chars → long → mod ``modulus`` — the ONE
+    engine-identical hash used for feature buckets AND mini-batch ids
+    (DuckDB twin: ``('0x' || substr(md5(x), 1, 8))::BIGINT % m``).
+    Single definition on purpose: training, serving and the oracle's
+    feats/labels CTEs must all hash identically, so there is exactly
+    one Spark-side copy to keep in sync with the SQL."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(modulus),
+    )
+
+
+def _bucket_of(tok_col) -> F.Column:
+    """Feature bucket of a token column."""
+    return _md5_mod(tok_col, CLS_BUCKETS)
+
+
 def _batch_of(col) -> F.Column:
     """Deterministic md5 mini-batch id of a doc_id column — derivable on
     both the labels and features side, so each training step can filter
     BOTH inputs to its batch before any join."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long"),
-        F.lit(CLS_BATCHES),
-    )
+    return _md5_mod(col.cast("string"), CLS_BATCHES)
 
 
-def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, batch, bucket, cnt=1): binary token-presence features
-    per md5 bucket, carrying the doc's mini-batch id so per-step joins
-    prune to 1/CLS_BATCHES of the table.  DuckDB twin: ``('0x' ||
-    substr(md5(tok), 1, 8))::BIGINT % CLS_BUCKETS`` — the
-    engine-identical hash idiom sampling.py uses."""
-    d = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
-        F.lit(CLS_BUCKETS),
-    )
+def _doc_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, buckets array<long>): each doc's DISTINCT sorted feature
+    buckets — the shared explode/distinct/fold pipeline behind training
+    (_doc_table) and serving (score_docs)."""
     return (
-        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id", bucket.alias("bucket"))
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .select("doc_id", _bucket_of(F.col("tok")).alias("bucket"))
         .distinct()
-        .select(
-            "doc_id",
-            _batch_of(F.col("doc_id")).alias("batch"),
-            "bucket",
-            F.lit(1).cast("long").alias("cnt"),
-        )
-        # training steps are batch-sized micro-jobs: a handful of fat
-        # partitions beats 32 slivers (48 steps x stages x tasks is pure
-        # scheduler overhead otherwise).  At cluster scale the knob is
-        # the same — size the checkpoint to the per-step volume.
-        .coalesce(8)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("bucket")).alias("buckets"))
     )
 
 
@@ -159,15 +158,17 @@ def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves them all."""
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     if key not in _doc_table_memo:
-        feats = _features(spark, sf_dir).groupBy("doc_id").agg(
-            F.sort_array(F.collect_list("bucket")).alias("buckets")
-        )
+        feats = _doc_buckets(spread_small_scan(load_table(spark, sf_dir, "documents")))
         _doc_table_memo[key] = (
             _labels(spark, sf_dir)
             .join(feats, "doc_id", "left")
             .withColumn(
                 "buckets", F.coalesce(F.col("buckets"), F.array().cast("array<bigint>"))
             )
+            # training steps are batch-sized micro-jobs: a handful of fat
+            # partitions beats 32 slivers (48 steps x stages x tasks is
+            # pure scheduler overhead otherwise).  At cluster scale the
+            # knob is the same — size the checkpoint to per-step volume.
             .coalesce(8)
             .localCheckpoint(eager=True)
         )
@@ -271,20 +272,9 @@ def score_docs(docs: DataFrame, w: dict[int, int]) -> DataFrame:
     every new shard with it); the weight vector inlines as the same
     literal-array expression training uses — zero shuffle beyond the
     per-doc bucket fold."""
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
-        F.lit(CLS_BUCKETS),
-    )
-    buckets = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .select("doc_id", bucket.alias("bucket"))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("bucket")).alias("buckets"))
-    )
     return (
         docs.select("doc_id")
-        .join(buckets, "doc_id", "left")
+        .join(_doc_buckets(docs), "doc_id", "left")
         .withColumn("buckets", F.coalesce(F.col("buckets"), F.array().cast("array<bigint>")))
         .withColumn("margin", _margin_col(w))
         .select("doc_id", "margin", (F.col("margin") > 0).alias("pred_keep"))
@@ -385,8 +375,12 @@ SELECT doc_id, m AS margin, m > 0 AS pred_keep FROM me{CLS_EPOCHS}
 
 
 def clear_memo() -> None:
-    """Drop the training + doc-table memos (scale smokes that rebuild a
-    corpus in place call this; distinct sf_dirs never collide)."""
+    """Drop the training + doc-table memos — the same hook
+    dedup/similarity expose for harnesses that need COLD re-runs or
+    rebuild a corpus path in place within one session.  No in-repo
+    caller yet (the dedup/similarity twins are wired into
+    tools/scale_smoke.py's family modes; a classifier family mode would
+    call this the same way); distinct sf_dirs never collide."""
     _train_memo.clear()
     _doc_table_memo.clear()
 

@@ -337,6 +337,16 @@ def demux_mp4_frames(payload: bytes) -> list[bytes]:
             # stsz: ver/flags(4) sample_size(4) sample_count(4) [sizes...]
             (fixed_size, n_samples) = table(stsz, "I", 2, 4)
             if fixed_size:
+                # the fixed-size arm has no per-entry table to bound it,
+                # so bound by the only thing that can hold the samples:
+                # the payload itself.  Without this, a corrupt header
+                # declaring sample_count=0xFFFFFFFF allocates a ~34 GB
+                # list before any other validation runs.
+                if fixed_size * n_samples > len(payload):
+                    raise ValueError(
+                        "corrupt ISO-BMFF sample tables: declared fixed-size "
+                        "sample volume exceeds the payload"
+                    )
                 sizes = [fixed_size] * n_samples
             else:
                 sizes = list(table(stsz, "I", n_samples, 12))

@@ -560,7 +560,16 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     so output is bit-identical to the old whole-cohort window.  If the
     distinct-value table ever outgrew broadcast (continuous keys), drop
     the hint: the join falls back to a (flag, quantity)-keyed shuffle,
-    still never a 3-partition sort."""
+    still never a 3-partition sort.
+
+    NOT-NULL assumption (code-review r13): the join-back is an INNER
+    equi-join, and NULL keys never match in Spark — a row with NULL
+    l_returnflag/l_quantity would silently drop, where the old
+    whole-cohort window emitted it (NULLS FIRST).  TPC-H declares both
+    columns NOT NULL, the corpus guarantees it, and
+    tests/test_oracle_battery.py::test_corpus_fk_integrity pins it; on
+    a nullable corpus, coalesce the keys to a sentinel on BOTH sides
+    (rank/cume_dist of the NULL group are value-determined too)."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )

@@ -157,6 +157,43 @@ def contamination_batch(batch: DataFrame, eval_sh: DataFrame) -> DataFrame:
     )
 
 
+def _run_streaming_doc_report(
+    spark: SparkSession,
+    docs_dir: str,
+    transform,
+    report_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Shared drain body for doc-local per-shard report pipelines
+    (contamination, classifier scoring — ADVICE-r12-pattern: one body
+    instead of verbatim copies to keep in sync), parameterized by the
+    per-batch transform: file-source stream over the landing dir →
+    ``transform(batch)`` → parquet-append to the report (availableNow
+    trigger; the checkpoint remembers which shards are done).
+
+    Replay safety is shared too: a replayed batch would APPEND
+    duplicate report rows, so exactly-once leans on the checkpoint
+    commit; production would write a transactional table keyed on the
+    report's natural key."""
+    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def _append(batch: DataFrame, _batch_id: int) -> None:
+        rows = transform(batch).localCheckpoint(eager=True)
+        rows.write.mode("append").parquet(report_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_streaming_classifier_scores(
     spark: SparkSession,
     docs_dir: str,
@@ -168,34 +205,17 @@ def run_streaming_classifier_scores(
     """Drain every unprocessed document shard through the FROZEN
     distilled quality scorer (operators/classifier.py), appending each
     batch's (doc_id, margin, pred_keep) rows to the on-disk score table
-    (availableNow trigger; the checkpoint remembers which shards are
-    done) — the production serve loop where every newly crawled shard
-    is quality-scored as it lands, with the model trained OFFLINE and
+    — the production serve loop where every newly crawled shard is
+    quality-scored as it lands, with the model trained OFFLINE and
     shipped as a constant.  Scoring is doc-local, so the per-shard
-    union equals whole-corpus scoring under any sharding.
-
-    Replay safety matches run_streaming_contamination: a replayed batch
-    would APPEND duplicate score rows, so exactly-once leans on the
-    checkpoint commit; production would upsert a transactional table
-    keyed on doc_id."""
+    union equals whole-corpus scoring under any sharding.  Drain
+    mechanics + replay semantics: :func:`_run_streaming_doc_report`."""
     from mini_hadoop_spark.operators.classifier import score_docs
 
-    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(docs_dir)
-
-    def _append_scores(batch: DataFrame, _batch_id: int) -> None:
-        rows = score_docs(batch, w).localCheckpoint(eager=True)
-        rows.write.mode("append").parquet(report_dir)
-
-    q = (
-        stream.writeStream.foreachBatch(_append_scores)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _run_streaming_doc_report(
+        spark, docs_dir, lambda batch: score_docs(batch, w),
+        report_dir, checkpoint_dir, max_files_per_trigger,
     )
-    q.awaitTermination()
 
 
 def run_streaming_contamination(
@@ -207,28 +227,13 @@ def run_streaming_contamination(
     max_files_per_trigger: int | None = None,
 ) -> None:
     """Drain every unprocessed document shard through the contamination
-    gate, appending each batch's overlap rows to the on-disk report
-    (availableNow trigger; the checkpoint remembers which shards are
-    done — the production ingest loop where every newly crawled shard
-    is decontaminated against the frozen benchmark suite as it lands).
-
-    Replay safety differs from the dedup index: a replayed batch would
-    APPEND duplicate report rows (counts, not membership), so exactly-
-    once here leans on the checkpoint commit; production would write a
-    transactional table keyed on (train_doc_id, eval_doc_id)."""
-    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(docs_dir)
-
-    def _append_report(batch: DataFrame, _batch_id: int) -> None:
-        rows = contamination_batch(batch, eval_sh).localCheckpoint(eager=True)
-        rows.write.mode("append").parquet(report_dir)
-
-    q = (
-        stream.writeStream.foreachBatch(_append_report)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    gate, appending each batch's overlap rows to the on-disk report —
+    the production ingest loop where every newly crawled shard is
+    decontaminated against the frozen benchmark suite as it lands.
+    Drain mechanics + replay semantics (duplicate rows on replayed
+    batches, checkpoint-commit exactly-once):
+    :func:`_run_streaming_doc_report`."""
+    _run_streaming_doc_report(
+        spark, docs_dir, lambda batch: contamination_batch(batch, eval_sh),
+        report_dir, checkpoint_dir, max_files_per_trigger,
     )
-    q.awaitTermination()

@@ -64,13 +64,20 @@ _mapreduce_wc_memo: dict[tuple, DataFrame] = {}
 
 
 def mapreduce_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import shutil
+
     from mini_hadoop_spark.engine.examples import word_count_submit_job
 
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     if key not in _mapreduce_wc_memo:
-        txt_dir = os.path.join(
-            tempfile.mkdtemp(prefix="mr_wordcount_"), "docs_txt"
-        )
+        root = tempfile.mkdtemp(prefix="mr_wordcount_")
+        # the staged text can't be removed while the memoized pairs
+        # DataFrame is alive (persist eviction would recompute from it),
+        # so reclaim it at interpreter exit — without this every session
+        # leaks a full text copy of the corpus under /tmp
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        txt_dir = os.path.join(root, "docs_txt")
         load_table(spark, sf_dir, "documents").select(
             F.coalesce(F.col("text"), F.lit("")).alias("value")
         ).write.text(txt_dir)

@@ -1526,6 +1526,9 @@ def test_mp4_corrupt_sample_tables_raise_valueerror():
     stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, 1, 1))
     stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", 0))
 
+    # fixed-size arm with a bomb count: 1-byte samples, sample_count
+    # 0xFFFFFFFF — must raise BEFORE allocating the ~4e9-element list
+    bomb_stsz = box(b"stsz", struct.pack(">III", 0, 1, 0xFFFFFFFF))
     # stsz body truncated: header says 4 variable sizes, body has none
     short_stsz = box(b"stsz", struct.pack(">III", 0, 0, 4))
     # stsz body cut mid-header: not even sample_size/sample_count fit
@@ -1535,6 +1538,7 @@ def test_mp4_corrupt_sample_tables_raise_valueerror():
     # stco entry count overflows its body
     big_stco = box(b"stco", struct.pack(">II", 0, 1 << 20))
     cases = [
+        bomb_stsz + stsc + stco,
         short_stsz + stsc + stco,
         headerless_stsz + stsc + stco,
         box(b"stsz", struct.pack(">III", 0, 4, 1)) + big_stsc + stco,

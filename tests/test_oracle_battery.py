@@ -30,6 +30,8 @@ def test_corpus_fk_integrity(spark):
     does."""
     from mini_hadoop_spark.sources.catalog import load_table
 
+    from pyspark.sql import functions as F
+
     l = load_table(spark, SF_DIR, "lineitem")
     o = load_table(spark, SF_DIR, "orders")
     c = load_table(spark, SF_DIR, "customer")
@@ -37,6 +39,17 @@ def test_corpus_fk_integrity(spark):
     assert l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").count() == 0
     assert l.join(s, l.l_suppkey == s.s_suppkey, "left_anti").count() == 0
     assert o.join(c, o.o_custkey == c.c_custkey, "left_anti").count() == 0
+    # NOT NULL on the sufficient-statistics join-back keys (TPC-H
+    # declares them NOT NULL; window_cume_dist's inner equi-join would
+    # silently drop NULL-key rows the old whole-cohort window emitted)
+    assert (
+        l.filter(
+            F.col("l_returnflag").isNull()
+            | F.col("l_quantity").isNull()
+            | F.col("l_extendedprice").isNull()
+        ).count()
+        == 0
+    )
 
 
 def test_all_queries_have_unique_names():
