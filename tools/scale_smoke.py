@@ -860,6 +860,135 @@ def _ann_appendix_lines() -> list[str]:
     ]
 
 
+CLS_OUT_TMPL = "/tmp/spark_graft_scale_cls{n}x"
+
+
+def build_classifier_corpus(spark, n: int) -> str:
+    """n-times documents corpus for the classifier deep-scale smoke:
+    doc_id shifts only, TEXT UNCHANGED — unlike the LSH suffix corpus
+    (whose per-token suffixes would break the Gopher teacher's stopword
+    rule and collapse every label to reject), identical copies preserve
+    the teacher's keep/reject distribution exactly, which is what makes
+    the training-cost measurement representative.  Mini-batch ids
+    derive from the shifted doc_ids, so copies spread across batches."""
+    from pyspark.sql import functions as F
+
+    out = CLS_OUT_TMPL.format(n=n)
+    dst = f"{out}/documents.parquet"
+    if os.path.exists(dst):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = spark.read.parquet(f"{BASE}/documents.parquet")
+
+    def copy(i: int):
+        return base.select(
+            (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+
+    parts = [copy(i) for i in range(n)]
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionAll(p)
+    tmp = f"{out}/_docs_dir"
+    full.coalesce(8).write.mode("overwrite").parquet(tmp)
+    os.makedirs(dst, exist_ok=True)
+    for j, f in enumerate(sorted(os.listdir(tmp))):
+        if f.endswith(".parquet"):
+            shutil.move(f"{tmp}/{f}", f"{dst}/part-{j:03d}.parquet")
+    shutil.rmtree(tmp)
+    return out
+
+
+def classifier_family_mode(n: int) -> int:
+    """Deep-scale smoke for the distilled-classifier trainer: COLD
+    end-to-end training (doc-table build + 48 mini-batch steps + 3
+    epoch evals) at 1x vs n-x.  The step count is a CONSTANT and each
+    step scans 1/CLS_BATCHES of the corpus, so total training cost is
+    CLS_EPOCHS linear corpus passes — wall growing by ≲ the copy
+    factor is the direct evidence; the per-step collect stays
+    CLS_BUCKETS integers at any scale (model-sized, never
+    corpus-sized)."""
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-classifier")
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = build_classifier_corpus(spark, n)
+
+    from mini_hadoop_spark.operators import classifier
+
+    def cold_run(sf_dir: str) -> dict:
+        classifier.clear_memo()
+        t0 = time.perf_counter()
+        stats, w = classifier._train(spark, sf_dir)
+        t = time.perf_counter() - t0
+        n_docs = stats[0][1] + stats[0][2]
+        return {
+            "t": t,
+            "n_docs": int(n_docs),
+            "final_miscl": int(stats[-1][1]),
+            "nonzero_weights": sum(1 for v in w.values() if v),
+        }
+
+    one = cold_run(BASE)
+    big = cold_run(corpus)
+    data = {
+        "copies": n,
+        "n1": one["n_docs"], "nn": big["n_docs"],
+        "t1": one["t"], "tn": big["t"], "ratio": big["t"] / one["t"],
+        "miscl1": one["final_miscl"], "miscln": big["final_miscl"],
+        "weights1": one["nonzero_weights"], "weightsn": big["nonzero_weights"],
+    }
+    with open(os.path.join(_repo_root(), "SCALE_CLASSIFIER.json"), "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(
+        f"classifier cold train: 1x {data['t1']:.2f}s ({data['n1']} docs) -> "
+        f"{n}x {data['tn']:.2f}s ({data['nn']} docs); wall ratio {data['ratio']:.1f}; "
+        f"final miscl {data['miscl1']} -> {data['miscln']}"
+    )
+    md = os.path.join(_repo_root(), "SCALE.md")
+    js = os.path.join(_repo_root(), "SCALE.json")
+    if os.path.exists(js):
+        with open(js) as fh:
+            write_scale_md(json.load(fh), md)
+        print(f"re-rendered {md} with the {n}x classifier appendix")
+    spark.stop()
+    return 0
+
+
+def _classifier_appendix_lines() -> list[str]:
+    path = os.path.join(_repo_root(), "SCALE_CLASSIFIER.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        d = json.load(fh)
+    n = d["copies"]
+    return [
+        "",
+        f"## Appendix: {n}x classifier-training smoke (constant steps, linear passes)",
+        "",
+        f"`python tools/scale_smoke.py --classifier-family {n}` — COLD",
+        "end-to-end mini-batch perceptron training (doc-table build + 48",
+        "steps + 3 epoch evals) at 1x vs a shifted-copy corpus with",
+        "UNCHANGED text (the LSH suffix corpus would break the Gopher",
+        "teacher's stopword rule; identical copies preserve the label",
+        "distribution, so the cost shape is representative).",
+        "",
+        "| scale | docs | cold train sec | final miscl | nonzero weights |",
+        "|---|---|---|---|---|",
+        f"| 1x | {d['n1']} | {d['t1']:.2f} | {d['miscl1']} | {d['weights1']} |",
+        f"| {n}x | {d['nn']} | {d['tn']:.2f} | {d['miscln']} | {d['weightsn']} |",
+        "",
+        f"Wall ratio {d['ratio']:.1f}x on a {n}x corpus — the step count is a",
+        "constant (the oracle-chain length is import-time-fixed), each step",
+        "scans 1/16 of the corpus, and every collect is the 64-int model,",
+        "so training cost is 3 linear corpus passes regardless of scale;",
+        "per-step scheduling overhead amortizes as the corpus grows, which",
+        "is why the measured ratio sits well under the copy factor.",
+    ]
+
+
 def grid_family_mode(n: int) -> int:
     """Deep-scale smoke for dedup_embedding_cosine's lossless grid
     blocking (VERDICT r12 #4): the grid's cell width is THRESHOLD-
@@ -1203,6 +1332,7 @@ def write_scale_md(rows: list[dict], path: str) -> None:
     lines.extend(_span_appendix_lines())
     lines.extend(_skew_appendix_lines())
     lines.extend(_grid_appendix_lines())
+    lines.extend(_classifier_appendix_lines())
     lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
@@ -1236,6 +1366,10 @@ def main() -> int:
         i = args.index("--grid-family")
         n = int(args[i + 1]) if len(args) > i + 1 else 100
         return grid_family_mode(n)
+    if "--classifier-family" in args:
+        i = args.index("--classifier-family")
+        n = int(args[i + 1]) if len(args) > i + 1 else 100
+        return classifier_family_mode(n)
     all_mode = "--all" in args
     update_mode = "--update" in args
     if "--render" in args:
