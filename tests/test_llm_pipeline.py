@@ -295,6 +295,57 @@ def test_embedding_dup_query_empty_on_sf_tables(spark):
     assert out.count() == 0
 
 
+def test_grid_candidate_estimate_equals_join_count(spark):
+    """DESIGN lesson 37(a) pinned at 1x (VERDICT r13 #2): the preflight
+    cell-histogram estimate must equal the REAL oriented candidate
+    join's row count exactly — the join is a pure cell equi-join, so
+    its cardinality is histogram arithmetic, and any drift between the
+    two means the guard is guarding a different join than the one that
+    runs."""
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        GRID_DIMS,
+        _grid_candidate_join,
+        grid_candidate_estimate,
+    )
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    n, est = grid_candidate_estimate(v, COSINE_DUP_THRESHOLD, GRID_DIMS)
+    joined = _grid_candidate_join(v, COSINE_DUP_THRESHOLD, GRID_DIMS).count()
+    assert n == v.count()
+    assert est == joined, (est, joined)
+
+
+def test_grid_preflight_raises_on_degenerate_corpus(spark):
+    """The engine must ENFORCE its own measured quadratic bound
+    (VERDICT r13 #2): a spread-less corpus whose estimated candidates
+    exceed max(abs budget, c*n) fails fast with the actionable routing
+    error, BEFORE the candidate join materializes anything."""
+    import random
+
+    import pytest as _pytest
+
+    from mini_hadoop_spark.operators.dedup import (
+        GridBlockingDegenerateError,
+        embedding_dup_pairs,
+    )
+
+    rng = random.Random(11)
+    # isotropic tight blob: every unit vector lands in the same few
+    # cells, so candidates ~ C(n,2); a tiny max_candidates makes the
+    # degenerate-at-scale shape reproducible with 200 vectors
+    vecs = [(i, [1.0 + rng.gauss(0, 0.01) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+    with _pytest.raises(GridBlockingDegenerateError, match="dedup_semantic_semdedup"):
+        embedding_dup_pairs(df, max_candidates=1000)
+    # unguarded escape hatch (the scale smoke's measured-negative mode)
+    assert embedding_dup_pairs(df, preflight=False).count() >= 0
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

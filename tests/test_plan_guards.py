@@ -54,6 +54,10 @@ BNLJ_ALLOWED = {
     # q22_idle_rich_customers: crossJoin(broadcast(<1-row aggregate>)) —
     # the canonical scalar-attach (global avg balance), build side 1 row.
     "q22_idle_rich_customers",
+    # quantile_disc_price (r14): crossJoin(broadcast(<1-row min/max>)) —
+    # scalar-attach of the exact price range that derives the prefix-sum
+    # buckets, build side 1 row.
+    "quantile_disc_price",
     # q11/q15/q20: crossJoin(broadcast(<1-row scalar>)) — global total /
     # max-revenue / (total, n) threshold scalars, build side 1 row each.
     "q11_important_stock",
@@ -284,3 +288,41 @@ def test_internal_pair_plans_clean(spark, name):
         f"{name} plans an unpartitioned window over unbounded input "
         f"(all rows to ONE task at scale):\n" + "\n".join(bad)
     )
+
+
+def test_quantile_disc_price_prefix_sum_shape(spark):
+    """VERDICT r13 #1: quantile_disc_price must never sort a near-cohort
+    input in a per-flag window task (l_extendedprice is near-continuous:
+    594,330 of 600,000 rows are distinct (flag, price) pairs at sf0.1,
+    so 'window over distinct values' was still a one-task sort of ~1/3
+    of the corpus).  Pin the distributed prefix-sum shape: every
+    WindowExec over the corpus-sized per-value counts partitions by
+    (l_returnflag, bucket); flag-only windows are allowed ONLY over the
+    <=3*QUANTILE_BUCKETS-row partials aggregate (their subtree must
+    contain the bucket-keyed aggregate that bounds them)."""
+    from mini_hadoop_spark.operators.relational_ext import quantile_disc_price
+
+    df = quantile_disc_price(spark, SF_DIR)
+    windows = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "WindowExec":
+            windows.append(node)
+        for k in _jseq(node.children()):
+            walk(k)
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    assert windows, "expected window nodes in the quantile plan"
+    saw_bucketed = False
+    for w in windows:
+        keys = [str(e) for e in _jseq(w.partitionSpec())]
+        if any("bucket" in k for k in keys):
+            saw_bucketed = True
+            continue
+        # flag-only window: must sit above the bucket-keyed partials agg
+        subtree = w.child().treeString()
+        assert "bucket" in subtree and "Aggregate" in subtree, (
+            "flag-only window over non-partials input (single-task "
+            f"cohort sort at scale); partition keys={keys}\n{subtree[:2000]}"
+        )
+    assert saw_bucketed, "expected the per-(flag, bucket) cumulative window"
