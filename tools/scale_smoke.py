@@ -1058,11 +1058,32 @@ def grid_family_mode(n: int) -> int:
         out = {"n": vectors(sf_dir).count()}
         if wall:
             t0 = time.perf_counter()
-            dedup.dedup_embedding_cosine(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # preflight=False: this mode MEASURES the degenerate join the
+            # guard exists to prevent (the measured negative result)
+            dedup.embedding_dup_pairs(vectors(sf_dir), preflight=False).write.format(
+                "noop"
+            ).mode("overwrite").save()
             out["t"] = time.perf_counter() - t0
         for dims in (dedup.GRID_DIMS, dedup.GRID_DIMS + 1):
             out[f"cand_d{dims}"] = exact_candidates(cell_histogram(vectors(sf_dir), dims), dims)
+        # the ENGINE's own preflight estimator must agree with this
+        # smoke's independent driver-side histogram arithmetic
+        _, out["engine_est"] = dedup.grid_candidate_estimate(
+            vectors(sf_dir), dedup.COSINE_DUP_THRESHOLD, dedup.GRID_DIMS
+        )
+        assert out["engine_est"] == out[f"cand_d{dedup.GRID_DIMS}"], out
         return out
+
+    def guard_time(sf_dir):
+        """Seconds for the GUARDED registered operator to refuse the
+        degenerate corpus (r14, VERDICT r13 #2) — the preflight runs at
+        call time, so this is the whole failure cost."""
+        t0 = time.perf_counter()
+        try:
+            dedup.dedup_embedding_cosine(spark, sf_dir)
+        except dedup.GridBlockingDegenerateError:
+            return time.perf_counter() - t0
+        raise AssertionError(f"guard did not trip on {sf_dir}")
 
     # pin the histogram identity against the REAL join once, at 1x
     joined = dedup._grid_candidate_join(
@@ -1083,6 +1104,10 @@ def grid_family_mode(n: int) -> int:
         "cand1_dims_plus1": one[d3], "candn_dims_plus1": big[d3],
         "cand_ratio_dims_plus1": big[d3] / max(one[d3], 1),
         "join_count_check_1x": joined,
+        "engine_estimate_1x": one["engine_est"],
+        "engine_estimate_nx": big["engine_est"],
+        "guard_refusal_sec_10x": guard_time(corpus10),
+        "guard_refusal_sec_nx": guard_time(corpus),
     }
     with open(os.path.join(_repo_root(), "SCALE_GRID.json"), "w") as fh:
         json.dump(data, fh, indent=1)
@@ -1118,7 +1143,8 @@ def _grid_appendix_lines() -> list[str]:
         f"rolled-copy {n}x corpus.  Candidate counts are exact (cell-histogram",
         "arithmetic — the join is a pure cell equi-join so same-cell C(m,2) +",
         "Σ neighbor products IS its row count — pinned equal to the real",
-        "join's count at 1x); end-to-end wall is measured at 1x and 10x (at",
+        "join's count at 1x); end-to-end wall is measured UNGUARDED",
+        "(preflight=False) at 1x and 10x (at",
         f"{n}x the ~{d['candn'] // 10**9}e9-row join runs for hours — a killed",
         "attempt confirmed — which is itself the finding).",
         "",
@@ -1128,6 +1154,17 @@ def _grid_appendix_lines() -> list[str]:
         f"| 10x | {d['n10']} | {d['t10']:.2f} | {d['cand10']} | — |",
         f"| {n}x | {d['nn']} | (not run) | {d['candn']} | {d['candn_dims_plus1']} |",
         "",
+    ] + ([
+        "Since r14 the ENGINE enforces this bound itself (VERDICT r13 #2):",
+        "dedup_embedding_cosine preflights the same cell-histogram estimate",
+        "(pinned equal to the smoke's independent arithmetic at every scale",
+        "above) and refuses degenerate corpora with a routing error —",
+        f"refusal cost {d['guard_refusal_sec_10x']:.1f}s at 10x /",
+        f"{d['guard_refusal_sec_nx']:.1f}s at {n}x, vs the hours-long join it",
+        "prevents.  The registered 1x query stays under the small-corpus",
+        "absolute budget and keeps running.",
+        "",
+    ] if "guard_refusal_sec_10x" in d else []) + [
         f"Candidate ratio {d['cand_ratio']:.0f}x on a {n}x corpus ({d['cand_ratio_10x']:.0f}x",
         f"at 10x) — QUADRATIC, and raising grid_dims doesn't help",
         f"({d['cand_ratio_dims_plus1']:.0f}x at dims+1).  This is a MEASURED STRUCTURAL",
