@@ -161,6 +161,12 @@ def main() -> int:
     from mini_hadoop_spark.operators import classifier as _cls
 
     _build("classifier_model", lambda: _cls._train(spark, sf_dir))
+    # r14: the held-out variant (train-split-only weights) and the
+    # constant-batch production geometry each train once per (session,
+    # corpus); itemized so their queries measure the confusion/curve
+    # projections, not training
+    _build("classifier_holdout", lambda: _cls._train_holdout(spark, sf_dir))
+    _build("classifier_prod", lambda: _cls._train_prod(spark, sf_dir))
 
     # the shared outer-join drain (r9): ONE end-to-end streaming run
     # serves both registered join drains; its real cost is itemized here

@@ -606,19 +606,29 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — zero shuffle on the fact side.  The divisions replicate
     Spark's PercentRank/CumeDist exactly ((rank-1)/(n-1) with the n=1
     guard, n_le/n — same integer operands, one IEEE double division),
-    so output is bit-identical to the old whole-cohort window.  If the
-    distinct-value table ever outgrew broadcast (continuous keys), drop
-    the hint: the join falls back to a (flag, quantity)-keyed shuffle,
-    still never a 3-partition sort.
+    so output is bit-identical to the old whole-cohort window.
 
-    NOT-NULL assumption (code-review r13): the join-back is an INNER
-    equi-join, and NULL keys never match in Spark — a row with NULL
-    l_returnflag/l_quantity would silently drop, where the old
-    whole-cohort window emitted it (NULLS FIRST).  TPC-H declares both
-    columns NOT NULL, the corpus guarantees it, and
-    tests/test_oracle_battery.py::test_corpus_fk_integrity pins it; on
-    a nullable corpus, coalesce the keys to a sentinel on BOTH sides
-    (rank/cume_dist of the NULL group are value-determined too)."""
+    Broadcast-outgrow note (r14, VERDICT r13 #7 — the r13 wording hid a
+    trap): if the distinct-value table outgrew broadcast (a
+    near-CONTINUOUS order key), dropping the hint only fixes the JOIN —
+    the stage-2 stats windows themselves stay flag-partitioned, i.e. a
+    single task sorting ~the whole cohort, exactly the defect
+    quantile_disc_price measured (99.1% distinct (flag, price) pairs at
+    sf0.1).  The real continuous-key fix is the bucketed distributed
+    prefix-sum quantile_disc_price now uses (exact min/max-derived
+    range buckets → per-(flag, bucket) partials → offset broadcast →
+    within-bucket windows) to produce the same cum/n stats, then this
+    function's join-back unchanged.  l_quantity (150 distinct values)
+    never gets near that regime, so this query keeps the simpler plan.
+
+    NULL keys (r14, ADVICE r13): the join-back is NULL-SAFE (<=>), so a
+    row with NULL l_returnflag/l_quantity joins its NULL group instead
+    of silently dropping — the old whole-cohort window emitted such
+    rows (NULLS FIRST), and both the groupBy (NULL is a group) and the
+    stats window ordering (NULL sorts first) already reproduce its
+    ranks.  This corpus has no NULL keys (TPC-H NOT NULL, pinned by
+    test_corpus_fk_integrity), so output is unchanged here; the
+    null-safety makes the function correct on nullable sources too."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
@@ -629,8 +639,8 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("cum", F.sum("cnt").over(w_ord))
         .withColumn("n", F.sum("cnt").over(w_all))
         .select(
-            "l_returnflag",
-            "l_quantity",
+            F.col("l_returnflag").alias("s_flag"),
+            F.col("l_quantity").alias("s_qty"),
             F.when(F.col("n") == 1, F.lit(0.0))
             .otherwise(
                 (F.col("cum") - F.col("cnt")).cast("double")
@@ -640,7 +650,11 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum").cast("double") / F.col("n").cast("double")).alias("cd_raw"),
         )
     )
-    return l.join(F.broadcast(stats), ["l_returnflag", "l_quantity"]).select(
+    return l.join(
+        F.broadcast(stats),
+        F.col("l_returnflag").eqNullSafe(F.col("s_flag"))
+        & F.col("l_quantity").eqNullSafe(F.col("s_qty")),
+    ).select(
         "l_orderkey",
         "l_linenumber",
         "l_returnflag",

@@ -43,79 +43,87 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r13 ROTATION (VERDICT r12 #1): the 4 r12-new ROTATION_WAITING queries
-# take first-ever slots on day one, joined by the 4 r13-new queries
-# (mapreduce_wordcount — the generic MapReduce shim under the driver's
-# hash check — the two perceptron-classifier queries, and the
-# classifier scoring drain), all in-window from birth so the round
-# creates no fresh debt; the other 42 slots are the mechanically
-# stalest oracled evidence — the ENTIRE remaining r08 cohort (36; the
-# alphabetical head rotated in r12) and the 6 alphabetically-first
-# r09s.  After the r13 artifact no query is never-driver-seen and no
-# oracled query's evidence is older than r09 (age 4).  Computed by the
-# exact recipe in tools/rotation_report.py; rotated-out queries keep
-# running in the local oracle battery (tests/test_oracle_battery.py)
-# every round.
+# r14 ROTATION (VERDICT r13 #4): the 2 r14-new queries take first-ever
+# slots on day one (classifier_holdout_confusion oracled;
+# classifier_train_prod is the deliberate rows-only production-geometry
+# twin — see WINDOW_ROWS_ONLY below); the other 48 slots are the
+# mechanically stalest oracled evidence — the ENTIRE remaining r09
+# cohort (44) and the 4 alphabetically-first r10s.  After the r14
+# artifact no query is never-driver-seen and no oracled query's
+# evidence is older than r10 (age 4).  Computed by the exact recipe in
+# tools/rotation_report.py; rotated-out queries keep running in the
+# local oracle battery (tests/test_oracle_battery.py) every round.
 
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
 # enforces exact membership here — raw source mentions no longer count).
-# r13: empty — every never-driver-seen query is in the window.
+# r14: empty — every never-driver-seen query is in the window.
 ROTATION_WAITING: tuple[str, ...] = ()
+
+# Window entries deliberately WITHOUT a DuckDB oracle: the driver
+# records a rows-only ledger row (err: no_oracle, spark_rows) — the
+# same evidence class the xxhash64 dedup forms and agg_approx_sketches
+# earned in r04/r05.  classifier_train_prod's corpus-dependent step
+# count cannot unroll into a fixed cross-engine CTE chain; its
+# correctness twin is the fully-oracled classifier_train_curve (same
+# per-step plan, fixed geometry) plus the determinism/accuracy gates in
+# tests/test_classifier.py.
+WINDOW_ROWS_ONLY: frozenset[str] = frozenset({"classifier_train_prod"})
+
 DRIVER_WINDOW = [
-    # --- never driver-seen: the 4 r12 ROTATION_WAITING + r13-new ---
-    "ivf_list_balance",
-    "contamination_semantic",
-    "dedup_threshold_curve",
-    "streaming_contamination_drain",
-    "mapreduce_wordcount",
-    "classifier_train_curve",
-    "classifier_eval_confusion",
-    "streaming_classifier_drain",
-    # --- full remaining r08 cohort ---
-    "dedup_exact",
-    "dedup_near_jaccard",
-    "dedup_span_removal",
-    "dq_distribution_drift",
-    "embedding_outlier_audit",
-    "events_sessionization",
-    "events_user_lifecycle",
-    "events_weekly_retention",
-    "multimodal_payload_dedup",
-    "multimodal_storage_report",
-    "orders_rfm_segmentation_approx",
-    "pagerank_2iter",
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q20_excess_suppliers",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "quality_c4_rules",
-    "quality_dup_deciles",
-    "quantize_pq_codes",
-    "similarity_ann_ivf",
-    "similarity_ann_ivfpq",
-    "similarity_ann_lsh",
-    "similarity_hard_negatives",
-    "similarity_topk_brute",
-    "skew_heavy_hitters",
-    "streaming_dedup_drain",
-    "streaming_enrich_drain",
-    "streaming_hourly_drain",
-    "streaming_join_drain",
-    "streaming_session_drain",
-    "subquery_exists_priority",
-    "text_token_stats",
-    "vocab_coverage_curve",
-    "window_cume_dist",
-    # --- r09 cohort head (alphabetical) ---
-    "agg_salted_skew",
-    "basket_pair_affinity",
-    "bm25_search",
-    "bpe_merge_candidates",
-    "bpe_train_merges",
-    "cluster_kmeans_topics",
+    # --- never driver-seen: r14-new ---
+    "classifier_holdout_confusion",
+    "classifier_train_prod",
+    # --- full remaining r09 cohort ---
+    "corpus_profile",
+    "corr_quantity_price",
+    "dedup_lsh_quality_audit",
+    "dq_expectations",
+    "events_decayed_engagement",
+    "events_hourly_anomalies",
+    "events_type_pivot",
+    "join_asof_latest_order",
+    "lang_id_confusion",
+    "mix_domain_weights",
+    "multimodal_meta",
+    "nation_trade_balance",
+    "ngram_pmi_top",
+    "orders_cohort_retention",
+    "orders_priority_sla",
+    "orders_rfm_segmentation",
+    "part_price_realization",
+    "pipeline_pretrain_manifest",
+    "q10_returned_items",
+    "q13_custdist",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q6_revenue_forecast",
+    "quality_gopher_rules",
+    "quantize_embeddings_int8",
+    "revenue_monthly_growth",
+    "set_except_all",
+    "similarity_ann_recall",
+    "split_train_val_test",
+    "streaming_outer_join_drain",
+    "supplier_concentration_hhi",
+    "text_char_bigram_novelty",
+    "text_length_histogram",
+    "text_pack_sequences",
+    "text_redact_pii",
+    "text_repetition_ratio",
+    "vocab_drift_top_movers",
+    "vocab_oov_rate",
+    "window_first_last_orders",
+    "window_range_frame",
+    "window_topk_with_ties",
+    "wordcount",
+    # --- r10 cohort head (alphabetical) ---
+    "agg_filtered_counts",
+    "agg_global_no_group",
+    "agg_grouping_sets",
+    "agg_rollup",
 ]
 
 
@@ -136,8 +144,12 @@ def _merge() -> tuple[dict, dict]:
     assert len(set(DRIVER_WINDOW)) == 50, "duplicate names in DRIVER_WINDOW"
     missing = [n for n in DRIVER_WINDOW if n not in queries]
     assert not missing, f"window names not registered: {missing}"
-    unoracled = [n for n in DRIVER_WINDOW if n not in oracles]
+    unoracled = [
+        n for n in DRIVER_WINDOW if n not in oracles and n not in WINDOW_ROWS_ONLY
+    ]
     assert not unoracled, f"window entries without a DuckDB oracle: {unoracled}"
+    phantom = [n for n in WINDOW_ROWS_ONLY if n in oracles or n not in queries]
+    assert not phantom, f"WINDOW_ROWS_ONLY entries oracled or unregistered: {phantom}"
 
     ordered: dict = {n: queries[n] for n in DRIVER_WINDOW}
     for n, fn in queries.items():

@@ -63,6 +63,29 @@ GROUP BY word
 _mapreduce_wc_memo: dict[tuple, DataFrame] = {}
 
 
+#: staged corpora older than this are presumed leaked by a killed/OOMed
+#: driver (atexit never ran) and are reclaimed at the next build
+_MR_WC_STALE_SECS = 2 * 3600
+
+
+def _sweep_stale_mr_wordcount() -> None:
+    """Reclaim mr_wordcount_* staging dirs from dead sessions (ADVICE
+    r13: atexit covers clean exits only; a killed driver leaks a full
+    plain-text corpus copy under /tmp per session).  Age-gated so a
+    CONCURRENT session's live staging is never swept."""
+    import glob
+    import shutil
+    import time as _time
+
+    cutoff = _time.time() - _MR_WC_STALE_SECS
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "mr_wordcount_*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass  # raced with another sweeper / already gone
+
+
 def mapreduce_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
     import shutil
@@ -71,6 +94,7 @@ def mapreduce_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     if key not in _mapreduce_wc_memo:
+        _sweep_stale_mr_wordcount()
         root = tempfile.mkdtemp(prefix="mr_wordcount_")
         # the staged text can't be removed while the memoized pairs
         # DataFrame is alive (persist eviction would recompute from it),

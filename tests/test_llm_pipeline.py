@@ -1659,3 +1659,47 @@ def test_video_decode_real_mjpeg_mp4_end_to_end():
     feats = decode_payload(ftyp + mdat + moov, "video")
     assert len(feats) == FEATURE_DIM
     assert sum(feats) == pytest.approx(1.0)
+
+
+def test_window_cume_dist_null_safe_join(spark):
+    """ADVICE r13: the sufficient-statistics join-back must be NULL-SAFE
+    — a nullable source's NULL-key rows get the whole-cohort window's
+    own answers (NULL quantity sorts FIRST in its flag cohort; NULL
+    flag is its own partition), not a silent drop."""
+    from pyspark.sql import Window as W, functions as F
+
+    import mini_hadoop_spark.operators.relational_ext as rx
+
+    rows = [
+        (1, 1, "A", 10.0),
+        (2, 1, "A", None),
+        (3, 1, None, 5.0),
+        (4, 1, "A", 10.0),
+        (5, 1, "A", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string, l_quantity double",
+    )
+    orig = rx._t
+    rx._t = lambda sp, d, t: df
+    try:
+        got = {
+            r.l_orderkey: (r.pct_rank, r.cum_dist)
+            for r in rx.window_cume_dist(spark, "ignored").collect()
+        }
+    finally:
+        rx._t = orig
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    exp = {
+        r.l_orderkey: (
+            round(r.pr, 6),
+            round(r.cd, 6),
+        )
+        for r in df.select(
+            "l_orderkey",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        ).collect()
+    }
+    assert got == exp, (got, exp)
