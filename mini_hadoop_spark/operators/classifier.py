@@ -354,18 +354,37 @@ def _train_prod(spark: SparkSession, sf_dir: str) -> tuple:
     (VERDICT r13 #5 — the production geometry): n_batches =
     ceil(n_train / CLS_PROD_BATCH_SIZE) derived from the corpus, so
     batch size stays ~CLS_PROD_BATCH_SIZE and the step count grows
-    linearly with the corpus — per-step cost is flat (measured:
-    SCALE_CLASSIFIER.json prod_* fields).  Deterministic: batches are
-    md5(doc_id) % n_batches, updates exact integers."""
+    linearly with the corpus.  Deterministic: batches are
+    md5(doc_id) % n_batches, updates exact integers.
+
+    Per-step FLATNESS needs partition pruning, not just a filter: a
+    `pbatch == j` filter over the checkpointed table still SCANS the
+    whole corpus every step (measured: per-step 155 -> 233 ms on a
+    100x corpus — the scan term grows even though the batch doesn't).
+    The training table is therefore staged to parquet PARTITIONED BY
+    pbatch — each step's scan prunes to its own batch directory, so
+    per-step I/O is batch-sized at any corpus size (the same reason
+    production SGD shards its training data by batch/worker).  The
+    staging is one linear write, reclaimed as soon as the collected
+    stats/weights exist."""
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), "prod")
     if key not in _train_memo:
+        import shutil
+        import tempfile
+
         docs = _doc_table(spark, sf_dir).filter(F.col("split") == "train")
         n_train = docs.count()
         n_batches = max(1, -(-n_train // CLS_PROD_BATCH_SIZE))
         docs = docs.withColumn(
             "pbatch", _md5_mod(F.col("doc_id").cast("string"), n_batches)
         )
-        stats, w = _run_sgd(docs, n_batches, batch_col="pbatch")
+        root = tempfile.mkdtemp(prefix="cls_prod_batches_")
+        try:
+            docs.write.partitionBy("pbatch").mode("overwrite").parquet(root)
+            staged = spark.read.parquet(root)
+            stats, w = _run_sgd(staged, n_batches, batch_col="pbatch")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
         _train_memo[key] = (n_train, n_batches, stats, w)
     return _train_memo[key]
 

@@ -1050,9 +1050,16 @@ def _classifier_appendix_lines() -> list[str]:
         f"| {n}x | {d['prod_batches_n']} | {d['prod_tn']:.2f} | {d['prod_per_step_n']*1000:.0f} |",
         "",
         f"Per-step wall ratio {d['prod_per_step_ratio']:.2f} while the step",
-        f"count grew {d['prod_batches_n'] / max(d['prod_batches_1'], 1):.0f}x — each step scans one",
-        "fixed-size batch, so per-step cost is corpus-independent: the",
-        "constant-batch plan is what a 100 TB training run would ship.",
+        f"count grew {d['prod_batches_n'] / max(d['prod_batches_1'], 1):.0f}x.  Flatness needs partition",
+        "PRUNING, not just a filter: a pbatch filter over the checkpointed",
+        "table still scanned the whole corpus per step (measured 155 ->",
+        "233 ms per step at 100x), so the trainer stages the training table",
+        "to parquet partitioned by pbatch and each step's scan prunes to",
+        "its own batch directory (PartitionFilters in the plan) — batch-",
+        "sized per-step I/O at any corpus size, the same reason production",
+        "SGD shards training data by batch; the remaining per-step cost is",
+        "fixed job overhead.  The constant-batch plan is what a 100 TB",
+        "training run would ship.",
     ] if "prod_per_step_ratio" in d else [])
 
 
