@@ -113,6 +113,36 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — dependent query will re-raise
             print(f"bench: index build {label} failed: {exc}", file=sys.stderr)
 
+    # per-arm spans of grouped builds (informational — NOT summed into
+    # index_build_sec; the group wall in index_build already covers them)
+    index_build_detail: dict[str, float] = {}
+
+    def _build_group(label, fns):
+        """Build INDEPENDENT artifacts concurrently (r14, VERDICT r13
+        #6): iterative model builds are driver-latency-bound (a chain
+        of small jobs + collects), so sequential builds leave the 32
+        cores idle; Spark schedules jobs submitted from multiple driver
+        threads FIFO across the task slots.  Only artifacts with no
+        shared memo dependency are grouped — the group's WALL is the
+        itemized cold cost, per-arm spans go to index_build_detail."""
+        import concurrent.futures as cf
+
+        t0 = time.perf_counter()
+
+        def run(name, fn):
+            s = time.perf_counter()
+            try:
+                fn()
+                index_build_detail[f"{label}.{name}"] = round(
+                    time.perf_counter() - s, 4
+                )
+            except Exception as exc:  # noqa: BLE001 — dependent query re-raises
+                print(f"bench: index build {name} failed: {exc}", file=sys.stderr)
+
+        with cf.ThreadPoolExecutor(max_workers=len(fns)) as ex:
+            list(ex.map(lambda kv: run(*kv), fns.items()))
+        index_build[label] = round(time.perf_counter() - t0, 4)
+
     from mini_hadoop_spark.operators import dedup as _dedup, similarity as _sim
 
     # the shared shingle index first, so per-method pair timings measure
@@ -139,34 +169,39 @@ def main() -> int:
     # session and is shared by its own query + the recall audit — the
     # one-time derivation is itemized here, not buried in whichever
     # consumer runs first
-    for _m in ("brute", "lsh", "ivf", "ivfpq"):
-        _build(f"ann_{_m}", lambda m=_m: _sim.ann_results(spark, sf_dir, m))
+    # the four arms are mutually independent (their shared deps —
+    # ivf_index, pq_index — are already memoized above), so they build
+    # concurrently; the nprobe curve reuses arm results and runs after
+    _build_group(
+        "ann_arms",
+        {m: (lambda m=m: _sim.ann_results(spark, sf_dir, m)) for m in ("brute", "lsh", "ivf", "ivfpq")},
+    )
     # the 4-arm nprobe tuning curve (r10): memoized audit artifact
     _build("ann_nprobe_curve", lambda: _sim.similarity_ann_nprobe_curve(spark, sf_dir))
 
-    # the converged PageRank rank vector (r12): the loop-until-converged
-    # iteration (~8 rounds of join+agg) runs once per (session, corpus)
+    # Iterative model builds (r14, VERDICT r13 #6): PageRank's
+    # loop-until-converged run, the MapReduce-shim WordCount job, and
+    # the THREE perceptron trainings (full-corpus r13, held-out r14,
+    # constant-batch prod r14) are all chains of small jobs + bounded
+    # collects — driver-latency-bound, mutually independent once the
+    # shared classifier doc table exists (built first, itemized).
+    # Sequential, they cost the sum (~37 s at sf0.1); grouped, the wall
+    # is the slowest chain — Spark schedules the concurrent driver
+    # threads' jobs across the same task slots.
     from mini_hadoop_spark.workloads import parity as _parity
-
-    _build("pagerank_conv", lambda: _parity.pagerank_converged_query(spark, sf_dir))
-
-    # the MapReduce-shim WordCount (r13): the corpus text materialization
-    # + the shim job run once per (session, corpus); itemized so the
-    # per-query timing measures the pairs projection, not the job
-    _build("mapreduce_wc", lambda: _parity.mapreduce_wordcount_query(spark, sf_dir))
-
-    # the distilled quality classifier (r13): 48 mini-batch perceptron
-    # steps over the checkpointed doc table run once per (session,
-    # corpus) and serve both classifier queries
     from mini_hadoop_spark.operators import classifier as _cls
 
-    _build("classifier_model", lambda: _cls._train(spark, sf_dir))
-    # r14: the held-out variant (train-split-only weights) and the
-    # constant-batch production geometry each train once per (session,
-    # corpus); itemized so their queries measure the confusion/curve
-    # projections, not training
-    _build("classifier_holdout", lambda: _cls._train_holdout(spark, sf_dir))
-    _build("classifier_prod", lambda: _cls._train_prod(spark, sf_dir))
+    _build("classifier_table", lambda: _cls._doc_table(spark, sf_dir))
+    _build_group(
+        "iterative_models",
+        {
+            "pagerank_conv": lambda: _parity.pagerank_converged_query(spark, sf_dir),
+            "mapreduce_wc": lambda: _parity.mapreduce_wordcount_query(spark, sf_dir),
+            "classifier_model": lambda: _cls._train(spark, sf_dir),
+            "classifier_holdout": lambda: _cls._train_holdout(spark, sf_dir),
+            "classifier_prod": lambda: _cls._train_prod(spark, sf_dir),
+        },
+    )
 
     # the shared outer-join drain (r9): ONE end-to-end streaming run
     # serves both registered join drains; its real cost is itemized here
@@ -231,6 +266,9 @@ def main() -> int:
         "value_first_run": round(sum(first.get(k, 0.0) for k in timings), 4),
         "queries_first_run": {k: first[k] for k in timings if k in first},
         "index_build": index_build,
+        # per-arm spans of concurrent groups (informational; the group
+        # wall in index_build is what index_build_sec sums)
+        "index_build_detail": index_build_detail,
         "index_build_sec": round(sum(index_build.values()), 4),
         "value_cold_total": round(
             sum(first.get(k, 0.0) for k in timings) + sum(index_build.values()), 4
