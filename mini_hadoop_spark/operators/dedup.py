@@ -294,6 +294,9 @@ WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.content_hash = b.content_hash
 
 _PAIR_METHODS = ("jaccard", "minhash", "minhash_md5")
 _memo: dict[tuple, DataFrame] = {}
+#: (n_vectors, candidate_estimate) per (session, corpus, threshold,
+#: dims) — the grid preflight's two tiny jobs run once per corpus
+_grid_estimate_memo: dict[tuple, tuple] = {}
 
 
 def _memo_key(spark: SparkSession, sf_dir: str, what: str, method: str) -> tuple:
@@ -301,9 +304,11 @@ def _memo_key(spark: SparkSession, sf_dir: str, what: str, method: str) -> tuple
 
 
 def clear_memo() -> None:
-    """Drop memoized pair/label frames (tests that rewrite an sf_dir in
-    place call this; distinct tmp dirs never collide)."""
+    """Drop memoized pair/label frames and grid preflight estimates
+    (tests that rewrite an sf_dir in place call this; distinct tmp dirs
+    never collide)."""
     _memo.clear()
+    _grid_estimate_memo.clear()
 
 
 def near_dup_pairs(spark: SparkSession, sf_dir: str, method: str = "jaccard") -> DataFrame:
@@ -1350,6 +1355,7 @@ def embedding_dup_pairs(
     grid_dims: int = GRID_DIMS,
     preflight: bool = True,
     max_candidates: int | None = None,
+    precomputed_estimate: tuple[int, int] | None = None,
 ) -> DataFrame:
     """EXACT embedding near-dup pairs (cosine >= threshold) via lossless
     grid blocking — all-pairs-free with zero false negatives.
@@ -1393,7 +1399,9 @@ def embedding_dup_pairs(
     from mini_hadoop_spark.functions.vectors import dot
 
     if preflight:
-        n, est = grid_candidate_estimate(v, threshold, grid_dims)
+        n, est = precomputed_estimate or grid_candidate_estimate(
+            v, threshold, grid_dims
+        )
         bound = (
             max_candidates
             if max_candidates is not None
@@ -1447,10 +1455,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle brute-forces the same answer).  The synthetic
     corpus has no planted embedding dups (max pairwise cosine ≈ 0.51), so
     the result is empty at test SFs; tests/test_llm_pipeline.py plants
-    duplicates and asserts parity with brute force."""
+    duplicates and asserts parity with brute force.
+
+    The preflight estimate (see :func:`embedding_dup_pairs`) is
+    memoized per (session, corpus) — a fixed corpus's cell histogram
+    never changes, so the guard's two tiny jobs run once, not per
+    invocation; cleared by :func:`clear_memo` like every other
+    session-scoped artifact."""
     emb = spread_small_scan(load_table(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    return embedding_dup_pairs(v)
+    key = _memo_key(spark, sf_dir, "grid_estimate", f"{COSINE_DUP_THRESHOLD}/{GRID_DIMS}")
+    if key not in _grid_estimate_memo:
+        _grid_estimate_memo[key] = grid_candidate_estimate(
+            v, COSINE_DUP_THRESHOLD, GRID_DIMS
+        )
+    return embedding_dup_pairs(v, precomputed_estimate=_grid_estimate_memo[key])
 
 
 DEDUP_EMBEDDING_COSINE_SQL = f"""
