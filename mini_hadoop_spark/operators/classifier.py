@@ -113,6 +113,31 @@ CLS_BATCHES = 16
 
 _train_memo: dict[tuple, tuple] = {}
 _doc_table_memo: dict[tuple, DataFrame] = {}
+#: checkpoint RDD ids per memo key — Dataset.unpersist() does NOT free a
+#: localCheckpoint's blocks (it only drops CacheManager entries; verified
+#: empirically), so clear_memo unpersists the underlying RDDs by id
+_doc_table_rdd_ids: dict[tuple, list[int]] = {}
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> list[int]:
+    """Ids of all currently persisted RDDs (JVM-side registry)."""
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+    ids = []
+    while it.hasNext():
+        ids.append(int(it.next()))
+    return ids
+
+
+def _local_checkpoint_tracked(spark: SparkSession, df: DataFrame) -> tuple:
+    """localCheckpoint(eager=True) + the ids of the checkpoint RDD(s) it
+    registered, so the blocks can be freed deterministically later.
+    Id attribution diffs the persistent-RDD registry around the
+    checkpoint — callers must not checkpoint concurrently (the doc
+    table builds before bench's concurrent training group starts)."""
+    before = set(_persistent_rdd_ids(spark))
+    out = df.localCheckpoint(eager=True)
+    new_ids = [i for i in _persistent_rdd_ids(spark) if i not in before]
+    return out, new_ids
 
 
 def _md5_mod(col, modulus: int) -> F.Column:
@@ -192,7 +217,9 @@ def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pure scheduler overhead otherwise).  At cluster scale the
             # knob is the same — size the checkpoint to per-step volume.
             .coalesce(8)
-            .localCheckpoint(eager=True)
+        )
+        _doc_table_memo[key], _doc_table_rdd_ids[key] = _local_checkpoint_tracked(
+            spark, _doc_table_memo[key]
         )
     return _doc_table_memo[key]
 
@@ -371,21 +398,39 @@ def _train_prod(spark: SparkSession, sf_dir: str) -> tuple:
     if key not in _train_memo:
         import shutil
         import tempfile
+        import time
 
         docs = _doc_table(spark, sf_dir).filter(F.col("split") == "train")
+        t0 = time.perf_counter()
         n_train = docs.count()
         n_batches = max(1, -(-n_train // CLS_PROD_BATCH_SIZE))
         docs = docs.withColumn(
             "pbatch", _md5_mod(F.col("doc_id").cast("string"), n_batches)
         )
+        t1 = time.perf_counter()
+        if n_train == 0:
+            # an empty train split (every text hashed into val/test)
+            # degrades to zero updates like _train/_train_holdout would;
+            # partitionBy on an empty frame writes no parquet files and
+            # read-back cannot infer a schema, so skip the staging
+            stats, w = _run_sgd(docs, n_batches, batch_col="pbatch")
+            phases = {"count_s": t1 - t0, "stage_s": 0.0, "train_s": 0.0}
+            _train_memo[key] = (n_train, n_batches, stats, w, phases)
+            return _train_memo[key]
         root = tempfile.mkdtemp(prefix="cls_prod_batches_")
         try:
             docs.write.partitionBy("pbatch").mode("overwrite").parquet(root)
             staged = spark.read.parquet(root)
+            t2 = time.perf_counter()
             stats, w = _run_sgd(staged, n_batches, batch_col="pbatch")
+            t3 = time.perf_counter()
         finally:
             shutil.rmtree(root, ignore_errors=True)
-        _train_memo[key] = (n_train, n_batches, stats, w)
+        # per-phase walls so the scale smoke can report a per-step cost
+        # that is actually training (incl. the per-epoch eval jobs), not
+        # staging or the split count
+        phases = {"count_s": t1 - t0, "stage_s": t2 - t1, "train_s": t3 - t2}
+        _train_memo[key] = (n_train, n_batches, stats, w, phases)
     return _train_memo[key]
 
 
@@ -398,7 +443,7 @@ def classifier_train_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_classifier.py); the oracled 48-step twin
     (classifier_train_curve) certifies the identical per-step plan
     bit-for-bit."""
-    n_train, n_batches, stats, _ = _train_prod(spark, sf_dir)
+    n_train, n_batches, stats, _, _ = _train_prod(spark, sf_dir)
     rows = [
         (epoch, int(CLS_PROD_BATCH_SIZE), int(n_batches), miscl, corr, l1, s)
         for (epoch, miscl, corr, l1, s) in stats
@@ -564,16 +609,23 @@ def clear_memo() -> None:
     rebuild a corpus path in place within one session (the classifier
     scale smoke calls it between corpora).  Eagerly frees each
     memoized doc table's localCheckpoint blocks before dropping the
-    reference (ADVICE r13: without the unpersist, a cold re-run keeps
-    the prior corpus's checkpointed partitions in executor storage
-    until GC)."""
+    reference (ADVICE r13: without this, a cold re-run keeps the prior
+    corpus's checkpointed partitions in executor storage until GC;
+    note Dataset.unpersist() would NOT do it — it only drops
+    CacheManager entries, so the tracked checkpoint RDDs are
+    unpersisted by id)."""
     _train_memo.clear()
-    for df in _doc_table_memo.values():
+    for key, df in list(_doc_table_memo.items()):
         try:
-            df.unpersist(blocking=False)
+            jsc = df.sparkSession.sparkContext._jsc.sc()
+            for rid in _doc_table_rdd_ids.get(key, []):
+                opt = jsc.getPersistentRDDs().get(rid)
+                if opt.isDefined():
+                    opt.get().unpersist(False)
         except Exception:
             pass  # a stopped session has already freed the blocks
     _doc_table_memo.clear()
+    _doc_table_rdd_ids.clear()
 
 
 QUERIES = {

@@ -1215,13 +1215,16 @@ def grid_candidate_estimate(
     sum over positive offsets of m_c * m_{c+o}).  Returns
     ``(n_vectors, candidate_estimate)``.
 
-    Plan: one hash agg keyed by the cell tuple (|occupied cells| rows,
-    distributed), one 1-row total, and a histogram self-join on the
-    exploded positive-offset cells — everything downstream of the
-    histogram is bounded by cell count, never by pair count.  Sums run
-    in double (overflow-safe even when the estimate is astronomically
-    quadratic — its only consumer is a bound comparison; tests pin
-    estimate == join count at small n where doubles are exact)."""
+    Plan: ONE corpus scan into a hash agg keyed by the cell tuple
+    (|occupied cells| rows, distributed, persisted for the duration of
+    the call so the 1-row total and the offset self-join both read the
+    cached histogram instead of re-aggregating the corpus), then a
+    histogram self-join on the exploded positive-offset cells —
+    everything downstream of the histogram is bounded by cell count,
+    never by pair count.  Sums run in double (overflow-safe even when
+    the estimate is astronomically quadratic — its only consumer is a
+    bound comparison; tests pin estimate == join count at small n where
+    doubles are exact)."""
     import itertools
 
     from mini_hadoop_spark.functions.vectors import norm
@@ -1239,37 +1242,43 @@ def grid_candidate_estimate(
         )
         .groupBy(*[f"c{i}" for i in range(grid_dims)])
         .agg(F.count("*").alias("n_cell"))
+        .persist()
     )
-    base = hist.agg(
-        F.sum("n_cell").alias("n"),
-        F.sum(F.col("n_cell") * (F.col("n_cell") - F.lit(1)) / F.lit(2.0)).alias("same"),
-    ).collect()[0]
-    pos_offsets = [
-        o
-        for o in itertools.product((-1, 0, 1), repeat=grid_dims)
-        if o > tuple([0] * grid_dims)
-    ]
-    home = F.concat_ws(",", *[F.col(f"c{i}").cast("string") for i in range(grid_dims)])
-    probes = F.explode(
-        F.array(
-            *[
-                F.concat_ws(
-                    ",",
-                    *[
-                        (F.col(f"c{i}") + F.lit(o[i])).cast("string")
-                        for i in range(grid_dims)
-                    ],
-                )
-                for o in pos_offsets
-            ]
+    try:
+        base = hist.agg(
+            F.sum("n_cell").alias("n"),
+            F.sum(F.col("n_cell") * (F.col("n_cell") - F.lit(1)) / F.lit(2.0)).alias("same"),
+        ).collect()[0]
+        pos_offsets = [
+            o
+            for o in itertools.product((-1, 0, 1), repeat=grid_dims)
+            if o > tuple([0] * grid_dims)
+        ]
+        home = F.concat_ws(
+            ",", *[F.col(f"c{i}").cast("string") for i in range(grid_dims)]
         )
-    )
-    cross_row = (
-        hist.select(F.col("n_cell").alias("na"), probes.alias("cell"))
-        .join(hist.select(F.col("n_cell").alias("nb"), home.alias("cell")), "cell")
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("x"))
-        .collect()[0]
-    )
+        probes = F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            (F.col(f"c{i}") + F.lit(o[i])).cast("string")
+                            for i in range(grid_dims)
+                        ],
+                    )
+                    for o in pos_offsets
+                ]
+            )
+        )
+        cross_row = (
+            hist.select(F.col("n_cell").alias("na"), probes.alias("cell"))
+            .join(hist.select(F.col("n_cell").alias("nb"), home.alias("cell")), "cell")
+            .agg(F.sum(F.col("na") * F.col("nb")).alias("x"))
+            .collect()[0]
+        )
+    finally:
+        hist.unpersist(blocking=False)
     n = int(base["n"] or 0)
     return n, int(round((base["same"] or 0.0) + float(cross_row["x"] or 0.0)))
 

@@ -63,31 +63,56 @@ GROUP BY word
 _mapreduce_wc_memo: dict[tuple, DataFrame] = {}
 
 
-#: staged corpora older than this are presumed leaked by a killed/OOMed
-#: driver (atexit never ran) and are reclaimed at the next build
-_MR_WC_STALE_SECS = 2 * 3600
+#: deterministic staging dirs untouched for this long are presumed
+#: abandoned (no session has USED them — reuse touches the mtime) and
+#: are reclaimed at the next build.  Generous: a live session refreshes
+#: the mtime on every memo (re)build, so sweeping a dir a session still
+#: holds would need that session to sit idle past the whole window.
+_MR_WC_STALE_SECS = 24 * 3600
+#: write-side scratch dirs only live for the seconds of one df.write
+_MR_WC_TMP_STALE_SECS = 2 * 3600
+
+
+def _mr_wordcount_stage_dir(sf_dir: str) -> str:
+    """DETERMINISTIC per-corpus staging path (ADVICE r13: stage under a
+    deterministic path so reruns REUSE instead of re-writing): the
+    plain-text copy of a corpus is a pure function of the corpus, so
+    one staging per corpus serves every session — the leak is bounded
+    by |corpora|, not |sessions|, and a killed driver leaks nothing a
+    later session doesn't reuse or the age sweep reclaim.  (Rewriting a
+    corpus IN PLACE must remove its staging dir too — same contract as
+    the clear_memo hooks; unique tmp dirs, the normal test pattern,
+    never collide.)"""
+    import hashlib
+
+    tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"mr_wordcount_{tag}")
 
 
 def _sweep_stale_mr_wordcount() -> None:
-    """Reclaim mr_wordcount_* staging dirs from dead sessions (ADVICE
-    r13: atexit covers clean exits only; a killed driver leaks a full
-    plain-text corpus copy under /tmp per session).  Age-gated so a
-    CONCURRENT session's live staging is never swept."""
+    """Reclaim abandoned staging (killed/OOMed drivers, retired corpora).
+    Reuse touches the mtime, so only dirs no session has used for
+    _MR_WC_STALE_SECS are swept; in-flight write scratch
+    (mr_wordcount_tmp_*) lives seconds and sweeps on a shorter gate."""
     import glob
     import shutil
     import time as _time
 
-    cutoff = _time.time() - _MR_WC_STALE_SECS
+    now = _time.time()
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "mr_wordcount_*")):
+        gate = (
+            _MR_WC_TMP_STALE_SECS
+            if os.path.basename(d).startswith("mr_wordcount_tmp_")
+            else _MR_WC_STALE_SECS
+        )
         try:
-            if os.path.getmtime(d) < cutoff:
+            if os.path.getmtime(d) < now - gate:
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass  # raced with another sweeper / already gone
 
 
 def mapreduce_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import shutil
 
     from mini_hadoop_spark.engine.examples import word_count_submit_job
@@ -95,16 +120,25 @@ def mapreduce_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     if key not in _mapreduce_wc_memo:
         _sweep_stale_mr_wordcount()
-        root = tempfile.mkdtemp(prefix="mr_wordcount_")
-        # the staged text can't be removed while the memoized pairs
-        # DataFrame is alive (persist eviction would recompute from it),
-        # so reclaim it at interpreter exit — without this every session
-        # leaks a full text copy of the corpus under /tmp
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        txt_dir = os.path.join(root, "docs_txt")
-        load_table(spark, sf_dir, "documents").select(
-            F.coalesce(F.col("text"), F.lit("")).alias("value")
-        ).write.text(txt_dir)
+        stage = _mr_wordcount_stage_dir(sf_dir)
+        txt_dir = os.path.join(stage, "docs_txt")
+        if not os.path.isdir(txt_dir):
+            # write into private scratch, then one atomic rename claims
+            # the deterministic path; losing the race to a concurrent
+            # session just means reusing the winner's staging
+            scratch = tempfile.mkdtemp(prefix="mr_wordcount_tmp_")
+            load_table(spark, sf_dir, "documents").select(
+                F.coalesce(F.col("text"), F.lit("")).alias("value")
+            ).write.text(os.path.join(scratch, "docs_txt"))
+            try:
+                os.rename(scratch, stage)
+            except OSError:
+                shutil.rmtree(scratch, ignore_errors=True)
+                if not os.path.isdir(txt_dir):
+                    raise
+        # mark the staging as in use so the age sweep never reclaims a
+        # dir a live session's memoized pairs still read from
+        os.utime(stage, None)
         result = word_count_submit_job(spark, [txt_dir], sort_desc_by_count=False)
         _mapreduce_wc_memo[key] = result.pairs.select(
             F.col("key").alias("word"), F.col("value").cast("long").alias("cnt")

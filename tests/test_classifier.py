@@ -112,3 +112,35 @@ def test_train_prod_deterministic_and_learns(spark):
     classifier.clear_memo()
     second = [tuple(r) for r in classifier.classifier_train_prod(spark, SF_DIR).orderBy("epoch").collect()]
     assert first == second, "constant-batch training is not deterministic"
+
+
+def test_clear_memo_frees_checkpoint_blocks(spark):
+    """Code-review r14: Dataset.unpersist() is a no-op for
+    localCheckpoint blocks (it only drops CacheManager entries), so
+    clear_memo must unpersist the tracked checkpoint RDDs by id — a
+    cold re-run (the scale smoke between corpora) must not keep the
+    prior corpus's doc table in executor storage."""
+    from mini_hadoop_spark.operators import classifier
+
+    classifier.clear_memo()
+    base = len(classifier._persistent_rdd_ids(spark))
+    classifier._doc_table(spark, SF_DIR)
+    assert len(classifier._persistent_rdd_ids(spark)) > base
+    classifier.clear_memo()
+    assert len(classifier._persistent_rdd_ids(spark)) == base
+
+
+def test_train_prod_empty_train_split(spark, tmp_path):
+    """Code-review r14: an empty train split (partitionBy writes zero
+    parquet files; read-back cannot infer a schema) must degrade to
+    zero updates like the other trainers, not crash."""
+    from mini_hadoop_spark.operators import classifier
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    d = str(tmp_path / "empty_corpus")
+    load_table(spark, SF_DIR, "documents").limit(0).write.parquet(
+        d + "/documents.parquet"
+    )
+    n_train, n_batches, stats, w, _ = classifier._train_prod(spark, d)
+    assert n_train == 0 and w == {}
+    assert all(s[1] == 0 and s[2] == 0 for s in stats)

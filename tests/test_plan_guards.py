@@ -313,6 +313,28 @@ def test_quantile_disc_price_prefix_sum_shape(spark):
 
     walk(df._jdf.queryExecution().sparkPlan())
     assert windows, "expected window nodes in the quantile plan"
+    # the corpus-sized (flag, value) counts agg appears under the rng
+    # scalar, the partials branch AND the cum probe side — ReuseExchange
+    # must dedupe those subtrees so the corpus is scanned once, not 3x
+    # (code-review r14: without reuse the prefix-sum triples the only
+    # corpus-sized work of the query).  AQE hides the reuse in the
+    # initial explain (it reuses shuffle STAGES at runtime), so check
+    # the static planner's form with AQE off, like tools/plan_audit.py
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from mini_hadoop_spark.operators.relational_ext import (
+            quantile_disc_price as _q,
+        )
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            _q(spark, SF_DIR).explain("formatted")
+        assert "ReusedExchange" in buf.getvalue(), (
+            "quantile_disc_price plans no exchange reuse — the per-value "
+            "counts aggregation would recompute per branch"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     saw_bucketed = False
     for w in windows:
         keys = [str(e) for e in _jseq(w.partitionSpec())]
