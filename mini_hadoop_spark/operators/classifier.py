@@ -60,9 +60,14 @@ slice (the weight vector inlines as ONE literal-array expression — no
 join, no broadcast exchange) plus a bucket-keyed update aggregate that
 collects ≤ CLS_BUCKETS integers — the collected state is MODEL-sized,
 never corpus-sized (the bounded-collect rule, DESIGN.md lesson 35).
-Steps per corpus are a fixed constant (CLS_EPOCHS × CLS_BATCHES = 48),
-each touching 1/B of the corpus — the aggregate training cost is
-CLS_EPOCHS linear corpus passes, exactly like SGD.
+Steps per corpus are a fixed constant (CLS_EPOCHS × CLS_BATCHES = 48);
+each step's UPDATE touches 1/B of the corpus, but its scan reads the
+whole compact checkpoint (a batch filter does not prune an in-memory
+table) — 48 cheap columnar scans total.  The registered scale path,
+``classifier_train_prod``, removes even that: its training table is
+staged to parquet partitioned by batch id, so each step's scan prunes
+to its own batch directory and per-step I/O is batch-sized at any
+corpus size (measured flat at 100x, SCALE_CLASSIFIER.json).
 
 Honest limit: the oracle chain's length is fixed at import time, so
 the step count cannot grow with the corpus — at larger SFs the
