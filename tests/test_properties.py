@@ -360,3 +360,54 @@ def test_pagerank_fixed_point_matches_python_model(spark, edges):
     want, want_k = _ref_pagerank_fixed_point(edges, tol9=200_000_000, max_iters=6)
     assert got == want
     assert got_k == want_k
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "R"]),
+            st.one_of(
+                st.floats(min_value=900.0, max_value=110000.0, allow_nan=False),
+                st.sampled_from([1.0, 1.0, 2.0, 42.5]),  # force duplicates
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_quantile_prefix_sum_matches_type1_reference(spark, rows):
+    """r14's bucketed distributed prefix-sum (quantile_disc_price) must
+    select EXACTLY the type-1 quantile — the element at position
+    ceil(p*n) of the value-ordered cohort — for arbitrary cohorts:
+    duplicates, all-equal values (degenerate bucket width), single-row
+    flags, and values straddling min/max bucket edges.  The oracle
+    battery pins the fixed corpora; this pins the algorithm itself."""
+    import mini_hadoop_spark.operators.relational_ext as rx
+
+    df = spark.createDataFrame(
+        [(i, 1, f, float(v)) for i, (f, v) in enumerate(rows)],
+        "l_orderkey long, l_linenumber long, l_returnflag string, l_quantity double",
+    ).selectExpr(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity AS l_extendedprice",
+    )
+    orig = rx._t
+    rx._t = lambda sp, d, t: df
+    try:
+        got = {
+            (r.l_returnflag, r.p): r.quantile_disc
+            for r in rx.quantile_disc_price(spark, "ignored").collect()
+        }
+    finally:
+        rx._t = orig
+
+    by_flag: dict = {}
+    for f, v in rows:
+        by_flag.setdefault(f, []).append(float(v))
+    want = {}
+    for f, vs in by_flag.items():
+        vs.sort()
+        for p in (0.5, 0.95):
+            want[(f, p)] = vs[math.ceil(p * len(vs)) - 1]
+    assert got == want, (got, want)
