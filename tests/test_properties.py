@@ -411,3 +411,38 @@ def test_quantile_prefix_sum_matches_type1_reference(spark, rows):
         for p in (0.5, 0.95):
             want[(f, p)] = vs[math.ceil(p * len(vs)) - 1]
     assert got == want, (got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-2.0, max_value=2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ).filter(lambda v: any(abs(x) > 1e-6 for x in v)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_grid_estimate_identity_random_vectors(spark, vecs):
+    """The quadratic guard's core invariant on ARBITRARY vector sets:
+    the cell-histogram estimate must equal the oriented candidate
+    join's row count exactly — clusters, spread-out points, boundary
+    cells, duplicate vectors.  (Zero-norm vectors are excluded: x/0
+    cells are NaN/NULL territory the operator never sees — embeddings
+    are non-degenerate by the loader's contract.)"""
+    from mini_hadoop_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        _grid_candidate_join,
+        grid_candidate_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, e array<double>",
+    )
+    n, est = grid_candidate_estimate(df, COSINE_DUP_THRESHOLD, 2)
+    joined = _grid_candidate_join(df, COSINE_DUP_THRESHOLD, 2).count()
+    assert n == len(vecs)
+    assert est == joined, (est, joined)
