@@ -31,7 +31,7 @@ PERCEPTRON over hashed bag-of-token presence features:
   embedded as the labels CTE (audit-query composition, DESIGN lesson
   27).
 
-Five registered queries share one memoized feature build:
+Six registered queries share one memoized feature build:
 
 * ``classifier_train_curve`` — end-of-epoch full-corpus
   misclassification counts + integer weight checksums (the
@@ -48,6 +48,9 @@ Five registered queries share one memoized feature build:
   batch SIZE held constant (CLS_PROD_BATCH_SIZE), step count grows
   with the corpus; determinism/accuracy pytest-gated, per-step cost
   measured flat in the 100x smoke (SCALE_CLASSIFIER.json).
+* ``pipeline_distilled_manifest`` (r14) — the APPLY stage: the cheap
+  student scores the whole corpus and the per-(source, lang) kept
+  docs/tokens manifest falls out of one scan + one hash agg.
 * ``streaming_classifier_drain`` (streaming/windowed.py) — the SERVE
   half: every newly landed shard scored at ingest under the frozen
   weights via :func:`score_docs`.
@@ -93,7 +96,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from mini_hadoop_spark.functions.partitioning import spread_small_scan
-from mini_hadoop_spark.functions.text import tokens
+from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up, tokens
 from mini_hadoop_spark.operators.sampling import (
     SPLIT_BUCKETS,
     TRAIN_UPTO,
@@ -461,6 +464,71 @@ def classifier_train_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_distilled_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query (r14): APPLY the distilled student to the WHOLE
+    corpus — the distillation endgame (CCNet, Wenzek et al. 2020: the
+    expensive teacher labels a sample to train the student; curation
+    then runs the cheap student over everything).  Per (source, lang):
+    document count, student-kept count, kept share, and kept token
+    volume — the manifest a pretraining data mix is planned from.
+
+    Plan: the memoized holdout-trained weights inline as one literal
+    array over the memoized doc table (margins = a codegen projection
+    of the compact checkpoint), equi-joined 1:1 on doc_id to a single
+    documents scan carrying (source, lang, token count), then one
+    map-combined hash agg keyed by (source, lang).  At 100 TB this is
+    one corpus scan + the model projection — the cheapness that is the
+    entire point of distilling the teacher.  Fully oracled: the holdout
+    w-chain CTEs score every doc (me{T} carries all splits), joined to
+    the documents tokenization."""
+    w = _train_holdout(spark, sf_dir)
+    scored = (
+        _doc_table(spark, sf_dir)
+        .withColumn("m", _margin_col(w))
+        .select("doc_id", (F.col("m") > 0).alias("pred_keep"))
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.coalesce(F.size(tokens("text")), F.lit(0)).cast("long").alias("n_toks"),
+    )
+    kept = F.count(F.when(F.col("pred_keep"), 1))
+    return (
+        d.join(scored, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            kept.alias("n_kept"),
+            round_half_up(
+                kept.cast("double") / F.count("*").cast("double"), 6
+            ).alias("kept_share"),
+            F.coalesce(
+                F.sum(F.when(F.col("pred_keep"), F.col("n_toks"))), F.lit(0)
+            ).alias("kept_tokens"),
+        )
+    )
+
+
+def _distilled_manifest_sql() -> str:
+    return (
+        "WITH " + _cls_ctes(holdout=True) + f""",
+scores AS (SELECT doc_id, m > 0 AS pred_keep FROM me{CLS_EPOCHS}),
+toks AS (
+  SELECT doc_id, source, lang,
+         coalesce(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 0)::BIGINT AS n_toks
+  FROM documents
+)
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       count(*) FILTER (WHERE pred_keep)::BIGINT AS n_kept,
+       {sql_round_half_up("count(*) FILTER (WHERE pred_keep)::DOUBLE / count(*)::DOUBLE", 6)} AS kept_share,
+       coalesce(sum(n_toks) FILTER (WHERE pred_keep), 0)::BIGINT AS kept_tokens
+FROM toks JOIN scores USING (doc_id)
+GROUP BY source, lang
+"""
+    )
+
+
 def score_docs(docs: DataFrame, w: dict[int, int]) -> DataFrame:
     """Score documents under FROZEN weights — (doc_id, margin,
     pred_keep).  Doc-local by construction (each row's margin depends
@@ -506,7 +574,7 @@ def _cls_ctes(holdout: bool = False) -> str:
   FROM ({gopher}) g JOIN documents d USING (doc_id)
 )"""
         train_pred = " AND l.split = 'train'"
-        me_pred = "WHERE l.split = 'val'\n  "
+        me_split = " l.split,"
     else:
         labels_cte = f"""labels AS MATERIALIZED (
   SELECT doc_id, keep, CASE WHEN keep THEN 1 ELSE -1 END::BIGINT AS y,
@@ -514,7 +582,7 @@ def _cls_ctes(holdout: bool = False) -> str:
   FROM ({gopher})
 )"""
         train_pred = ""
-        me_pred = ""
+        me_split = ""
     ctes = [
         f"""feats AS MATERIALIZED (
   SELECT DISTINCT doc_id,
@@ -552,11 +620,11 @@ def _cls_ctes(holdout: bool = False) -> str:
         if holdout and t < CLS_EPOCHS:
             continue  # only the final margin CTE is consumed
         ctes.append(f"""me{t} AS MATERIALIZED (
-  SELECT l.doc_id, l.keep, l.y, coalesce(sum(f.cnt * w.w), 0)::BIGINT AS m
+  SELECT l.doc_id, l.keep, l.y,{me_split} coalesce(sum(f.cnt * w.w), 0)::BIGINT AS m
   FROM labels l
   LEFT JOIN feats f USING (doc_id)
   LEFT JOIN w{k} w USING (bucket)
-  {me_pred}GROUP BY l.doc_id, l.keep, l.y
+  GROUP BY l.doc_id, l.keep, l.y{"," + me_split.rstrip(",") if me_split else ""}
 )""")
     return ",\n".join(ctes)
 
@@ -590,7 +658,7 @@ def _holdout_confusion_sql() -> str:
 SELECT keep, count(*)::BIGINT AS n_docs,
        count(*) FILTER (WHERE m > 0)::BIGINT AS n_pred_keep,
        count(*) FILTER (WHERE (m > 0) = keep)::BIGINT AS n_correct
-FROM me{CLS_EPOCHS} GROUP BY keep
+FROM me{CLS_EPOCHS} WHERE split = 'val' GROUP BY keep
 """
     )
 
@@ -598,6 +666,7 @@ FROM me{CLS_EPOCHS} GROUP BY keep
 CLASSIFIER_TRAIN_CURVE_SQL = _train_curve_sql()
 CLASSIFIER_EVAL_CONFUSION_SQL = _eval_confusion_sql()
 CLASSIFIER_HOLDOUT_CONFUSION_SQL = _holdout_confusion_sql()
+PIPELINE_DISTILLED_MANIFEST_SQL = _distilled_manifest_sql()
 #: per-doc scores under the final weights — the oracle for the
 #: streaming ingest-scoring drain (streaming/windowed.py): scoring is
 #: doc-local, so the drained per-shard union must equal this exactly
@@ -640,10 +709,12 @@ QUERIES = {
     # rows-only: the corpus-dependent step count cannot unroll into a
     # fixed cross-engine CTE chain (see classifier_train_prod docstring)
     "classifier_train_prod": classifier_train_prod,
+    "pipeline_distilled_manifest": pipeline_distilled_manifest,
 }
 
 ORACLES = {
     "classifier_train_curve": CLASSIFIER_TRAIN_CURVE_SQL,
     "classifier_eval_confusion": CLASSIFIER_EVAL_CONFUSION_SQL,
     "classifier_holdout_confusion": CLASSIFIER_HOLDOUT_CONFUSION_SQL,
+    "pipeline_distilled_manifest": PIPELINE_DISTILLED_MANIFEST_SQL,
 }

@@ -43,16 +43,17 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r14 ROTATION (VERDICT r13 #4): the 2 r14-new queries take first-ever
-# slots on day one (classifier_holdout_confusion oracled;
-# classifier_train_prod is the deliberate rows-only production-geometry
-# twin — see WINDOW_ROWS_ONLY below); the other 48 slots are the
-# mechanically stalest oracled evidence — the ENTIRE remaining r09
-# cohort (44) and the 4 alphabetically-first r10s.  After the r14
-# artifact no query is never-driver-seen and no oracled query's
-# evidence is older than r10 (age 4).  Computed by the exact recipe in
-# tools/rotation_report.py; rotated-out queries keep running in the
-# local oracle battery (tests/test_oracle_battery.py) every round.
+# r14 ROTATION (VERDICT r13 #4): the 3 r14-new queries take first-ever
+# slots on day one (classifier_holdout_confusion and
+# pipeline_distilled_manifest oracled; classifier_train_prod is the
+# deliberate rows-only production-geometry twin — see WINDOW_ROWS_ONLY
+# below); the other 47 slots are the mechanically stalest oracled
+# evidence — the ENTIRE remaining r09 cohort (44) and the 3
+# alphabetically-first r10s.  After the r14 artifact no query is
+# never-driver-seen and no oracled query's evidence is older than r10
+# (age 4).  Computed by the exact recipe in tools/rotation_report.py;
+# rotated-out queries keep running in the local oracle battery
+# (tests/test_oracle_battery.py) every round.
 
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
@@ -74,6 +75,7 @@ DRIVER_WINDOW = [
     # --- never driver-seen: r14-new ---
     "classifier_holdout_confusion",
     "classifier_train_prod",
+    "pipeline_distilled_manifest",
     # --- full remaining r09 cohort ---
     "corpus_profile",
     "corr_quantity_price",
@@ -123,7 +125,6 @@ DRIVER_WINDOW = [
     "agg_filtered_counts",
     "agg_global_no_group",
     "agg_grouping_sets",
-    "agg_rollup",
 ]
 
 
