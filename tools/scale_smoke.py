@@ -75,6 +75,15 @@ EXCLUDED = {
         "exact single-task quantile baseline kept only as the sketch "
         "oracle anchor; agg_approx_sketches is the measured scale path"
     ),
+    "dedup_embedding_cosine": (
+        "r14: the quadratic guard REFUSES the 10x battery corpus by "
+        "design (isotropic embeddings, estimated 195.9M candidates > "
+        "max(4M, 64*n) — GridBlockingDegenerateError in seconds); its "
+        "scale evidence is the grid-family appendix (SCALE_GRID.json: "
+        "exact candidate arithmetic at 1x/10x/100x, unguarded walls, "
+        "guard refusal cost), and dedup_semantic_semdedup / the ANN "
+        "family are the measured scale paths on spread-less corpora"
+    ),
 }
 
 #: A 10x corpus means a PERFECTLY LINEAR query costs ~10x; most of the
