@@ -1,0 +1,325 @@
+"""Pure-stdlib baseline JPEG decoder (ITU-T T.81 / JFIF — public spec).
+
+The PIL-free arm of the multimodal image/MJPEG decode path (VERDICT r14
+#6): the same idiom as the BMP/WAV/AVI/MP4 stdlib decoders in
+``operators/multimodal.py`` — real parsing of the public file layout,
+loud failure outside the supported profile, zero third-party imports.
+Reference capability parity: the reference treats media payloads as
+opaque blobs (mini_hadoop.ex stores bytes); the decode stage is part of
+this repo's LLM-data-pipeline extension surface.
+
+Supported profile (everything an MJPEG stream or a default encoder
+emits): baseline/extended-sequential Huffman DCT (SOF0/SOF1), 8-bit
+precision, 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 /
+4:2:0 ... via pixel-replication upsampling), restart intervals, one
+interleaved scan or a single-component scan.  Progressive (SOF2),
+lossless/hierarchical frames, arithmetic coding (SOF9+/DAC) and 12-bit
+precision raise ``NotImplementedError`` LOUDLY — never a silent stub;
+corrupt streams raise ``ValueError``.
+
+Scale note: this runs inside Arrow-batched ``mapInPandas`` workers
+(one payload per call, CPU-bound, no driver involvement), so the
+per-payload Python cost parallelizes across executors exactly like the
+other stdlib decoders.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+#: zigzag index -> natural (row-major) coefficient index
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: separable IDCT basis: _C[u][x] = 0.5 * c(u) * cos((2x+1) u pi / 16),
+#: c(0)=1/sqrt(2) else 1 — two passes give the exact T.81 2-D IDCT.
+_C = [
+    [
+        (0.5 / math.sqrt(2.0) if u == 0 else 0.5) * math.cos((2 * x + 1) * u * math.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+_NOT_BASELINE = {
+    0xC2: "progressive DCT (SOF2)",
+    0xC3: "lossless sequential (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic sequential (SOF9)",
+    0xCA: "arithmetic progressive (SOF10)",
+    0xCB: "arithmetic lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with T.81 byte
+    stuffing (0xFF 0x00 -> literal 0xFF).  A non-stuffing marker inside
+    entropy data is a stream error except at a restart boundary, where
+    :meth:`restart` consumes it explicitly."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._cur = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                        if nxt is not None
+                        else "JPEG entropy data truncated at 0xFF"
+                    )
+            self._cur = b
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._cur >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self, n_seen: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self._nbits = 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (n_seen % 8)
+        ):
+            raise ValueError(f"missing restart marker RST{n_seen % 8}")
+        self.pos += 2
+
+
+def _build_huff(counts: bytes, symbols: bytes) -> dict:
+    """(code length, code) -> symbol, per T.81 annex C code assignment."""
+    lut: dict = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _decode_sym(br: _BitReader, lut: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = lut.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 EXTEND: map the t received bits to the signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_block(coef: list) -> list:
+    """Exact separable 2-D IDCT; returns 8 rows of 8 clamped pixels
+    (level-shifted +128)."""
+    tmp = [
+        [sum(coef[v * 8 + u] * _C[u][x] for u in range(8)) for x in range(8)]
+        for v in range(8)
+    ]
+    out = []
+    for y in range(8):
+        row = []
+        for x in range(8):
+            s = sum(tmp[v][x] * _C[v][y] for v in range(8)) + 128.0
+            row.append(0 if s < 0 else (255 if s > 255 else int(s + 0.5)))
+        out.append(row)
+    return out
+
+
+def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, list]:
+    """Decode a baseline JPEG into ``(width, height, pixels)`` with
+    pixels as ``[(r, g, b), ...]`` in raster order — the same contract
+    as ``multimodal._decode_bmp_rgb`` so the luma-histogram feature arm
+    is decoder-agnostic."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    restart_interval = 0
+    frame = None
+    pos = 2
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream out of sync")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            raise ValueError("JPEG ended before a scan (no SOS)")
+        if m in _NOT_BASELINE:
+            raise NotImplementedError(
+                f"only baseline Huffman JPEG decodes here, got {_NOT_BASELINE[m]}"
+            )
+        if m == 0xCC:  # DAC: arithmetic conditioning — never baseline
+            raise NotImplementedError("arithmetic-coded JPEG is not baseline")
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seg_len]
+        seg_end = pos + seg_len
+        if m == 0xDB:  # DQT — one or more tables per segment
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = list(seg[i : i + 64])
+                    i += 64
+                else:
+                    qt[tq] = list(struct.unpack_from(f">{64}H", seg, i))
+                    i += 128
+        elif m == 0xC4:  # DHT — one or more tables per segment
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                n = sum(counts)
+                lut = _build_huff(counts, seg[i + 17 : i + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = lut
+                i += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0 / SOF1
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"only 8-bit precision decodes here, got {prec}")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(f"only 1/3-component JPEGs decode here, got {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS — decode the scan, then we're done
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            sel = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 15)
+            return _decode_scan(payload, seg_end, frame, sel, qt, huff_dc, huff_ac, restart_interval)
+        pos = seg_end
+    raise ValueError("JPEG ended without a scan")
+
+
+def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, ri):
+    w, h, comps = frame
+    scan_comps = [c for c in comps if c[0] in sel]
+    if len(scan_comps) != len(comps) and len(scan_comps) != 1:
+        raise NotImplementedError("partial multi-component scans are not baseline-interleaved")
+    if len(scan_comps) < len(comps):
+        raise NotImplementedError("multi-scan (non-interleaved) baseline JPEG unsupported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        hmax = vmax = 1
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: [[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)]
+        for cid, hs, vs, _ in comps
+    }
+    br = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                br.restart(n_rst)
+                n_rst += 1
+                pred = {cid: 0 for cid in pred}
+            for cid, hs, vs, tq in comps:
+                dc_lut = huff_dc.get(sel[cid][0])
+                ac_lut = huff_ac.get(sel[cid][1])
+                q = qt.get(tq)
+                if dc_lut is None or ac_lut is None or q is None:
+                    raise ValueError("JPEG scan references an undefined table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = [0] * 64
+                        t = _decode_sym(br, dc_lut)
+                        pred[cid] += _extend(br.receive(t), t)
+                        coef[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_sym(br, ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coef[_ZIGZAG[k]] = _extend(br.receive(s), s) * q[k]
+                            k += 1
+                        px = _idct_block(coef)
+                        plane = planes[cid]
+                        y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                        for yy in range(8):
+                            plane[y0 + yy][x0 : x0 + 8] = px[yy]
+            n_mcu += 1
+    return w, h, _to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _to_rgb(w, h, comps, planes, hmax, vmax):
+    pixels = []
+    if len(comps) == 1:
+        plane = planes[comps[0][0]]
+        for y in range(h):
+            row = plane[y]
+            pixels.extend((v, v, v) for v in row[:w])
+        return pixels
+    (yid, yh, yv, _), (bid, bh, bv, _), (rid, rh, rv, _) = comps
+    py, pb, pr = planes[yid], planes[bid], planes[rid]
+    for y in range(h):
+        ry, rb, rr = py[y * yv // vmax], pb[y * bv // vmax], pr[y * rv // vmax]
+        for x in range(w):
+            lum = ry[x * yh // hmax]
+            cb = rb[x * bh // hmax] - 128
+            cr = rr[x * rh // hmax] - 128
+            r = lum + 1.402 * cr
+            g = lum - 0.344136 * cb - 0.714136 * cr
+            b = lum + 1.772 * cb
+            pixels.append(
+                (
+                    0 if r < 0 else (255 if r > 255 else int(r + 0.5)),
+                    0 if g < 0 else (255 if g > 255 else int(g + 0.5)),
+                    0 if b < 0 else (255 if b > 255 else int(b + 0.5)),
+                )
+            )
+    return pixels

@@ -92,6 +92,7 @@ run-job-then-feed-results-back loop shape.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -121,6 +122,11 @@ CLS_BATCHES = 16
 
 _train_memo: dict[tuple, tuple] = {}
 _doc_table_memo: dict[tuple, DataFrame] = {}
+#: serializes _doc_table's populate (ADVICE r14): the checkpoint-RDD-id
+#: attribution in _local_checkpoint_tracked diffs a GLOBAL registry, so
+#: concurrent populates (bench's iterative_models threads after a failed
+#: sequential classifier_table build) could cross-attribute ids
+_doc_table_lock = threading.Lock()
 #: checkpoint RDD ids per memo key — Dataset.unpersist() does NOT free a
 #: localCheckpoint's blocks (it only drops CacheManager entries; verified
 #: empirically), so clear_memo unpersists the underlying RDDs by id
@@ -204,16 +210,25 @@ def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal map expression).  n rows, ≤ CLS_BUCKETS array elements.
     Memoized + checkpointed per (session, corpus): training takes ~50
     passes over it and the eval query one more — one feature build
-    serves them all."""
+    serves them all.  The populate is double-checked-locked (ADVICE
+    r14): bench's iterative_models group calls this from concurrent
+    driver threads, and _local_checkpoint_tracked's persistent-RDD
+    registry diff requires that no two checkpoints run concurrently —
+    without the lock a racing thread could attribute another thread's
+    checkpoint RDD ids to the wrong memo key."""
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
-    if key not in _doc_table_memo:
+    if key in _doc_table_memo:
+        return _doc_table_memo[key]
+    with _doc_table_lock:
+        if key in _doc_table_memo:  # lost the build race — reuse the winner's
+            return _doc_table_memo[key]
         raw = spread_small_scan(load_table(spark, sf_dir, "documents"))
         feats = _doc_buckets(raw)
         # content-hash split (sampling.split_label — the SAME 80/10/10
         # md5(text) rule the split operators register), so the holdout
         # family trains/evaluates on engine-exact split membership
         splits = raw.select("doc_id", split_label(F.col("text")).alias("split"))
-        _doc_table_memo[key] = (
+        built = (
             _labels(spark, sf_dir)
             .join(feats, "doc_id", "left")
             .join(splits, "doc_id")
@@ -227,7 +242,7 @@ def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .coalesce(8)
         )
         _doc_table_memo[key], _doc_table_rdd_ids[key] = _local_checkpoint_tracked(
-            spark, _doc_table_memo[key]
+            spark, built
         )
     return _doc_table_memo[key]
 
@@ -259,12 +274,19 @@ def _run_sgd(
     ([per-epoch stats], final weights dict).  Stats row t = (epoch,
     n_misclassified, n_correct) over ``docs`` under the end-of-epoch
     weights, plus their integer (weight_l1, weight_sum) checksums;
-    ``with_stats=False`` skips the per-epoch full-pass jobs (the holdout
-    trainer only needs the final weights)."""
-    n_docs = docs.count() if with_stats else 0
+    ``with_stats=False`` skips the stats job entirely (the holdout
+    trainer only needs the final weights).
+
+    The stats run as ONE batched end-of-run job (r15, VERDICT r14 #5):
+    the end-of-epoch weight snapshots are all driver-side dicts by the
+    time training finishes, so every epoch's misclassification count is
+    a conditional aggregate under that epoch's literal-array margin in
+    a single projection over ONE scan — 1 job replaces the former
+    epochs+1 full-pass jobs (initial count + one count per epoch),
+    bit-identical integers, same oracle."""
     w: dict[int, int] = {}
-    stats = []
-    for epoch in range(1, epochs + 1):
+    snaps: list[dict[int, int]] = []
+    for _epoch in range(1, epochs + 1):
         for j in range(n_batches):
             # one job per step: batch scan -> misclassified -> per-bucket
             # update sums -> collect (≤ CLS_BUCKETS rows — model-sized)
@@ -280,20 +302,27 @@ def _run_sgd(
             for r in delta:
                 w[int(r.bucket)] = w.get(int(r.bucket), 0) + int(r.d)
         if with_stats:
-            n_miscl = (
-                docs.withColumn("m", _margin_col(w))
-                .filter(F.col("y") * F.col("m") <= 0)
-                .count()
-            )
-            stats.append(
-                (
-                    epoch,
-                    int(n_miscl),
-                    int(n_docs - n_miscl),
-                    int(sum(abs(v) for v in w.values())),
-                    int(sum(w.values())),
-                )
-            )
+            snaps.append(dict(w))
+    if not with_stats:
+        return [], w
+    row = docs.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.count(F.when(F.col("y") * _margin_col(ws) <= 0, 1)).alias(f"miscl_{e}")
+            for e, ws in enumerate(snaps, 1)
+        ],
+    ).collect()[0]
+    n_docs = int(row["n_docs"])
+    stats = [
+        (
+            e,
+            int(row[f"miscl_{e}"]),
+            n_docs - int(row[f"miscl_{e}"]),
+            int(sum(abs(v) for v in ws.values())),
+            int(sum(ws.values())),
+        )
+        for e, ws in enumerate(snaps, 1)
+    ]
     return stats, w
 
 

@@ -1247,7 +1247,9 @@ def grid_candidate_estimate(
     try:
         base = hist.agg(
             F.sum("n_cell").alias("n"),
-            F.sum(F.col("n_cell") * (F.col("n_cell") - F.lit(1)) / F.lit(2.0)).alias("same"),
+            F.sum(
+                F.col("n_cell").cast("double") * (F.col("n_cell") - F.lit(1)) / F.lit(2.0)
+            ).alias("same"),
         ).collect()[0]
         pos_offsets = [
             o
@@ -1274,7 +1276,11 @@ def grid_candidate_estimate(
         cross_row = (
             hist.select(F.col("n_cell").alias("na"), probes.alias("cell"))
             .join(hist.select(F.col("n_cell").alias("nb"), home.alias("cell")), "cell")
-            .agg(F.sum(F.col("na") * F.col("nb")).alias("x"))
+            # na cast BEFORE the multiply so the per-row product runs in
+            # double too (ADVICE r14: a long*long product wraps silently
+            # on exactly the degenerate corpora this guard exists for;
+            # casting only the SUM would still overflow per-row)
+            .agg(F.sum(F.col("na").cast("double") * F.col("nb")).alias("x"))
             .collect()[0]
         )
     finally:

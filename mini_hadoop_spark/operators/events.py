@@ -417,6 +417,13 @@ FROM dau d JOIN wau w ON d.day = w.day
 #: discrete-quantile probes for the inter-event gap distribution
 GAP_PROBES = (0.5, 0.9, 0.99)
 
+#: value-range buckets for events_gap_quantiles' distributed
+#: prefix-sum (DESIGN lesson 38) — same geometry as
+#: relational_ext.QUANTILE_BUCKETS: the partials table is <=1024 rows
+#: (broadcast-sized) and each within-bucket window holds
+#: ~|distinct gaps| / 1024 rows regardless of corpus size.
+GAP_QUANTILE_BUCKETS = 1024
+
 
 def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap distribution — the measurement that JUSTIFIES a
@@ -431,11 +438,24 @@ def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     discrete (rank == ceil(p·n)) with a total global order — bit-exact
     on both engines, no interpolation.
 
-    Plan: one user_id window shuffle for the lag, then the global
-    rank window (single-task sort over |events| gap rows).  At 100 TB
-    the global exact selection becomes a sampled or sketch quantile
-    (``agg_approx_sketches`` is the registered sketch path); this exact
-    form is its auditable twin at validation scale."""
+    Plan (r15, VERDICT r14 #2 — DESIGN lesson 38's distributed
+    prefix-sum, same shape as ``quantile_disc_price``; the old global
+    rank window was the tree's last corpus-sized no-partition
+    WindowExec).  Stage 1: one user_id window shuffle for the lag, then
+    a map-combined hash agg keyed by gap_us (shuffle parallelism =
+    distinct gaps).  Stage 2: assign each distinct gap a deterministic
+    range bucket from the exact global min/max (order-independent, so
+    engine-stable; the bucket only routes rows).  Stage 3: per-bucket
+    partial counts — <=GAP_QUANTILE_BUCKETS rows — windowed for
+    exclusive prefix offsets + the global total (a sort of ~1k rows,
+    trivially bounded).  Stage 4: broadcast the offsets back and run
+    the cumulative window PER bucket: each sort task holds
+    ~|distinct gaps|/1024 rows at any corpus size.  The quantile is the
+    first gap whose cumulative row count reaches ceil(p*n) — identical
+    type-1 selection (ties in gap_us collapse to the same value, so the
+    rank-k row's gap equals the first covering distinct gap), so the
+    output is bit-identical to the old rank window and the oracle's
+    row_number formulation is unchanged."""
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -447,16 +467,40 @@ def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("gap_us").isNotNull())
     )
-    w_rank = W.orderBy("gap_us", "user_id", "event_id")
-    ranked = gaps.withColumn("rn", F.row_number().over(w_rank)).withColumn(
-        "n", F.count("*").over(W.partitionBy())
+    counts = gaps.groupBy("gap_us").agg(F.count("*").alias("cnt"))
+    rng = counts.agg(F.min("gap_us").alias("lo"), F.max("gap_us").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(GAP_QUANTILE_BUCKETS))
+    bucketed = (
+        counts.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(GAP_QUANTILE_BUCKETS - 1),
+                F.floor(
+                    (F.col("gap_us") - F.col("lo")) / F.greatest(width, F.lit(1e-12))
+                ),
+            ),
+        )
+        .drop("lo", "hi")
     )
+    partials = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("part_cnt"))
+    w_b = W.orderBy("bucket")
+    offsets = (
+        partials.withColumn("off", F.sum("part_cnt").over(w_b) - F.col("part_cnt"))
+        .withColumn("n", F.sum("part_cnt").over(W.partitionBy()))
+        .select("bucket", "off", "n")
+    )
+    w_in = W.partitionBy("bucket").orderBy("gap_us")
+    cum = bucketed.join(F.broadcast(offsets), "bucket").withColumn(
+        "cum", F.sum("cnt").over(w_in) + F.col("off")
+    )
+    target = F.ceil(F.col("p") * F.col("n"))
     return (
-        ranked.select(
-            "gap_us", "rn", "n",
+        cum.select(
+            "gap_us", "cnt", "cum", "n",
             F.explode(F.array(*[F.lit(p) for p in GAP_PROBES])).alias("p"),
         )
-        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")))
+        .filter((F.col("cum") >= target) & (F.col("cum") - F.col("cnt") < target))
         .select(
             "p",
             F.col("gap_us").alias("gap_us_quantile"),

@@ -14,17 +14,18 @@ pipeline needs:
   DuckDB oracle), while ``extract_features`` is the Arrow-batched
   ``mapInPandas`` twin with a REAL batch contract (schema, partition-
   parallel, bounded memory) — the seam real decoders plug into.  Three
-  real decode stages exist: PIL images (when PIL is importable) with a
-  stdlib 24-bit BMP parser as the PIL-free arm (``_decode_bmp_rgb`` —
-  image decode genuinely EXECUTES in this container, fixture-tested),
-  16-bit PCM WAV audio via the stdlib ``wave`` module, and video
-  container demux via stdlib struct for BOTH RIFF/AVI
+  real decode stages exist: PIL images (when PIL is importable) with
+  stdlib PIL-free arms for 24-bit BMPs (``_decode_bmp_rgb``) and
+  baseline JPEGs (``functions.jpeg.decode_baseline_jpeg``, r15 — so the
+  MJPEG frame codec genuinely EXECUTES in this container,
+  fixture-tested), 16-bit PCM WAV audio via the stdlib ``wave`` module,
+  and video container demux via stdlib struct for BOTH RIFF/AVI
   (``demux_avi_frames``) and ISO-BMFF/MP4 sample tables
   (``demux_mp4_frames``; ``demux_video_frames`` sniffs per payload,
-  ``sample_video_frames`` is the mixed-corpus Arrow twin) with
-  per-frame MJPEG decode gating on PIL —
-  all r12, always container-testable, fixture-tested through the Arrow
-  seam; other codecs/containers raise ``NotImplementedError`` loudly
+  ``sample_video_frames`` is the mixed-corpus Arrow twin) —
+  all container-testable, fixture-tested through the Arrow
+  seam; other codecs/containers (progressive JPEG, non-PCM audio,
+  non-AVI/MP4 containers) raise ``NotImplementedError`` loudly
   unless ``fake=True``; tests assert the two fake paths produce
   identical features.
 
@@ -167,11 +168,15 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
     """Real image decode: PIL when importable (any format PIL reads —
     decode, convert to RGB, resize to 16x16, luma histogram); without
     PIL, 24-bit BMPs still decode through the stdlib struct parser
-    (:func:`_decode_bmp_rgb` — no resize step, the histogram runs over
-    the native pixels; for the uniform fixtures both conventions give
-    identical features).  Raises ImportError only when PIL is absent
-    AND the payload is not a BMP (caller turns that into the loud
-    NotImplementedError); corrupt BMPs raise ValueError loudly."""
+    (:func:`_decode_bmp_rgb`) and baseline JPEGs — the MJPEG frame
+    codec — through the stdlib T.81 decoder
+    (``functions.jpeg.decode_baseline_jpeg``, r15); both PIL-free arms
+    skip the resize step so the histogram runs over the native pixels
+    (for the uniform fixtures the conventions give identical features).
+    Raises ImportError only when PIL is absent AND the payload is
+    neither a BMP nor a JPEG (caller turns that into the loud
+    NotImplementedError); corrupt payloads raise ValueError and
+    non-baseline JPEG profiles raise NotImplementedError loudly."""
     import io
 
     try:
@@ -179,6 +184,11 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
     except ImportError:
         if payload[:2] == b"BM":
             return _luma_histogram(_decode_bmp_rgb(payload), dim)
+        if payload[:2] == b"\xff\xd8":
+            from mini_hadoop_spark.functions.jpeg import decode_baseline_jpeg
+
+            _, _, pixels = decode_baseline_jpeg(payload)
+            return _luma_histogram(pixels, dim)
         raise
     img = Image.open(io.BytesIO(payload)).convert("RGB").resize((16, 16))
     return _luma_histogram(img.getdata(), dim)
@@ -467,8 +477,9 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
             except ImportError:
                 raise NotImplementedError(
                     "real image decoding requires PIL (not importable in this "
-                    "environment) for non-BMP formats — 24-bit BMPs decode via "
-                    "the stdlib parser; pass fake=True for the deterministic stub"
+                    "environment) for non-BMP, non-JPEG formats — 24-bit BMPs "
+                    "and baseline JPEGs decode via the stdlib parsers; pass "
+                    "fake=True for the deterministic stub"
                 ) from None
         if modality == "audio":
             import wave
@@ -483,8 +494,9 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
                 ) from None
         if modality == "video":
             # container demux is REAL (stdlib) for both AVI and MP4;
-            # per-frame codec decode (MJPEG frames are JPEG images)
-            # still needs PIL
+            # per-frame codec decode is real for baseline-JPEG (MJPEG)
+            # and BMP/DIB frames via the stdlib decoders (r15); other
+            # frame codecs still need PIL
             try:
                 frames = demux_video_frames(payload)
             except ValueError as exc:
@@ -500,8 +512,9 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
             except ImportError:
                 raise NotImplementedError(
                     f"demuxed {len(frames)} real frames, but per-frame image "
-                    "decoding requires PIL for non-BMP codecs (24-bit BMP/DIB "
-                    "frames decode via the stdlib parser), and PIL is not "
+                    "decoding requires PIL for non-BMP, non-baseline-JPEG "
+                    "codecs (24-bit BMP/DIB and baseline-JPEG/MJPEG frames "
+                    "decode via the stdlib parsers), and PIL is not "
                     "importable in this environment; pass fake=True for the "
                     "deterministic stub"
                 ) from None

@@ -866,12 +866,15 @@ def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_order")))
         .withColumn("m_dbl", F.col("m_total").cast("double"))
     )
+    # TakeOrderedAndProject sample pick (distributed per-partition
+    # heaps) — identical deterministic set to the old rank-<=K window,
+    # minus its single-task no-partition WindowExec funnel.
     samp = (
         per.select("o_custkey", "r_days", "f_orders", "m_dbl")
         .withColumn("mh", F.md5(F.col("o_custkey").cast("string")))
-        .withColumn("srn", F.row_number().over(W.orderBy("mh", "o_custkey")))
-        .filter(F.col("srn") <= RFM_SAMPLE_BUDGET)
-        .drop("mh", "srn")
+        .orderBy("mh", "o_custkey")
+        .limit(RFM_SAMPLE_BUDGET)
+        .drop("mh")
     )
     ns = samp.agg(F.count("*").alias("n_s"))
 

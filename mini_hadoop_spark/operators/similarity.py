@@ -78,14 +78,17 @@ def ann_query_ids(v: DataFrame) -> DataFrame:
     """The ANN_QUERY_BUDGET query vec_ids whose md5(vec_id) ranks lowest
     — the absolute, deterministic, engine-portable query sample EVERY
     ANN arm and audit shares (brute ground truth included, so recall
-    joins always align).  The ranking window sorts id-only rows —
-    negligible next to the candidate joins it bounds — and the result is
-    always exactly min(budget, n) rows: broadcast-able at any scale."""
+    joins always align).  ``orderBy(mh, vec_id).limit(K)`` compiles to
+    TakeOrderedAndProject — per-partition top-K heaps merged on the
+    driver, NO single-task global sort even at 10^9+ ids — and selects
+    exactly the same deterministic set a rank-<=K window would, so
+    every downstream oracle hash is unchanged.  Result is always
+    exactly min(budget, n) rows: broadcast-able at any scale."""
     return (
         v.select("vec_id")
         .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
-        .withColumn("rn", F.row_number().over(W.orderBy(F.col("mh"), F.col("vec_id"))))
-        .filter(F.col("rn") <= ANN_QUERY_BUDGET)
+        .orderBy(F.col("mh"), F.col("vec_id"))
+        .limit(ANN_QUERY_BUDGET)
         .select("vec_id")
     )
 
@@ -1461,6 +1464,22 @@ MATRYOSHKA_DIMS = (8, 16, 32)
 MATRYOSHKA_QUERY_BUDGET = 32
 
 
+def _matryoshka_pick(v: DataFrame) -> DataFrame:
+    """The MATRYOSHKA_QUERY_BUDGET query vec_ids whose md5(vec_id) ranks
+    lowest — same TakeOrderedAndProject idiom as :func:`ann_query_ids`
+    (distributed per-partition top-K heaps, never a single-task global
+    rank window), same deterministic set as a rank-<=K window so the
+    oracle hash is unchanged.  Module-level so the plan-guard test can
+    pin the shape (the full query hides it behind a localCheckpoint)."""
+    return (
+        v.select("vec_id")
+        .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
+        .orderBy(F.col("mh"), F.col("vec_id"))
+        .limit(MATRYOSHKA_QUERY_BUDGET)
+        .select("vec_id")
+    )
+
+
 def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation audit (Kusupati et al. 2022, MRL): can the
     first k dimensions stand in for the full embedding?  Per truncation
@@ -1484,19 +1503,12 @@ def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     ranks lowest — a deterministic, engine-portable sample with an
     ABSOLUTE size, so the scored-row count is budget x corpus (linear at
     100x data) instead of the quadratic (corpus/50) x corpus the old
-    modulus sample gave.  The ranking window sorts only (vec_id, md5)
-    id rows — negligible next to the scoring join it bounds."""
+    modulus sample gave.  The pick is ``orderBy(mh, vec_id).limit(K)``
+    — TakeOrderedAndProject (distributed per-partition heaps), never a
+    single-task global-rank window — and the selected set is identical
+    to a rank-<=K window, so the oracle hash is unchanged."""
     v = _vectors(spark, sf_dir).select("vec_id", "e")
-    picked = (
-        v.select("vec_id")
-        .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
-        .withColumn(
-            "rn", F.row_number().over(W.orderBy(F.col("mh"), F.col("vec_id")))
-        )
-        .filter(F.col("rn") <= MATRYOSHKA_QUERY_BUDGET)
-        .select("vec_id")
-    )
-    queries = v.join(F.broadcast(picked), "vec_id").select(
+    queries = v.join(F.broadcast(_matryoshka_pick(v)), "vec_id").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
 

@@ -43,16 +43,19 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r14 ROTATION (VERDICT r13 #4): the 3 r14-new queries take first-ever
-# slots on day one (classifier_holdout_confusion and
-# pipeline_distilled_manifest oracled; classifier_train_prod is the
-# deliberate rows-only production-geometry twin — see WINDOW_ROWS_ONLY
-# below); the other 47 slots are the mechanically stalest oracled
-# evidence — the ENTIRE remaining r09 cohort (44) and the 3
-# alphabetically-first r10s.  After the r14 artifact no query is
-# never-driver-seen and no oracled query's evidence is older than r10
-# (age 4).  Computed by the exact recipe in tools/rotation_report.py;
-# rotated-out queries keep running in the local oracle battery
+# r15 ROTATION (VERDICT r14 #3): the 47 slots are the ENTIRE remaining
+# r10 cohort (the mechanically stalest oracled evidence — after the r15
+# artifact no oracled query's evidence is older than r12, age 3); the
+# other 3 slots go to the queries whose CODE changed this round
+# (events_gap_quantiles' lesson-38 prefix-sum,
+# similarity_matryoshka_agreement's TakeOrdered pick,
+# orders_rfm_segmentation_approx's TakeOrdered sample) so the driver
+# re-certifies exactly the r15 diff.  Rows-only queries stay OUT of the
+# window per the policy above (VERDICT r14 what's-wrong #2:
+# classifier_train_prod rotated back out after its r14 protocol row; its
+# hash evidence channel is the oracled classifier_train_curve twin).
+# Computed by the exact recipe in tools/rotation_report.py; rotated-out
+# queries keep running in the local oracle battery
 # (tests/test_oracle_battery.py) every round.
 
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
@@ -64,67 +67,66 @@ ROTATION_WAITING: tuple[str, ...] = ()
 # Window entries deliberately WITHOUT a DuckDB oracle: the driver
 # records a rows-only ledger row (err: no_oracle, spark_rows) — the
 # same evidence class the xxhash64 dedup forms and agg_approx_sketches
-# earned in r04/r05.  classifier_train_prod's corpus-dependent step
-# count cannot unroll into a fixed cross-engine CTE chain; its
-# correctness twin is the fully-oracled classifier_train_curve (same
-# per-step plan, fixed geometry) plus the determinism/accuracy gates in
-# tests/test_classifier.py.
-WINDOW_ROWS_ONLY: frozenset[str] = frozenset({"classifier_train_prod"})
+# earned in r04/r05.  r15: EMPTY (VERDICT r14 what's-wrong #2: window
+# slots are the scarce oracled-evidence resource; rows-only queries'
+# hash evidence channel is their oracled md5 twins + pytest gates, so
+# they never take a slot once their one protocol row exists —
+# tools/rotation_report.py flags any violation).
+WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 DRIVER_WINDOW = [
-    # --- never driver-seen: r14-new ---
-    "classifier_holdout_confusion",
-    "classifier_train_prod",
-    "pipeline_distilled_manifest",
-    # --- full remaining r09 cohort ---
-    "corpus_profile",
-    "corr_quantity_price",
-    "dedup_lsh_quality_audit",
-    "dq_expectations",
-    "events_decayed_engagement",
-    "events_hourly_anomalies",
-    "events_type_pivot",
-    "join_asof_latest_order",
-    "lang_id_confusion",
-    "mix_domain_weights",
-    "multimodal_meta",
-    "nation_trade_balance",
-    "ngram_pmi_top",
-    "orders_cohort_retention",
-    "orders_priority_sla",
-    "orders_rfm_segmentation",
-    "part_price_realization",
-    "pipeline_pretrain_manifest",
-    "q10_returned_items",
-    "q13_custdist",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q6_revenue_forecast",
-    "quality_gopher_rules",
-    "quantize_embeddings_int8",
-    "revenue_monthly_growth",
-    "set_except_all",
-    "similarity_ann_recall",
-    "split_train_val_test",
-    "streaming_outer_join_drain",
-    "supplier_concentration_hhi",
-    "text_char_bigram_novelty",
-    "text_length_histogram",
-    "text_pack_sequences",
-    "text_redact_pii",
-    "text_repetition_ratio",
-    "vocab_drift_top_movers",
-    "vocab_oov_rate",
-    "window_first_last_orders",
-    "window_range_frame",
-    "window_topk_with_ties",
-    "wordcount",
-    # --- r10 cohort head (alphabetical) ---
-    "agg_filtered_counts",
-    "agg_global_no_group",
-    "agg_grouping_sets",
+    # --- full remaining r10 cohort (47) ---
+    "agg_rollup",
+    "array_agg_regions",
+    "bpe_compression_curve",
+    "bpe_encode_docs",
+    "bpe_fertility_by_lang",
+    "case_when_bucketing",
+    "dedup_semantic_semdedup",
+    "doc_fingerprint",
+    "dup_span_coverage",
+    "global_topk",
+    "having_filter",
+    "ivf_recenter_apply",
+    "ivf_recenter_audit",
+    "join_anti",
+    "join_broadcast_dims",
+    "join_full_outer",
+    "join_left_null_handling",
+    "json_extract_props",
+    "lang_id_ngram",
+    "mix_temperature_weights",
+    "page_orders_offset",
+    "pipeline_clean_corpus",
+    "pivot_linestatus",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_profit_by_nation_year",
+    "quality_bigram_lm_score",
+    "quantile_disc_price",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_subquery_uncorrelated",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "similarity_ann_nprobe_curve",
+    "streaming_ivf_maintenance_drain",
+    "streaming_ivf_recenter_drain",
+    "subquery_in",
+    "text_lang_stats",
+    "text_quality_score",
+    "unpivot_lineitem_measures",
+    "window_lag_delta",
+    "window_ntile_quartiles",
+    "window_running_sum",
+    # --- r15 code-touched (re-certify the diff) ---
+    "events_gap_quantiles",
+    "orders_rfm_segmentation_approx",
+    "similarity_matryoshka_agreement",
 ]
 
 

@@ -69,24 +69,47 @@ _mapreduce_wc_memo: dict[tuple, DataFrame] = {}
 #: the mtime on every memo (re)build, so sweeping a dir a session still
 #: holds would need that session to sit idle past the whole window.
 _MR_WC_STALE_SECS = 24 * 3600
-#: write-side scratch dirs only live for the seconds of one df.write
-_MR_WC_TMP_STALE_SECS = 2 * 3600
+#: write-side scratch dirs only live for the seconds of one df.write,
+#: but the sweep gate sits far above any plausible partitioned-text
+#: write duration so a slow concurrent write is never reclaimed
+#: mid-flight (ADVICE r14)
+_MR_WC_TMP_STALE_SECS = 12 * 3600
+
+#: stage dirs THIS process's live memos still read from — exempt from
+#: this process's sweep regardless of mtime (ADVICE r14: a >24h session
+#: that only hits the memo must not lose its staging to its own sweep)
+_mr_wc_live_stages: set[str] = set()
 
 
 def _mr_wordcount_stage_dir(sf_dir: str) -> str:
-    """DETERMINISTIC per-corpus staging path (ADVICE r13: stage under a
-    deterministic path so reruns REUSE instead of re-writing): the
-    plain-text copy of a corpus is a pure function of the corpus, so
-    one staging per corpus serves every session — the leak is bounded
-    by |corpora|, not |sessions|, and a killed driver leaks nothing a
-    later session doesn't reuse or the age sweep reclaim.  (Rewriting a
-    corpus IN PLACE must remove its staging dir too — same contract as
-    the clear_memo hooks; unique tmp dirs, the normal test pattern,
-    never collide.)"""
+    """DETERMINISTIC per-corpus, PER-USER staging path (ADVICE r13:
+    stage under a deterministic path so reruns REUSE instead of
+    re-writing; ADVICE r14: scope it by uid so another user on a shared
+    host can neither squat the exact path — feeding us foreign text —
+    nor hard-fail legitimate reuse against a 0700 dir they don't own):
+    the plain-text copy of a corpus is a pure function of the corpus,
+    so one staging per (user, corpus) serves every session — the leak
+    is bounded by |corpora|, not |sessions|, and a killed driver leaks
+    nothing a later session doesn't reuse or the age sweep reclaim.
+    (Rewriting a corpus IN PLACE must remove its staging dir too — same
+    contract as the clear_memo hooks; unique tmp dirs, the normal test
+    pattern, never collide.)"""
     import hashlib
 
+    uid = getattr(os, "getuid", lambda: 0)()
     tag = hashlib.md5(os.path.normpath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"mr_wordcount_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"mr_wordcount_u{uid}_{tag}")
+
+
+def _stage_owned_by_me(path: str) -> bool:
+    """True when ``path`` exists and is owned by this uid — the trust
+    gate before reusing a deterministic staging dir (ADVICE r14: /tmp
+    is world-writable, so an existing dir at our deterministic path is
+    only OUR staging if we own it)."""
+    try:
+        return os.stat(path).st_uid == getattr(os, "getuid", lambda: 0)()
+    except OSError:
+        return False
 
 
 def _sweep_stale_mr_wordcount() -> None:
@@ -100,6 +123,8 @@ def _sweep_stale_mr_wordcount() -> None:
 
     now = _time.time()
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "mr_wordcount_*")):
+        if d in _mr_wc_live_stages:
+            continue  # a live memo in THIS process still reads from it
         gate = (
             _MR_WC_TMP_STALE_SECS
             if os.path.basename(d).startswith("mr_wordcount_tmp_")
@@ -118,10 +143,21 @@ def mapreduce_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mini_hadoop_spark.engine.examples import word_count_submit_job
 
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    stage = _mr_wordcount_stage_dir(sf_dir)
     if key not in _mapreduce_wc_memo:
         _sweep_stale_mr_wordcount()
-        stage = _mr_wordcount_stage_dir(sf_dir)
         txt_dir = os.path.join(stage, "docs_txt")
+        if os.path.isdir(txt_dir) and not _stage_owned_by_me(stage):
+            # ADVICE r14: never trust a dir at our deterministic path
+            # that another uid planted (uid is in the path, but /tmp is
+            # world-writable — squatting stays possible); fail loudly
+            # instead of silently counting foreign text
+            raise RuntimeError(
+                f"wordcount staging {stage} exists but is not owned by "
+                f"uid {getattr(os, 'getuid', lambda: 0)()} — refusing to "
+                "read foreign staging; remove it or set TMPDIR to a "
+                "private scratch root"
+            )
         if not os.path.isdir(txt_dir):
             # write into private scratch, then one atomic rename claims
             # the deterministic path; losing the race to a concurrent
@@ -136,13 +172,18 @@ def mapreduce_wordcount_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(scratch, ignore_errors=True)
                 if not os.path.isdir(txt_dir):
                     raise
-        # mark the staging as in use so the age sweep never reclaims a
-        # dir a live session's memoized pairs still read from
-        os.utime(stage, None)
+        _mr_wc_live_stages.add(stage)
         result = word_count_submit_job(spark, [txt_dir], sort_desc_by_count=False)
         _mapreduce_wc_memo[key] = result.pairs.select(
             F.col("key").alias("word"), F.col("value").cast("long").alias("cnt")
         )
+    # refresh the mtime on EVERY use — memo hits included (ADVICE r14:
+    # a long-lived session that only hits the memo must still look live
+    # to OTHER processes' sweeps; our own sweep exempts live stages)
+    try:
+        os.utime(stage, None)
+    except OSError:
+        pass  # another session's staging we merely reuse, or already swept
     return _mapreduce_wc_memo[key]
 
 

@@ -58,6 +58,9 @@ BNLJ_ALLOWED = {
     # scalar-attach of the exact price range that derives the prefix-sum
     # buckets, build side 1 row.
     "quantile_disc_price",
+    # events_gap_quantiles (r15): the same prefix-sum shape — crossJoin(
+    # broadcast(<1-row gap min/max>)) derives the range buckets.
+    "events_gap_quantiles",
     # q11/q15/q20: crossJoin(broadcast(<1-row scalar>)) — global total /
     # max-revenue / (total, n) threshold scalars, build side 1 row each.
     "q11_important_stock",
@@ -142,15 +145,14 @@ BNLJ_ALLOWED = {
 # Queries allowed to keep an unpartitioned window over unbounded input:
 # documented exact baselines whose registered scale twin ships the
 # sampled/sketched path (VERDICT r7 #2's allowlist).
-# - events_gap_quantiles: exact gap-quantile baseline; scale twin =
-#   agg_approx_sketches (named in its docstring).
 # - orders_rfm_segmentation: exact ntile baseline; scale twin =
 #   orders_rfm_segmentation_approx.
-# (orders_rfm_segmentation_approx needs no entry: its windows rank the
-# per-customer AGGREGATE / the bounded md5 sample, so every path below
-# them hits an aggregate and the walk proves them bounded.)
+# (events_gap_quantiles left the list in r15: it now runs the lesson-38
+# distributed prefix-sum — bucketed cumulative windows, no global rank;
+# shape pinned in test_events_gap_quantiles_prefix_sum_shape below.
+# orders_rfm_segmentation_approx needs no entry: its windows rank the
+# bounded md5 TakeOrdered sample, so every path below them is bounded.)
 GLOBAL_WINDOW_ALLOWED = {
-    "events_gap_quantiles",
     "orders_rfm_segmentation",
 }
 
@@ -348,3 +350,116 @@ def test_quantile_disc_price_prefix_sum_shape(spark):
             f"cohort sort at scale); partition keys={keys}\n{subtree[:2000]}"
         )
     assert saw_bucketed, "expected the per-(flag, bucket) cumulative window"
+
+
+def test_events_gap_quantiles_prefix_sum_shape(spark):
+    """VERDICT r14 #2: events_gap_quantiles must never rank |events| gap
+    rows in one global window task.  Pin the lesson-38 prefix-sum shape
+    (the same geometry test_quantile_disc_price_prefix_sum_shape pins):
+    every WindowExec over corpus-sized input partitions by user_id (the
+    lag) or by bucket (the cumulative); unpartitioned windows are
+    allowed ONLY over the <=GAP_QUANTILE_BUCKETS-row partials aggregate
+    (their subtree must contain the bucket-keyed aggregate), and the
+    distinct-gap counts subtree must be ReuseExchange-deduped so the
+    lag+agg runs once, not 3x."""
+    from mini_hadoop_spark.operators.events import events_gap_quantiles
+
+    df = events_gap_quantiles(spark, SF_DIR)
+    windows = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "WindowExec":
+            windows.append(node)
+        for k in _jseq(node.children()):
+            walk(k)
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    assert windows, "expected window nodes in the gap-quantile plan"
+    saw_bucketed = False
+    for w in windows:
+        keys = [str(e) for e in _jseq(w.partitionSpec())]
+        if any("bucket" in k for k in keys):
+            saw_bucketed = True
+            continue
+        if any("user_id" in k for k in keys):
+            continue  # the per-user lag window — partitioned, fine
+        subtree = w.child().treeString()
+        assert "bucket" in subtree and "Aggregate" in subtree, (
+            "unpartitioned window over non-partials input (single-task "
+            f"global sort at scale); partition keys={keys}\n{subtree[:2000]}"
+        )
+    assert saw_bucketed, "expected the per-bucket cumulative window"
+    # static-planner exchange reuse (AQE reuses stages at runtime but
+    # hides it from the initial explain) — same check as the quantile pin
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            events_gap_quantiles(spark, SF_DIR).explain("formatted")
+        assert "ReusedExchange" in buf.getvalue(), (
+            "events_gap_quantiles plans no exchange reuse — the per-gap "
+            "counts aggregation would recompute per branch"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _take_ordered_picker_plans():
+    """The three md5-rank sample pickers (VERDICT r14 #1): each must
+    compile its deterministic sample pick to TakeOrderedAndProject
+    (distributed per-partition top-K heaps) instead of a single-task
+    no-partition rank window.  Builders return the full real plan the
+    pick is embedded in."""
+    from mini_hadoop_spark.operators import relational_ext, similarity
+
+    def ann_pick(spark, sf_dir):
+        from mini_hadoop_spark.operators.similarity import _vectors, ann_query_ids
+
+        return ann_query_ids(_vectors(spark, sf_dir))
+
+    def matryoshka_pick(spark, sf_dir):
+        # the full query hides the pick behind a localCheckpoint, so pin
+        # the module-level pick builder directly
+        from mini_hadoop_spark.operators.similarity import _matryoshka_pick, _vectors
+
+        return _matryoshka_pick(_vectors(spark, sf_dir).select("vec_id", "e"))
+
+    return {
+        "ann_query_ids": ann_pick,
+        "matryoshka_pick": matryoshka_pick,
+        "rfm_approx": relational_ext.orders_rfm_segmentation_approx,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_take_ordered_picker_plans()))
+def test_sample_pickers_take_ordered(spark, name):
+    """Pin VERDICT r14 #1's fix: the sample pick is a distributed
+    TakeOrderedAndProject, and every remaining unpartitioned window in
+    the plan sits above a TakeOrdered/Limit bound (the sample), never
+    above corpus-sized input — stricter than the generic guard, which
+    accepts any aggregate as a bound."""
+    df = _take_ordered_picker_plans()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, (
+        f"{name}: sample pick did not compile to TakeOrderedAndProject:\n{plan}"
+    )
+
+    bad = []
+
+    def walk(node):
+        nm = node.getClass().getSimpleName()
+        if nm in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
+            sub = node.child().treeString()
+            if "TakeOrderedAndProject" not in sub and "Limit" not in sub:
+                bad.append(node.simpleString(120))
+        for k in _jseq(node.children()):
+            walk(k)
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    assert not bad, (
+        f"{name} still plans an unpartitioned window without a top-K "
+        "bound below it:\n" + "\n".join(bad)
+    )

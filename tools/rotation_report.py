@@ -27,7 +27,7 @@ def main() -> int:
     root = _repo_root()
     sys.path.insert(0, root)
 
-    from mini_hadoop_spark.registry import ALL_QUERIES, DRIVER_WINDOW
+    from mini_hadoop_spark.registry import ALL_ORACLES, ALL_QUERIES, DRIVER_WINDOW
 
     seen: dict[str, list[str]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -41,6 +41,15 @@ def main() -> int:
         for name in rows:
             seen.setdefault(name, []).append(rnd)
 
+    # rows-only policy (VERDICT r14 what's-wrong #2): window slots are
+    # the scarce ORACLED-evidence resource — a query without a DuckDB
+    # oracle buys only a rows-only ledger row, so once its one protocol
+    # row exists it must not take a slot (its hash evidence channel is
+    # the oracled md5 twin + pytest gates; see COVERAGE.md).
+    rows_only_in_window = sorted(
+        n for n in DRIVER_WINDOW if n not in ALL_ORACLES and n in seen
+    )
+
     never = [n for n in ALL_QUERIES if n not in seen]
     stale = sorted(
         (n, seen[n][-1]) for n in ALL_QUERIES if n in seen and n not in DRIVER_WINDOW
@@ -53,6 +62,11 @@ def main() -> int:
     print(f"window size        : {len(DRIVER_WINDOW)}")
     print(f"window first-evers : {len(window_first_ever)} (rows the NEXT artifact will witness)")
     print()
+    if rows_only_in_window:
+        print("## POLICY VIOLATION: rows-only queries holding window slots")
+        for n in rows_only_in_window:
+            print(f"  {n:42s} no oracle + protocol row exists -> rotate out")
+        print()
     if never:
         print("## Never driver-seen (rotation shortlist)")
         for n in never:

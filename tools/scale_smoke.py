@@ -71,10 +71,6 @@ EXCLUDED = {
         "exact global-ntile baseline kept only to oracle the sampled-cut "
         "twin; orders_rfm_segmentation_approx is the measured scale path"
     ),
-    "events_gap_quantiles": (
-        "exact single-task quantile baseline kept only as the sketch "
-        "oracle anchor; agg_approx_sketches is the measured scale path"
-    ),
     "dedup_embedding_cosine": (
         "r14: the quadratic guard REFUSES the 10x battery corpus by "
         "design (isotropic embeddings, estimated 195.9M candidates > "
