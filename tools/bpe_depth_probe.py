@@ -8,14 +8,22 @@ each merge round is a pure dict pass whose cost tracks |vocab| (slowly
 shrinking), NOT the merge index — i.e. per-round cost stays ~flat, so
 depth is a linear multiplier, not a blow-up.
 
-The probe collects the sf0.1 vocabulary once (timed), then runs the
-exact `_bpe_train_plan` merge-loop body up to --rounds (default 1024)
-rounds, timing every round, and writes SCALE_BPE.json with the collect
-wall, per-round wall summarized per 64-round block, and the
-flatness ratio (last block mean / first block mean).  If the corpus's
-pair space exhausts before --rounds (finite vocab => finite merges),
-the probe records the exhaustion round — that IS the measured behavior
-at this SF, and the per-round trend up to exhaustion carries the claim.
+The probe has two arms, both writing SCALE_BPE.json:
+
+* CORPUS arm: collect the sf0.1 vocabulary once (timed), then run the
+  exact `_bpe_train_plan` merge-loop body up to --rounds (default
+  1024), timing every round.  The synthetic test corpus has a tiny
+  word set (31 distinct tokens at sf0.1), so its pair space exhausts
+  around round 90 — the probe records the exhaustion round and the
+  per-round trend up to it.
+* SYNTHETIC-VOCAB arm: the per-round cost is a pure driver-side dict
+  pass whose size driver is |vocab|, so the depth claim at production
+  scale is measured on a deterministic Zipf word-frequency dict
+  (base-26 words, 64Ki entries — labeled synthetic, no corpus data)
+  for the full --rounds merges.  This is the arm that shows per-round
+  cost stays ~flat at 512-1024 merges.
+
+Both report per-64-round block means and the last/first block ratio.
 
 Usage: python tools/bpe_depth_probe.py [--rounds N]
 Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -27,6 +35,75 @@ import json
 import os
 import sys
 import time
+
+
+def _merge_loop(rows: list, rounds: int) -> tuple[list, int | None]:
+    """The exact merge-loop body from compression._bpe_train_plan,
+    instrumented per round (kept in lock-step with the operator; the
+    operator itself stays at BPE_TRAIN_ROUNDS=64 so query hashes are
+    untouched).  Returns (per-round walls, exhaustion round or None)."""
+    vocab = dict(rows)
+    per_round: list[float] = []
+    for rnd in range(1, rounds + 1):
+        r0 = time.perf_counter()
+        pairs: dict[tuple[str, str], int] = {}
+        for s, cnt in vocab.items():
+            syms = s[1:-1].split("><")
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                pairs[key] = pairs.get(key, 0) + cnt
+        if not pairs:
+            return per_round, rnd
+        (a, b) = min(pairs, key=lambda k: (-pairs[k], k))
+        nxt: dict[str, int] = {}
+        for s, c in vocab.items():
+            m = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
+            nxt[m] = nxt.get(m, 0) + c
+        vocab = nxt
+        per_round.append(time.perf_counter() - r0)
+    return per_round, None
+
+
+def _blocks(per_round: list, block: int = 64) -> tuple[list, float | None]:
+    n = len(per_round)
+    blocks = [
+        {
+            "rounds": f"{i + 1}-{min(i + block, n)}",
+            "mean_ms": round(
+                sum(per_round[i : i + block]) / len(per_round[i : i + block]) * 1000, 3
+            ),
+            "max_ms": round(max(per_round[i : i + block]) * 1000, 3),
+        }
+        for i in range(0, n, block)
+    ]
+    flatness = (
+        round(blocks[-1]["mean_ms"] / blocks[0]["mean_ms"], 3) if len(blocks) > 1 else None
+    )
+    return blocks, flatness
+
+
+def _synthetic_vocab(n_words: int = 65536) -> list:
+    """Deterministic Zipf word-frequency dict in the trainer's
+    '<sym><sym>…' encoding: word i = i written in base-26 letters
+    (shared prefixes/suffixes so merges do real work), count = Zipf
+    N/(i+1).  Pure synthesis — no corpus bytes involved; this arm
+    measures the LOOP, not the data."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    for i in range(n_words):
+        x, word = i, ""
+        while True:
+            word = letters[x % 26] + word
+            x //= 26
+            if x == 0:
+                break
+        s = "".join(f"<{ch}>" for ch in word.rjust(5, "a"))
+        rows.append((s, max(1, n_words // (i + 1))))
+    # the encoding dedupes padded collisions deterministically
+    agg: dict[str, int] = {}
+    for s, c in rows:
+        agg[s] = agg.get(s, 0) + c
+    return list(agg.items())
 
 
 def main() -> int:
@@ -54,55 +131,34 @@ def main() -> int:
     rows = [(r.s, int(r.cnt)) for r in _bpe_vocab_plan(spark, sf_dir).collect()]
     collect_s = time.perf_counter() - t0
 
-    # the exact merge-loop body from compression._bpe_train_plan,
-    # instrumented per round (kept in lock-step with the operator; the
-    # operator itself stays at BPE_TRAIN_ROUNDS=64 so query hashes are
-    # untouched)
-    vocab = dict(rows)
-    per_round: list[float] = []
-    exhausted_at = None
-    for rnd in range(1, rounds + 1):
-        r0 = time.perf_counter()
-        pairs: dict[tuple[str, str], int] = {}
-        for s, cnt in vocab.items():
-            syms = s[1:-1].split("><")
-            for i in range(len(syms) - 1):
-                key = (syms[i], syms[i + 1])
-                pairs[key] = pairs.get(key, 0) + cnt
-        if not pairs:
-            exhausted_at = rnd
-            break
-        (a, b) = min(pairs, key=lambda k: (-pairs[k], k))
-        nxt: dict[str, int] = {}
-        for s, c in vocab.items():
-            m = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
-            nxt[m] = nxt.get(m, 0) + c
-        vocab = nxt
-        per_round.append(time.perf_counter() - r0)
+    corpus_walls, corpus_exhausted = _merge_loop(rows, rounds)
+    corpus_blocks, corpus_flat = _blocks(corpus_walls)
 
-    n = len(per_round)
-    block = 64
-    blocks = [
-        {
-            "rounds": f"{i + 1}-{min(i + block, n)}",
-            "mean_ms": round(sum(per_round[i : i + block]) / len(per_round[i : i + block]) * 1000, 3),
-            "max_ms": round(max(per_round[i : i + block]) * 1000, 3),
-        }
-        for i in range(0, n, block)
-    ]
-    flatness = (
-        round(blocks[-1]["mean_ms"] / blocks[0]["mean_ms"], 3) if len(blocks) > 1 else None
-    )
+    synth = _synthetic_vocab()
+    synth_walls, synth_exhausted = _merge_loop(synth, rounds)
+    synth_blocks, synth_flat = _blocks(synth_walls)
+
     out = {
-        "sf_dir": sf_dir,
-        "vocab_rows": len(rows),
-        "vocab_collect_s": round(collect_s, 3),
-        "rounds_requested": rounds,
-        "rounds_completed": n,
-        "pair_space_exhausted_at": exhausted_at,
-        "per_round_ms_blocks": blocks,
-        "last_over_first_block_ratio": flatness,
-        "total_merge_loop_s": round(sum(per_round), 3),
+        "corpus_arm": {
+            "sf_dir": sf_dir,
+            "vocab_rows": len(rows),
+            "vocab_collect_s": round(collect_s, 3),
+            "rounds_requested": rounds,
+            "rounds_completed": len(corpus_walls),
+            "pair_space_exhausted_at": corpus_exhausted,
+            "per_round_ms_blocks": corpus_blocks,
+            "last_over_first_block_ratio": corpus_flat,
+            "total_merge_loop_s": round(sum(corpus_walls), 3),
+        },
+        "synthetic_vocab_arm": {
+            "vocab_rows": len(synth),
+            "rounds_requested": rounds,
+            "rounds_completed": len(synth_walls),
+            "pair_space_exhausted_at": synth_exhausted,
+            "per_round_ms_blocks": synth_blocks,
+            "last_over_first_block_ratio": synth_flat,
+            "total_merge_loop_s": round(sum(synth_walls), 3),
+        },
     }
     path = os.path.join(root, "SCALE_BPE.json")
     with open(path, "w") as fh:
