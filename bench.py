@@ -148,22 +148,40 @@ def main() -> int:
     # the shared shingle index first, so per-method pair timings measure
     # the method, not a repeated tokenize+explode (memoized since r7)
     _build("shingle_index", lambda: _dedup._doc_shingles(spark, sf_dir))
-    _build("pairs_jaccard", lambda: _dedup.near_dup_pairs(spark, sf_dir, "jaccard"))
-    _build("pairs_minhash", lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash"))
-    _build("pairs_minhash_md5", lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash_md5"))
-    _build("pairs_simhash", lambda: _dedup.dedup_simhash(spark, sf_dir))
-    _build("pairs_simhash_md5", lambda: _dedup.dedup_simhash_md5(spark, sf_dir))
-    _build("labels_jaccard", lambda: _dedup.near_dup_labels(spark, sf_dir, "jaccard"))
-    _build("labels_minhash", lambda: _dedup.near_dup_labels(spark, sf_dir, "minhash"))
-    _build("ivf_index", lambda: _sim.ivf_lists(spark, sf_dir))
 
     from mini_hadoop_spark.operators import compression as _comp
 
-    _build("pq_index", lambda: _comp.pq_codes(spark, sf_dir))
-    # the trained BPE model (r10: ONE combined pass — the merge table and
-    # the sizing curve are projections of the same 8-round training chain,
-    # so the former separate bpe_curve build is gone)
-    _build("bpe_model", lambda: _comp._bpe_combined(spark, sf_dir))
+    # r15: the five pair graphs, the IVF lists, the PQ codes and the
+    # trained BPE model are mutually independent once the shingle index
+    # exists (each populates its own memo key via a plain eager
+    # localCheckpoint — no shared registry diffing), so they build
+    # concurrently like ann_arms/iterative_models: the group wall is the
+    # slowest member (~3 s) instead of the ~20 s sum
+    _build_group(
+        "pair_and_model_indexes",
+        {
+            "pairs_jaccard": lambda: _dedup.near_dup_pairs(spark, sf_dir, "jaccard"),
+            "pairs_minhash": lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash"),
+            "pairs_minhash_md5": lambda: _dedup.near_dup_pairs(spark, sf_dir, "minhash_md5"),
+            "pairs_simhash": lambda: _dedup.dedup_simhash(spark, sf_dir),
+            "pairs_simhash_md5": lambda: _dedup.dedup_simhash_md5(spark, sf_dir),
+            "ivf_index": lambda: _sim.ivf_lists(spark, sf_dir),
+            "pq_index": lambda: _comp.pq_codes(spark, sf_dir),
+            # the trained BPE model (r10: ONE combined pass — the merge
+            # table and the sizing curve are projections of the same
+            # training chain)
+            "bpe_model": lambda: _comp._bpe_combined(spark, sf_dir),
+        },
+    )
+    # the CC labelings depend on the pair memos above; the two methods
+    # are independent of each other
+    _build_group(
+        "pair_labels",
+        {
+            "labels_jaccard": lambda: _dedup.near_dup_labels(spark, sf_dir, "jaccard"),
+            "labels_minhash": lambda: _dedup.near_dup_labels(spark, sf_dir, "minhash"),
+        },
+    )
 
     # the memoized ANN neighbor sets (r9): each arm derives once per
     # session and is shared by its own query + the recall audit — the
@@ -207,22 +225,28 @@ def main() -> int:
     # serves both registered join drains; its real cost is itemized here
     from mini_hadoop_spark.streaming import windowed as _sw
 
-    _build("stream_ojoin_shared", lambda: _sw._outer_join_drained(spark, sf_dir))
-    # the shared IVF lifecycle run (r10): ONE maintenance drain + recenter
-    # swap serves both registered IVF drains; its real cost is itemized here
-    _build("stream_ivf_shared", lambda: _sw._ivf_stream_drained(spark, sf_dir))
-    # the remaining end-to-end drains (r10): each is one real streaming
-    # run per (session, corpus), memoized like the join/IVF runs — the
-    # one-time drain cost is itemized here, not re-paid per bench pass
-    _build("stream_hourly", lambda: _sw.streaming_hourly_drain(spark, sf_dir))
-    _build("stream_session", lambda: _sw.streaming_session_drain(spark, sf_dir))
-    _build("stream_dedup", lambda: _sw.streaming_dedup_drain(spark, sf_dir))
-    _build("stream_enrich", lambda: _sw.streaming_enrich_drain(spark, sf_dir))
-    _build("stream_contam", lambda: _sw.streaming_contamination_drain(spark, sf_dir))
-    # r13: the distilled-classifier ingest-scoring drain (model training
-    # itself is itemized above as classifier_model, so this measures the
-    # streaming run)
-    _build("stream_classify", lambda: _sw.streaming_classifier_drain(spark, sf_dir))
+    # r15: the ten end-to-end drains are mutually independent real
+    # streaming runs (unique per-run scratch dirs + memory-sink table
+    # names, distinct memo keys; their shared offline deps — the IVF
+    # index, the trained classifier — are memoized by the groups above),
+    # and Spark runs concurrent availableNow queries in one session, so
+    # the group wall is the slowest drain (~4 s) instead of the ~14 s sum
+    _build_group(
+        "stream_drains",
+        {
+            # the shared outer-join run (r9) serves both registered join
+            # drains; the shared IVF lifecycle run (r10) serves both IVF
+            # drains; classify scores under the classifier_model weights
+            "ojoin_shared": lambda: _sw._outer_join_drained(spark, sf_dir),
+            "ivf_shared": lambda: _sw._ivf_stream_drained(spark, sf_dir),
+            "hourly": lambda: _sw.streaming_hourly_drain(spark, sf_dir),
+            "session": lambda: _sw.streaming_session_drain(spark, sf_dir),
+            "dedup": lambda: _sw.streaming_dedup_drain(spark, sf_dir),
+            "enrich": lambda: _sw.streaming_enrich_drain(spark, sf_dir),
+            "contam": lambda: _sw.streaming_contamination_drain(spark, sf_dir),
+            "classify": lambda: _sw.streaming_classifier_drain(spark, sf_dir),
+        },
+    )
 
     # TWO timed passes per query; report the per-query MIN.  This host
     # shows external load spikes (load-average bursts with no local

@@ -26,6 +26,7 @@ import contextlib
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
@@ -124,29 +125,43 @@ def run_stream_to_memory(
 STREAM_DRAIN_PARTITIONS = 4
 
 
-@contextlib.contextmanager
-def _drain_scope(spark: SparkSession, no_data_batches: bool = True):
-    """Scope shuffle.partitions down for a single-staged-file drain;
-    queries run sequentially in both the driver and bench, so the
-    temporary session tweak is safe and always restored.
+#: _drain_scope is REFCOUNTED (r15): bench builds the ten drains
+#: CONCURRENTLY, and a naive save/set/restore of a session conf from one
+#: thread while another drain is mid-run corrupts that drain's capture
+#: (measured: a concurrently-toggled noDataMicroBatches=false swallowed
+#: the outer join's null-emission batch — wrong rows).  The first
+#: enterer saves+sets, the last exiter restores, every enterer shares
+#: the SAME target value, so any interleaving of drains sees a
+#: consistent conf.  The former no_data_batches=False arm (skip the
+#: trailing no-data micro-batch) is GONE: it was a per-query value and
+#: therefore impossible to share; all of its call sites were
+#: complete-mode or foreachBatch drains where the extra batch is
+#: results-identical (its own docstring said so), so always-on costs
+#: one cheap micro-batch per drain and removes the only conflicting
+#: session toggle.
+_drain_scope_lock = threading.Lock()
+_drain_scope_depth = 0
+_drain_scope_saved: str | None = None
 
-    ``no_data_batches=False`` additionally skips the trailing no-data
-    micro-batch.  Safe ONLY for complete-mode aggregation drains: the
-    sink rewrites full state at every batch, so the watermark-advancing
-    extra batch cannot change the final table — it only evicts state
-    that is about to be thrown away anyway.  It must stay ON for the
-    outer-join drain (null emission happens IN that batch) and is
-    irrelevant-but-harmless for foreachBatch."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    old_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_DRAIN_PARTITIONS))
-    if not no_data_batches:
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+
+@contextlib.contextmanager
+def _drain_scope(spark: SparkSession):
+    """Scope shuffle.partitions down for a single-staged-file drain —
+    concurrency-safe via refcounting (see the note above); always
+    restored when the last concurrent drain exits."""
+    global _drain_scope_depth, _drain_scope_saved
+    with _drain_scope_lock:
+        if _drain_scope_depth == 0:
+            _drain_scope_saved = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_DRAIN_PARTITIONS))
+        _drain_scope_depth += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", old_ndb)
+        with _drain_scope_lock:
+            _drain_scope_depth -= 1
+            if _drain_scope_depth == 0:
+                spark.conf.set("spark.sql.shuffle.partitions", _drain_scope_saved)
 
 
 def _link_or_copy(src: str, dst: str) -> None:
@@ -222,9 +237,7 @@ def streaming_hourly_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         import uuid
 
         table = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-        with _staged_file(sf_dir, "events", "stream_hourly_") as stage, _drain_scope(
-            spark, no_data_batches=False
-        ):
+        with _staged_file(sf_dir, "events", "stream_hourly_") as stage, _drain_scope(spark):
             run_stream_to_memory(windowed_event_counts(read_events_stream(spark, stage)), table)
         return spark.table(table).select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
@@ -252,9 +265,7 @@ def streaming_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mini_hadoop_spark.streaming.stateful import streaming_sessionization
 
         table = f"stream_session_{uuid.uuid4().hex[:8]}"
-        with _staged_file(sf_dir, "events", "stream_session_") as stage, _drain_scope(
-            spark, no_data_batches=False
-        ):
+        with _staged_file(sf_dir, "events", "stream_session_") as stage, _drain_scope(spark):
             run_stream_to_memory(
                 streaming_sessionization(read_events_stream(spark, stage)), table
             )
@@ -299,7 +310,7 @@ def streaming_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stage_parquet(src, docs_dir)
             index_dir = os.path.join(root, "index")
             ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
-            with _drain_scope(spark, no_data_batches=False):
+            with _drain_scope(spark):
                 # a trailing no-data batch would run one empty
                 # read-modify-append cycle against the on-disk index — a
                 # wasted parquet commit, identical final index
@@ -365,7 +376,7 @@ def streaming_contamination_drain(spark: SparkSession, sf_dir: str) -> DataFrame
             _stage_parquet(src, docs_dir)
             report_dir = os.path.join(root, "report")
             ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
-            with _drain_scope(spark, no_data_batches=False):
+            with _drain_scope(spark):
                 run_streaming_contamination(
                     spark, docs_dir, eval_sh, report_dir, ckpt_dir
                 )
@@ -410,7 +421,7 @@ def streaming_classifier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             _stage_parquet(src, docs_dir)
             report_dir = os.path.join(root, "report")
             ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
-            with _drain_scope(spark, no_data_batches=False):
+            with _drain_scope(spark):
                 run_streaming_classifier_scores(
                     spark, docs_dir, w, report_dir, ckpt_dir
                 )
@@ -519,9 +530,7 @@ def streaming_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         from mini_hadoop_spark.streaming.joins import stream_static_enrich
 
         table = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-        with _staged_file(sf_dir, "events", "stream_enrich_") as stage, _drain_scope(
-            spark, no_data_batches=False
-        ):
+        with _staged_file(sf_dir, "events", "stream_enrich_") as stage, _drain_scope(spark):
             dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
             enriched = stream_static_enrich(
                 read_events_stream(spark, stage), dim, "user_id", "c_custkey", how="inner"
@@ -599,7 +608,7 @@ def _ivf_stream_drained(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Da
             _stage_parquet(src, emb_dir)
             index_dir = os.path.join(root, "index")
             ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
-            with _drain_scope(spark, no_data_batches=False):
+            with _drain_scope(spark):
                 run_incremental_ivf_index(spark, emb_dir, centroids, index_dir, ckpt_dir)
             # materialize each snapshot before the staging tree is removed
             pre = read_ivf_index(spark, index_dir).localCheckpoint(eager=True)
