@@ -898,3 +898,87 @@ def test_job_info_after_job(spark):
     assert info["status"] in ("SUCCEEDED", "RUNNING", "unknown")
     if info["stages"]:
         assert info["progress_pct"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# wordcount staging hygiene (ADVICE r14: per-uid scoping, ownership trust
+# gate, mtime liveness, live-stage sweep exemption)
+# ---------------------------------------------------------------------------
+
+def test_mr_wordcount_stage_dir_is_per_user_and_corpus():
+    import os
+
+    from mini_hadoop_spark.workloads import parity as P
+
+    d1 = P._mr_wordcount_stage_dir("/some/sf0.1")
+    d2 = P._mr_wordcount_stage_dir("/some/sf0.01")
+    uid = getattr(os, "getuid", lambda: 0)()
+    assert f"_u{uid}_" in os.path.basename(d1), "uid must scope the staging path"
+    assert d1 != d2, "different corpora must stage separately"
+    assert d1 == P._mr_wordcount_stage_dir("/some/sf0.1"), "path must be deterministic"
+
+
+def test_mr_wordcount_sweep_exempts_live_stages(tmp_path, monkeypatch):
+    """A stage dir registered as live in THIS process must survive the
+    sweep even with an ancient mtime; an unregistered stale dir with the
+    same prefix is reclaimed."""
+    import os
+    import tempfile as _tf
+
+    from mini_hadoop_spark.workloads import parity as P
+
+    monkeypatch.setattr(_tf, "gettempdir", lambda: str(tmp_path))
+    live = tmp_path / "mr_wordcount_u0_live00000000"
+    dead = tmp_path / "mr_wordcount_u0_dead00000000"
+    live.mkdir()
+    dead.mkdir()
+    ancient = 1_000_000.0  # 1970s — far past every sweep gate
+    os.utime(live, (ancient, ancient))
+    os.utime(dead, (ancient, ancient))
+    monkeypatch.setattr(P, "_mr_wc_live_stages", {str(live)})
+    P._sweep_stale_mr_wordcount()
+    assert live.is_dir(), "live stage swept despite exemption"
+    assert not dead.exists(), "stale unregistered stage not reclaimed"
+
+
+def test_mr_wordcount_refuses_foreign_staging(monkeypatch, tmp_path):
+    """If a dir exists at our deterministic path but belongs to another
+    uid (squatting on a shared /tmp), the build must refuse loudly
+    instead of reading foreign text."""
+    import os
+
+    import pytest as _pytest
+
+    from mini_hadoop_spark.workloads import parity as P
+
+    stage = tmp_path / "stage"
+    (stage / "docs_txt").mkdir(parents=True)
+    monkeypatch.setattr(P, "_mr_wordcount_stage_dir", lambda sf: str(stage))
+    monkeypatch.setattr(P, "_stage_owned_by_me", lambda p: False)
+
+    class _FakeSC:
+        applicationId = "test-app"
+
+    class _FakeSpark:
+        sparkContext = _FakeSC()
+
+    with _pytest.raises(RuntimeError, match="not owned"):
+        P.mapreduce_wordcount_query(_FakeSpark(), "/nonexistent/sf")
+
+
+def test_mr_wordcount_memo_hit_touches_mtime(spark, monkeypatch):
+    """ADVICE r14: a long-lived session that only HITS the memo must
+    still refresh the staging mtime so other processes' sweeps see it
+    as live."""
+    import os
+
+    from mini_hadoop_spark.workloads import parity as P
+    from tests.conftest import SF_DIR
+
+    P.mapreduce_wordcount_query(spark, SF_DIR)  # populate (or reuse) memo
+    stage = P._mr_wordcount_stage_dir(os.path.normpath(SF_DIR))
+    assert os.path.isdir(stage)
+    ancient = 1_000_000.0
+    os.utime(stage, (ancient, ancient))
+    P.mapreduce_wordcount_query(spark, SF_DIR)  # memo HIT
+    assert os.path.getmtime(stage) > ancient, "memo hit must refresh mtime"
