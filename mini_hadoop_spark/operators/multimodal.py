@@ -15,10 +15,11 @@ pipeline needs:
   ``mapInPandas`` twin with a REAL batch contract (schema, partition-
   parallel, bounded memory) — the seam real decoders plug into.  Three
   real decode stages exist: PIL images (when PIL is importable) with
-  stdlib PIL-free arms for 24-bit BMPs (``_decode_bmp_rgb``) and
-  baseline JPEGs (``functions.jpeg.decode_baseline_jpeg``, r15 — so the
-  MJPEG frame codec genuinely EXECUTES in this container,
-  fixture-tested), 16-bit PCM WAV audio via the stdlib ``wave`` module,
+  stdlib PIL-free arms for 24-bit BMPs (``_decode_bmp_rgb``), baseline
+  JPEGs (``functions.jpeg.decode_baseline_jpeg``, r15 — so the MJPEG
+  frame codec genuinely EXECUTES in this container, fixture-tested)
+  and 8-bit PNGs (``functions.png.decode_png_rgb``, r15),
+  16-bit PCM WAV audio via the stdlib ``wave`` module,
   and video container demux via stdlib struct for BOTH RIFF/AVI
   (``demux_avi_frames``) and ISO-BMFF/MP4 sample tables
   (``demux_mp4_frames``; ``demux_video_frames`` sniffs per payload,
@@ -168,15 +169,17 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
     """Real image decode: PIL when importable (any format PIL reads —
     decode, convert to RGB, resize to 16x16, luma histogram); without
     PIL, 24-bit BMPs still decode through the stdlib struct parser
-    (:func:`_decode_bmp_rgb`) and baseline JPEGs — the MJPEG frame
-    codec — through the stdlib T.81 decoder
-    (``functions.jpeg.decode_baseline_jpeg``, r15); both PIL-free arms
-    skip the resize step so the histogram runs over the native pixels
-    (for the uniform fixtures the conventions give identical features).
-    Raises ImportError only when PIL is absent AND the payload is
-    neither a BMP nor a JPEG (caller turns that into the loud
-    NotImplementedError); corrupt payloads raise ValueError and
-    non-baseline JPEG profiles raise NotImplementedError loudly."""
+    (:func:`_decode_bmp_rgb`), baseline JPEGs — the MJPEG frame codec —
+    through the stdlib T.81 decoder
+    (``functions.jpeg.decode_baseline_jpeg``, r15), and 8-bit PNGs
+    through the stdlib zlib decoder (``functions.png.decode_png_rgb``,
+    r15); the PIL-free arms skip the resize step so the histogram runs
+    over the native pixels (for the uniform fixtures the conventions
+    give identical features).  Raises ImportError only when PIL is
+    absent AND the payload is none of BMP/JPEG/PNG (caller turns that
+    into the loud NotImplementedError); corrupt payloads raise
+    ValueError and out-of-profile ones (progressive JPEG, 16-bit or
+    interlaced PNG) raise NotImplementedError loudly."""
     import io
 
     try:
@@ -188,6 +191,11 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
             from mini_hadoop_spark.functions.jpeg import decode_baseline_jpeg
 
             _, _, pixels = decode_baseline_jpeg(payload)
+            return _luma_histogram(pixels, dim)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            from mini_hadoop_spark.functions.png import decode_png_rgb
+
+            _, _, pixels = decode_png_rgb(payload)
             return _luma_histogram(pixels, dim)
         raise
     img = Image.open(io.BytesIO(payload)).convert("RGB").resize((16, 16))
@@ -477,9 +485,9 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
             except ImportError:
                 raise NotImplementedError(
                     "real image decoding requires PIL (not importable in this "
-                    "environment) for non-BMP, non-JPEG formats — 24-bit BMPs "
-                    "and baseline JPEGs decode via the stdlib parsers; pass "
-                    "fake=True for the deterministic stub"
+                    "environment) for formats beyond BMP/JPEG/PNG — 24-bit "
+                    "BMPs, baseline JPEGs and 8-bit PNGs decode via the stdlib "
+                    "parsers; pass fake=True for the deterministic stub"
                 ) from None
         if modality == "audio":
             import wave

@@ -431,8 +431,13 @@ def test_decode_payload_real_path():
             decode_payload(b"\x00\x01", modality)  # audio: not a WAV
 
     if not _pil_available():
+        # formats beyond the stdlib BMP/JPEG/PNG arms fail loudly
         with pytest.raises(NotImplementedError):
-            decode_payload(b"\x89PNG", "image")
+            decode_payload(b"GIF89a\x00\x00", "image")
+        # a PNG-magic payload that is corrupt is a ValueError (the
+        # stdlib PNG arm decodes real ones — tests/test_png.py)
+        with pytest.raises(ValueError):
+            decode_payload(b"\x89PNG\r\n\x1a\n\x00\x00", "image")
         return
     # real decode on a genuine in-memory PNG
     import io
@@ -1265,12 +1270,13 @@ def test_video_decode_bmp_avi_end_to_end_without_pil():
     assert sum(feats) == pytest.approx(1.0)
 
 
-@pytest.mark.skipif(not _pil_available(), reason="PIL not installed in this container")
 def test_real_image_features_on_png_fixture():
     """The REAL decode arm (multimodal._real_image_features) on the
-    committed PNG: a uniform gray (0x80) image survives the RGB convert
-    + 16x16 resize unchanged, so the 8-bin luma histogram is exactly
-    one-hot — luma = (299+587+114)*128//1000 = 128 -> bin 4."""
+    committed PNG — un-gated from PIL in r15 (the stdlib zlib decoder
+    handles 8-bit PNGs): a uniform gray (0x80) image gives the same
+    one-hot 8-bin luma histogram under BOTH arms (PIL's RGB convert +
+    16x16 resize leaves a uniform image unchanged) — luma =
+    (299+587+114)*128//1000 = 128 -> bin 4."""
     from pathlib import Path
 
     from mini_hadoop_spark.operators.multimodal import FEATURE_DIM, decode_payload

@@ -1,0 +1,139 @@
+"""The stdlib PNG decoder (functions/png.py, r15) against hand-built
+RFC 2083 streams: a test-side encoder writes chunks with explicit
+per-scanline filter ids and zlib-compressed data, so every filter
+(None/Sub/Up/Average/Paeth), every supported color type, and every
+loud-fail arm is pinned against values computed independently here —
+never against the decoder itself."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from mini_hadoop_spark.functions.png import decode_png_rgb
+
+_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(width, height, color, raw_scanlines, depth=8, interlace=0, palette=None):
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, interlace)
+    out = _MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    out += _chunk(b"IDAT", zlib.compress(raw_scanlines))
+    return out + _chunk(b"IEND", b"")
+
+
+def test_rgb_all_filter_types():
+    """4x5 RGB, one scanline per filter type; expected pixels computed
+    with the spec's reconstruction formulas written out here."""
+    rows = [
+        (0, bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])),
+        (1, bytes([5, 5, 5, 1, 2, 3, 1, 2, 3, 1, 2, 3])),  # Sub
+        (2, bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])),  # Up
+        (3, bytes([9, 9, 9, 8, 8, 8, 7, 7, 7, 6, 6, 6])),  # Average
+        (4, bytes([1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0])),  # Paeth
+    ]
+    raw = b"".join(bytes([f]) + line for f, line in rows)
+    w, h, px = decode_png_rgb(_png(4, 5, 2, raw))
+    assert (w, h, len(px)) == (4, 5, 20)
+
+    # independent reconstruction per the spec
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    rec = []
+    for y, (f, line) in enumerate(rows):
+        cur = [0] * 12
+        for x in range(12):
+            left = cur[x - 3] if x >= 3 else 0
+            up = rec[y - 1][x] if y else 0
+            ul = rec[y - 1][x - 3] if (y and x >= 3) else 0
+            add = {0: 0, 1: left, 2: up, 3: (left + up) // 2, 4: paeth(left, up, ul)}[f]
+            cur[x] = (line[x] + add) & 0xFF
+        rec.append(cur)
+    want = [tuple(r[i : i + 3]) for r in rec for i in range(0, 12, 3)]
+    assert px == want
+
+
+def test_gray_palette_and_alpha_color_types():
+    # grayscale (type 0): values replicate to RGB
+    raw = bytes([0]) + bytes([0, 128, 255])
+    assert decode_png_rgb(_png(3, 1, 0, raw))[2] == [(0, 0, 0), (128, 128, 128), (255, 255, 255)]
+    # palette (type 3)
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0]) + bytes([2, 0, 1])
+    assert decode_png_rgb(_png(3, 1, 3, raw, palette=pal))[2] == [
+        (0, 0, 255), (255, 0, 0), (0, 255, 0),
+    ]
+    # RGBA (type 6): alpha dropped
+    raw = bytes([0]) + bytes([9, 8, 7, 255, 1, 2, 3, 0])
+    assert decode_png_rgb(_png(2, 1, 6, raw))[2] == [(9, 8, 7), (1, 2, 3)]
+    # gray+alpha (type 4)
+    raw = bytes([0]) + bytes([77, 255, 200, 0])
+    assert decode_png_rgb(_png(2, 1, 4, raw))[2] == [(77, 77, 77), (200, 200, 200)]
+
+
+def test_committed_fixture_decodes_uniform_gray():
+    from pathlib import Path
+
+    data = Path(__file__).parent.joinpath("fixtures", "gray_8x8.png").read_bytes()
+    w, h, px = decode_png_rgb(data)
+    assert (w, h) == (8, 8)
+    assert set(px) == {(128, 128, 128)}
+
+
+def test_loud_failures():
+    with pytest.raises(ValueError, match="missing magic"):
+        decode_png_rgb(b"\x89PNG")  # truncated magic
+    raw = bytes([0]) + bytes([1, 2, 3])
+    good = _png(1, 1, 2, raw)
+    # corrupt one IDAT byte -> CRC mismatch
+    i = good.index(b"IDAT") + 4
+    bad = good[:i] + bytes([good[i] ^ 0xFF]) + good[i + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb(bad)
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png_rgb(_png(1, 1, 2, raw, interlace=1))
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_png_rgb(_png(1, 1, 2, raw, depth=16))
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png_rgb(_png(1, 1, 2, bytes([9]) + bytes([1, 2, 3])))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png_rgb(_png(1, 1, 3, bytes([0, 5]), palette=bytes([1, 2, 3])))
+    with pytest.raises(ValueError, match="expected"):
+        decode_png_rgb(_png(2, 1, 2, raw))  # scanline too short for width
+
+
+def test_real_image_features_png_arm_without_pil():
+    """Without PIL (this container), PNG payloads route through the
+    stdlib decoder: the committed uniform mid-gray fixture gives the
+    one-hot bin-4 luma histogram — identical to the PIL arm's."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed — the PIL arm handles PNG here")
+    except ImportError:
+        pass
+    from pathlib import Path
+
+    from mini_hadoop_spark.operators.multimodal import FEATURE_DIM, decode_payload
+
+    payload = Path(__file__).parent.joinpath("fixtures", "gray_8x8.png").read_bytes()
+    feats = decode_payload(payload, "image")
+    assert len(feats) == FEATURE_DIM
+    assert feats[4] == pytest.approx(1.0)
+    assert sum(feats) == pytest.approx(1.0)
