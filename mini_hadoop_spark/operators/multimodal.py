@@ -202,33 +202,84 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
     return _luma_histogram(img.getdata(), dim)
 
 
+def _float_wav_magnitudes(payload: bytes) -> list[float] | None:
+    """Manual RIFF walk for IEEE-float WAV (format code 3 — the stdlib
+    ``wave`` module only reads PCM): returns per-sample |amplitude|
+    normalized to the 0..32768 integer convention, or None when the
+    payload is not a parseable float WAV (caller re-raises the original
+    wave error so non-WAV payloads keep their loud contract)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks pad to even offsets
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_format, _ch, _rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if audio_format != 3 or bits not in (32, 64):
+        return None
+    width = bits // 8
+    n = len(data) // width
+    vals = struct.unpack(f"<{n}{'f' if bits == 32 else 'd'}", data[: n * width])
+    return [min(abs(v), 1.0) * 32768.0 for v in vals]
+
+
 def _real_audio_features(payload: bytes, dim: int) -> list[float]:
-    """Real audio decode via the stdlib ``wave`` module (16-bit PCM
-    WAV — no external dependency): parse the RIFF container, unpack the
-    little-endian samples, and bin each sample's |amplitude| (0..32768)
-    into a ``dim``-bin histogram normalized by sample count — the same
-    output shape and normalization convention as the fake decoder and
-    the image path, so downstream schema, partitioning and batch
-    handling are identical.  Raises ``wave.Error``/``EOFError`` on
-    non-WAV payloads and NotImplementedError on non-16-bit PCM (caller
-    surfaces both as the loud NotImplementedError)."""
+    """Real audio decode via the stdlib ``wave`` module — PCM WAV at
+    8/16/24/32 bits (r15 widened the r12 16-bit-only arm), plus
+    IEEE-float32/64 WAV through a manual RIFF walk (``wave`` rejects
+    format 3): every sample's |amplitude| normalized to the shared
+    0..32768 convention and binned into a ``dim``-bin histogram — the
+    same output shape as the fake decoder and the image path, so
+    downstream schema, partitioning and batch handling are identical.
+    Raises ``wave.Error``/``EOFError`` on non-WAV payloads (caller
+    surfaces them as the loud NotImplementedError); compressed codecs
+    (MP3, AAC, ADPCM...) keep failing loudly through the same gate."""
     import io
     import struct
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sampwidth = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if sampwidth != 2:
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        mags = _float_wav_magnitudes(payload)
+        if mags is None:
+            raise
+        sampwidth, raw = None, b""
+    if sampwidth == 1:  # unsigned 8-bit PCM, centered at 128
+        mags = [abs(b - 128) * 256.0 for b in raw]
+    elif sampwidth == 2:
+        n = len(raw) // 2
+        mags = [abs(s) * 1.0 for s in struct.unpack(f"<{n}h", raw[: n * 2])]
+    elif sampwidth == 3:  # signed 24-bit little-endian
+        mags = [
+            abs(struct.unpack("<i", raw[i : i + 3] + (b"\xff" if raw[i + 2] >= 0x80 else b"\x00"))[0])
+            / 256.0
+            for i in range(0, len(raw) - 2, 3)
+        ]
+    elif sampwidth == 4:  # signed 32-bit int PCM
+        n = len(raw) // 4
+        mags = [abs(s) / 65536.0 for s in struct.unpack(f"<{n}i", raw[: n * 4])]
+    elif sampwidth is not None:
         raise NotImplementedError(
-            f"only 16-bit PCM WAV is decoded here, got sampwidth={sampwidth}"
+            f"PCM WAV sample width {sampwidth} bytes is out of profile"
         )
-    n = len(raw) // 2
-    samples = struct.unpack(f"<{n}h", raw[: n * 2])
+    n = len(mags)
     hist = [0] * dim
-    for s in samples:
-        mag = -s if s < 0 else s  # 0..32768 (abs(-32768) = 32768)
-        hist[min(mag * dim // 32768, dim - 1)] += 1
+    for mag in mags:
+        hist[min(int(mag) * dim // 32768, dim - 1)] += 1
     return [h / max(n, 1) for h in hist]
 
 
@@ -496,9 +547,9 @@ def decode_payload(payload: bytes, modality: str, fake: bool = False) -> list[fl
                 return _real_audio_features(payload, FEATURE_DIM)
             except (wave.Error, EOFError) as exc:
                 raise NotImplementedError(
-                    f"audio payload is not PCM WAV ({exc}); other codecs need "
-                    "decoders not present in this environment — pass fake=True "
-                    "for the deterministic stub"
+                    f"audio payload is not a PCM or IEEE-float WAV ({exc}); "
+                    "compressed codecs need decoders not present in this "
+                    "environment — pass fake=True for the deterministic stub"
                 ) from None
         if modality == "video":
             # container demux is REAL (stdlib) for both AVI and MP4;

