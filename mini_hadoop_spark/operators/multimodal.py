@@ -484,6 +484,108 @@ def _sample_demuxed_frames(binary_df: DataFrame, demux_fn, every_n: int) -> Data
     return binary_df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAMES_SCHEMA)
 
 
+def _decode_any_rgb(payload: bytes) -> tuple[int, int, list]:
+    """Dispatch one image payload to the matching stdlib decoder (BMP /
+    baseline JPEG / 8-bit PNG — all always available) or PIL for other
+    formats; returns (width, height, [(r, g, b), ...] raster order).
+    Raises ValueError on corrupt payloads, NotImplementedError on
+    out-of-profile codecs without PIL — never a silent stub."""
+    if payload[:2] == b"BM":
+        px = _decode_bmp_rgb(payload)
+        # _decode_bmp_rgb returns pixels only; recover dims from header
+        import struct
+
+        _, width, height = struct.unpack_from("<Iii", payload, 14)
+        return width, abs(height), px
+    if payload[:2] == b"\xff\xd8":
+        from mini_hadoop_spark.functions.jpeg import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from mini_hadoop_spark.functions.png import decode_png_rgb
+
+        return decode_png_rgb(payload)
+    try:
+        import io
+
+        from PIL import Image  # noqa: PLC0415 — optional, probed per call site
+    except ImportError:
+        raise NotImplementedError(
+            "image payload is not BMP/JPEG/PNG and PIL is not importable in "
+            "this environment"
+        ) from None
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.width, img.height, list(img.getdata())
+
+
+def _encode_bmp_rgb(width: int, height: int, pixels: list) -> bytes:
+    """Write a 24-bit uncompressed bottom-up BMP (BITMAPINFOHEADER) from
+    raster-order (r, g, b) pixels — the byte-exact inverse of
+    :func:`_decode_bmp_rgb` (round-trip pytest-pinned)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    data_off = 54
+    size = data_off + stride * height
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, data_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0)
+    rows = []
+    for r in range(height - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for c in range(width):
+            pr, pg, pb = pixels[r * width + c]
+            row += bytes((pb, pg, pr))  # BGR on disk
+        row += bytes(stride - width * 3)
+        rows.append(bytes(row))
+    return hdr + b"".join(rows)
+
+
+def resize_image_payload(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize (r15): stdlib decode (BMP / baseline JPEG /
+    8-bit PNG; PIL for other formats when importable) → nearest-neighbor
+    resample → deterministic 24-bit BMP re-encode.  Nearest-neighbor is
+    exact integer arithmetic (src = floor(dst * src_dim / dst_dim)), so
+    the output bytes are engine- and platform-stable — the property the
+    dedup/fingerprint stages downstream rely on."""
+    sw, sh, px = _decode_any_rgb(payload)
+    out = [
+        px[(y * sh // height) * sw + (x * sw // width)]
+        for y in range(height)
+        for x in range(width)
+    ]
+    return _encode_bmp_rgb(width, height, out)
+
+
+def resize_images(binary_df: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """The REAL decode → resize → re-encode stage over the Arrow seam
+    (same 1→1 mapInPandas contract as :func:`resize_payloads`, which
+    remains the modality-agnostic byte-plumbing twin): each image
+    payload is decoded with the stdlib arms, nearest-neighbor resampled
+    and re-encoded as a 24-bit BMP.  Partition-parallel, no shuffle; a
+    non-image or corrupt payload fails the task loudly — filter to
+    image modality first."""
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"].map(
+                        lambda p: resize_image_payload(bytes(p), width, height)
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return binary_df.select("doc_id", "modality", "payload").mapInPandas(
+        _resize, schema=RESIZE_SCHEMA
+    )
+
+
 def sample_avi_frames(binary_df: DataFrame, every_n: int = 4) -> DataFrame:
     """The REAL-container twin of :func:`sample_frames`: AVI-only
     demux (:func:`demux_avi_frames`) through the shared sampler body
@@ -667,11 +769,13 @@ def resize_payloads(binary_df: DataFrame, width: int = 16, height: int = 16) -> 
     """Resize plumbing: 1→1 mapInPandas that rewrites each payload to a
     fixed target size and attaches typed dimension metadata.
 
-    The real implementation would decode → PIL/cv2 resize → re-encode;
-    absent those libs the deterministic fake tiles/truncates the byte
+    The REAL decode → resize → re-encode stage exists as
+    :func:`resize_images` (r15, stdlib decoders); this twin remains the
+    modality-AGNOSTIC byte plumbing (audio/video payloads have no 2-D
+    resize semantics): the deterministic fake tiles/truncates the byte
     stream to exactly ``width*height`` bytes — the SPARK side (schema,
     Arrow batching, binary-in/binary-out, partition-parallel, no
-    shuffle) is the part under test."""
+    shuffle) is shared with the real stage."""
     target = width * height
 
     def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
