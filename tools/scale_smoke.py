@@ -568,6 +568,155 @@ def _span_appendix_lines() -> list[str]:
     ]
 
 
+def gap_family_mode(n: int) -> int:
+    """One deeper scale point for the r15 gap-quantile prefix-sum
+    (VERDICT r14 #2: events_gap_quantiles replaced the tree's last
+    corpus-sized no-partition WindowExec with DESIGN lesson 38's
+    bucketed prefix-sum): cold events_gap_quantiles at 1x vs an
+    n-x events corpus of ID-shifted copies (ts unchanged, user spaces
+    disjoint per copy -> the per-user gap MULTISET is exactly the 1x
+    multiset replicated n times).  That construction gives a strong
+    cross-scale invariant: every quantile VALUE must be bit-identical
+    to 1x while n_gaps grows exactly n-fold — checked, not assumed.
+    Also records the structural bound the prefix-sum relies on: the
+    partials table (occupied buckets) stays <= GAP_QUANTILE_BUCKETS at
+    every scale, so no window task ever holds more than
+    ~|distinct gaps|/1024 rows."""
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-gap")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.events import (
+        GAP_QUANTILE_BUCKETS,
+        events_gap_quantiles,
+    )
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    out_root = f"/tmp/spark_graft_gap{n}x"
+    out_dir = os.path.join(out_root, "events.parquet")
+    if not os.path.isdir(out_dir):
+        e = load_table(spark, BASE, "events")
+        _assert_shiftable(e, "event_id")
+        _assert_shiftable(e, "user_id", 1_000_000)
+        (
+            e.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("i"),
+                *[F.col(c) for c in e.columns],
+            )
+            .select(
+                (F.col("event_id") + F.col("i") * ID_SHIFT).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("i") * 1_000_000).alias("user_id"),
+                *[c for c in e.columns if c not in ("event_id", "ts", "user_id")],
+            )
+            .repartition(32)
+            .write.mode("overwrite").parquet(out_dir)
+        )
+
+    def cold_run(sf_dir: str) -> dict:
+        t0 = time.perf_counter()
+        rows = sorted(
+            (r["p"], int(r["gap_us_quantile"]), int(r["n_gaps"]))
+            for r in events_gap_quantiles(spark, sf_dir).collect()
+        )
+        t = time.perf_counter() - t0
+        # structural stats: distinct gaps + occupied prefix-sum buckets
+        e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+        from pyspark.sql import Window as W
+
+        us = F.unix_micros(F.col("ts"))
+        w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gaps = (
+            e.select("user_id", (us - F.lag(us).over(w_lag)).alias("gap_us"))
+            .filter(F.col("gap_us").isNotNull())
+        )
+        st = gaps.agg(F.countDistinct("gap_us").alias("d"), F.min("gap_us").alias("lo"), F.max("gap_us").alias("hi")).first()
+        width = (st["hi"] - st["lo"]) / float(GAP_QUANTILE_BUCKETS)
+        occ = (
+            gaps.select(
+                F.least(
+                    F.lit(GAP_QUANTILE_BUCKETS - 1),
+                    F.floor((F.col("gap_us") - F.lit(st["lo"])) / F.lit(max(width, 1e-12))),
+                ).alias("b")
+            )
+            .agg(F.countDistinct("b"))
+            .first()[0]
+        )
+        return {"t": t, "rows": rows, "distinct_gaps": int(st["d"]), "occupied_buckets": int(occ)}
+
+    one = cold_run(BASE)
+    big = cold_run(out_root)
+    values_match = [(p, g) for p, g, _ in one["rows"]] == [(p, g) for p, g, _ in big["rows"]]
+    n_gaps_exact = all(bn == n * b1 for (_, _, b1), (_, _, bn) in zip(one["rows"], big["rows"]))
+    data = {
+        "copies": n,
+        "t1": one["t"], "tn": big["t"], "ratio": big["t"] / one["t"],
+        "distinct_gaps_1": one["distinct_gaps"], "distinct_gaps_n": big["distinct_gaps"],
+        "occupied_buckets_1": one["occupied_buckets"],
+        "occupied_buckets_n": big["occupied_buckets"],
+        "bucket_cap": GAP_QUANTILE_BUCKETS,
+        "quantile_values_match_1x": values_match,
+        "n_gaps_exactly_n_fold": n_gaps_exact,
+        "rows_1x": one["rows"], "rows_nx": big["rows"],
+    }
+    assert values_match and n_gaps_exact, data
+    with open(os.path.join(_repo_root(), "SCALE_GAP.json"), "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(
+        f"gap quantiles cold: 1x {data['t1']:.2f}s -> {n}x {data['tn']:.2f}s "
+        f"(ratio {data['ratio']:.1f}); occupied buckets {data['occupied_buckets_1']} -> "
+        f"{data['occupied_buckets_n']} (cap {GAP_QUANTILE_BUCKETS}); quantile values "
+        f"bit-identical, n_gaps exactly {n}x"
+    )
+    md = os.path.join(_repo_root(), "SCALE.md")
+    js = os.path.join(_repo_root(), "SCALE.json")
+    if os.path.exists(js):
+        with open(js) as fh:
+            write_scale_md(json.load(fh), md)
+        print(f"re-rendered {md} with the {n}x gap-quantile appendix")
+    spark.stop()
+    return 0
+
+
+def _gap_appendix_lines() -> list[str]:
+    path = os.path.join(_repo_root(), "SCALE_GAP.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        d = json.load(fh)
+    n = d["copies"]
+    return [
+        "",
+        f"## Appendix: {n}x gap-quantile prefix-sum smoke",
+        "",
+        f"`python tools/scale_smoke.py --gap-family {n}` — the r15",
+        "events_gap_quantiles rewrite (DESIGN lesson 38's bucketed",
+        "prefix-sum, VERDICT r14 #2) at one deeper scale point: an",
+        f"{n}x events corpus of ID-shifted copies with ts unchanged, so",
+        "the per-user gap multiset is exactly the 1x multiset replicated",
+        f"{n} times and every quantile VALUE must come back bit-identical",
+        f"with n_gaps exactly {n}-fold (asserted by the harness, not",
+        "eyeballed).",
+        "",
+        "| scale | cold sec | distinct gaps | occupied buckets (cap "
+        f"{d['bucket_cap']}) |",
+        "|---|---|---|---|",
+        f"| 1x | {d['t1']:.2f} | {d['distinct_gaps_1']} | {d['occupied_buckets_1']} |",
+        f"| {n}x | {d['tn']:.2f} | {d['distinct_gaps_n']} | {d['occupied_buckets_n']} |",
+        "",
+        f"Wall ratio {d['ratio']:.1f}x on a {n}x corpus with the partials table",
+        "pinned under the bucket cap at both scales: the cumulative windows",
+        "partition by (bucket), each holding ~|distinct gaps|/1024 rows,",
+        "so the former single-task global rank never reappears at depth —",
+        "the quantile values' bit-identity across scales is the",
+        "correctness half of the same check.",
+    ]
+
+
 SKEW_OUT = "/tmp/spark_graft_scale_skew"
 #: 12-token boilerplate -> 8 shared 5-grams per planted doc; planted in
 #: 1/4 of documents, so those gram keys cover 25% of the corpus
@@ -1455,6 +1604,7 @@ def write_scale_md(rows: list[dict], path: str) -> None:
     lines.extend(_skew_appendix_lines())
     lines.extend(_grid_appendix_lines())
     lines.extend(_classifier_appendix_lines())
+    lines.extend(_gap_appendix_lines())
     lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
@@ -1492,6 +1642,10 @@ def main() -> int:
         i = args.index("--classifier-family")
         n = int(args[i + 1]) if len(args) > i + 1 else 100
         return classifier_family_mode(n)
+    if "--gap-family" in args:
+        i = args.index("--gap-family")
+        n = int(args[i + 1]) if len(args) > i + 1 else 100
+        return gap_family_mode(n)
     all_mode = "--all" in args
     update_mode = "--update" in args
     if "--render" in args:
