@@ -1546,6 +1546,120 @@ FROM agg
 """
 
 
+#: incremental-snapshot cutoff: everything from this date on is "the
+#: delta" (the newest ~7 months of the 1995..2001 generated range) —
+#: the refresh batch merged into the base snapshot.
+SNAPSHOT_MERGE_CUTOFF = "2001-01-01"
+
+
+def snapshot_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert — incremental snapshot maintenance (r15): the
+    warehouse op that keeps a per-customer state table current WITHOUT
+    recomputing it from the full history.  Base snapshot = per-customer
+    aggregates over orders before SNAPSHOT_MERGE_CUTOFF; delta = the
+    same aggregates over the refresh window.  The merge is a full-outer
+    join on the key with additive combination (counts/sums add, last
+    order date = greatest) and a merge_action audit column
+    (updated / unchanged / inserted) — MERGE INTO semantics expressed
+    as a join, the only shape that scales (at 100 TB the day's delta
+    aggregate merges into the snapshot with ONE shuffle per side on the
+    key; history is never rescanned).  Counts and decimal sums exact;
+    one rounded double per row for the hash."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cut = F.lit(SNAPSHOT_MERGE_CUTOFF).cast("timestamp")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < cut))
+    delta = state(o.filter(F.col("o_orderdate") >= cut))
+    b, d = base.alias("b"), delta.alias("d")
+    j = b.join(d, F.col("b.o_custkey") == F.col("d.o_custkey"), "full_outer")
+    zero = F.lit(0).cast("decimal(18,6)")
+    merged_spend = F.coalesce(F.col("b.spend"), zero) + F.coalesce(F.col("d.spend"), zero)
+    return j.select(
+        F.coalesce(F.col("b.o_custkey"), F.col("d.o_custkey")).alias("custkey"),
+        (
+            F.coalesce(F.col("b.n_orders"), F.lit(0))
+            + F.coalesce(F.col("d.n_orders"), F.lit(0))
+        ).alias("n_orders"),
+        merged_spend.cast("double").alias("spend"),
+        F.date_format(
+            F.greatest(F.col("b.last_order"), F.col("d.last_order")), "yyyy-MM-dd"
+        ).alias("last_order"),
+        F.when(F.col("b.o_custkey").isNull(), F.lit("inserted"))
+        .when(F.col("d.o_custkey").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )
+
+
+SNAPSHOT_MERGE_SQL = f"""
+WITH base AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(o_totalprice::DECIMAL(18,6)) AS spend,
+         max(o_orderdate) AS last_order
+  FROM orders WHERE o_orderdate < TIMESTAMP '{SNAPSHOT_MERGE_CUTOFF}'
+  GROUP BY o_custkey
+), delta AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(o_totalprice::DECIMAL(18,6)) AS spend,
+         max(o_orderdate) AS last_order
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{SNAPSHOT_MERGE_CUTOFF}'
+  GROUP BY o_custkey
+)
+SELECT coalesce(b.o_custkey, d.o_custkey) AS custkey,
+       coalesce(b.n_orders, 0) + coalesce(d.n_orders, 0) AS n_orders,
+       CAST(coalesce(b.spend, 0::DECIMAL(18,6)) + coalesce(d.spend, 0::DECIMAL(18,6)) AS DOUBLE) AS spend,
+       strftime(greatest(b.last_order, d.last_order), '%Y-%m-%d') AS last_order,
+       CASE WHEN b.o_custkey IS NULL THEN 'inserted'
+            WHEN d.o_custkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+"""
+
+
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals (r15): each customer's orders form
+    a version chain — valid_from = the order's date, valid_to = the
+    NEXT version's date (null while current), plus the version number
+    and an is_current flag.  The temporal-table build every warehouse
+    dimension load runs; asof-join consumers (join_asof_* family) read
+    exactly these intervals.
+
+    Deterministic: versions order by the TOTAL key (o_orderdate,
+    o_orderkey), so same-day orders chain stably.  Plan: ONE per-custkey
+    window shuffle (partitioned — never global); output is one row per
+    order."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.row_number().over(w).alias("version"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+SCD2_VERSIONS_SQL = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       row_number() OVER w AS version,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+       lead(o_orderdate) OVER w IS NULL AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "nation_trade_balance": nation_trade_balance,
     "part_price_realization": part_price_realization,
@@ -1575,6 +1689,8 @@ QUERIES = {
     "join_full_outer": join_full_outer,
     "page_orders_offset": page_orders_offset,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
+    "snapshot_merge_incremental": snapshot_merge_incremental,
+    "scd2_customer_versions": scd2_customer_versions,
 }
 
 ORACLES = {
@@ -1606,4 +1722,6 @@ ORACLES = {
     "join_full_outer": JOIN_FULL_OUTER_SQL,
     "page_orders_offset": PAGE_OFFSET_SQL,
     "q9_profit_by_nation_year": Q9_PROFIT_SQL,
+    "snapshot_merge_incremental": SNAPSHOT_MERGE_SQL,
+    "scd2_customer_versions": SCD2_VERSIONS_SQL,
 }

@@ -46,12 +46,16 @@ _MODULES = [
 # r15 ROTATION (VERDICT r14 #3): the 47 slots are the ENTIRE remaining
 # r10 cohort (the mechanically stalest oracled evidence — after the r15
 # artifact no oracled query's evidence is older than r12, age 3); the
-# other 3 slots go to the queries whose CODE changed this round
-# (events_gap_quantiles' lesson-38 prefix-sum,
-# similarity_matryoshka_agreement's TakeOrdered pick,
-# orders_rfm_segmentation_approx's TakeOrdered sample) so the driver
-# re-certifies exactly the r15 diff.  Rows-only queries stay OUT of the
-# window per the policy above (VERDICT r14 what's-wrong #2:
+# other 3 slots go to the 2 r15-NEW queries (snapshot_merge_incremental,
+# scd2_customer_versions — first-ever driver evidence on day one, the
+# r14 precedent) and the most structurally changed r15 rewrite
+# (events_gap_quantiles' lesson-38 prefix-sum).  The other two r15
+# picker rewrites (similarity_matryoshka_agreement,
+# orders_rfm_segmentation_approx) keep their r12/r13 evidence — the
+# TakeOrdered pick selects an IDENTICAL deterministic set (plan-guard +
+# battery + vanilla-session sim all re-verified this round), so their
+# hashes cannot have moved.  Rows-only queries stay OUT of the window
+# per the policy above (VERDICT r14 what's-wrong #2:
 # classifier_train_prod rotated back out after its r14 protocol row; its
 # hash evidence channel is the oracled classifier_train_curve twin).
 # Computed by the exact recipe in tools/rotation_report.py; rotated-out
@@ -123,10 +127,10 @@ DRIVER_WINDOW = [
     "window_lag_delta",
     "window_ntile_quartiles",
     "window_running_sum",
-    # --- r15 code-touched (re-certify the diff) ---
+    # --- r15-new (first-ever slots) + the structural r15 rewrite ---
+    "snapshot_merge_incremental",
+    "scd2_customer_versions",
     "events_gap_quantiles",
-    "orders_rfm_segmentation_approx",
-    "similarity_matryoshka_agreement",
 ]
 
 
