@@ -173,15 +173,14 @@ def main() -> int:
             "bpe_model": lambda: _comp._bpe_combined(spark, sf_dir),
         },
     )
-    # the CC labelings depend on the pair memos above; the two methods
-    # are independent of each other
-    _build_group(
-        "pair_labels",
-        {
-            "labels_jaccard": lambda: _dedup.near_dup_labels(spark, sf_dir, "jaccard"),
-            "labels_minhash": lambda: _dedup.near_dup_labels(spark, sf_dir, "minhash"),
-        },
-    )
+    # the CC labelings depend on the pair memos above.  SEQUENTIAL on
+    # purpose (r15 code review + DESIGN lesson 41): each build runs
+    # under dedup._with_adaptive_shuffle, whose save/set/restore of
+    # spark.sql.shuffle.partitions derives a PER-GRAPH target — two
+    # concurrent builds can interleave restores and leak the clamped
+    # value into the session, distorting every subsequently timed query
+    _build("labels_jaccard", lambda: _dedup.near_dup_labels(spark, sf_dir, "jaccard"))
+    _build("labels_minhash", lambda: _dedup.near_dup_labels(spark, sf_dir, "minhash"))
 
     # the memoized ANN neighbor sets (r9): each arm derives once per
     # session and is shared by its own query + the recall audit — the

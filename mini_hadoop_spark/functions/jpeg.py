@@ -10,9 +10,11 @@ this repo's LLM-data-pipeline extension surface.
 
 Supported profile (everything an MJPEG stream or a default encoder
 emits): baseline/extended-sequential Huffman DCT (SOF0/SOF1), 8-bit
-precision, 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 /
-4:2:0 ... via pixel-replication upsampling), restart intervals, one
-interleaved scan or a single-component scan.  Progressive (SOF2),
+precision, 1 or 3 components (YCbCr by default; straight-RGB streams —
+Adobe APP14 transform=0 or literal R/G/B component ids — skip the
+color matrix), any sampling factors (4:4:4 / 4:2:2 / 4:2:0 ... via
+pixel-replication upsampling), marker fill bytes, restart intervals,
+one interleaved scan or a single-component scan.  Progressive (SOF2),
 lossless/hierarchical frames, arithmetic coding (SOF9+/DAC) and 12-bit
 precision raise ``NotImplementedError`` LOUDLY — never a silent stub;
 corrupt streams raise ``ValueError``.
@@ -161,19 +163,32 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, list]:
     """Decode a baseline JPEG into ``(width, height, pixels)`` with
     pixels as ``[(r, g, b), ...]`` in raster order — the same contract
     as ``multimodal._decode_bmp_rgb`` so the luma-histogram feature arm
-    is decoder-agnostic."""
+    is decoder-agnostic.  Truncated/corrupt streams always surface as
+    ValueError (struct/index errors from short segments are converted
+    at this boundary — r15 code review)."""
+    try:
+        return _decode_jpeg(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated or corrupt JPEG stream: {exc}") from None
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, list]:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qt: dict = {}
     huff_dc: dict = {}
     huff_ac: dict = {}
     restart_interval = 0
+    adobe_transform = None
     frame = None
     pos = 2
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker stream out of sync")
         m = payload[pos + 1]
+        if m == 0xFF:  # fill byte (T.81 B.1.1.2): markers may be 0xFF-padded
+            pos += 1
+            continue
         pos += 2
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
@@ -221,20 +236,33 @@ def decode_baseline_jpeg(payload: bytes) -> tuple[int, int, list]:
             frame = (w, h, comps)
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:  # APP14
+            adobe_transform = seg[11]
         elif m == 0xDA:  # SOS — decode the scan, then we're done
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            w, h, comps = frame
+            # 3-component color space: YCbCr by default (JFIF), but
+            # Adobe transform=0 or literal 'R','G','B' component ids
+            # mean the samples are straight RGB — decode them as such
+            # instead of silently applying the YCbCr matrix (r15 review)
+            rgb_passthrough = len(comps) == 3 and (
+                adobe_transform == 0 or tuple(c[0] for c in comps) == (82, 71, 66)
+            )
             ns = seg[0]
             sel = {}
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cs] = (tt >> 4, tt & 15)
-            return _decode_scan(payload, seg_end, frame, sel, qt, huff_dc, huff_ac, restart_interval)
+            return _decode_scan(
+                payload, seg_end, frame, sel, qt, huff_dc, huff_ac,
+                restart_interval, rgb_passthrough,
+            )
         pos = seg_end
     raise ValueError("JPEG ended without a scan")
 
 
-def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, ri):
+def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, ri, rgb_passthrough=False):
     w, h, comps = frame
     scan_comps = [c for c in comps if c[0] in sel]
     if len(scan_comps) != len(comps) and len(scan_comps) != 1:
@@ -293,10 +321,10 @@ def _decode_scan(data, pos, frame, sel, qt, huff_dc, huff_ac, ri):
                         for yy in range(8):
                             plane[y0 + yy][x0 : x0 + 8] = px[yy]
             n_mcu += 1
-    return w, h, _to_rgb(w, h, comps, planes, hmax, vmax)
+    return w, h, _to_rgb(w, h, comps, planes, hmax, vmax, rgb_passthrough)
 
 
-def _to_rgb(w, h, comps, planes, hmax, vmax):
+def _to_rgb(w, h, comps, planes, hmax, vmax, rgb_passthrough=False):
     pixels = []
     if len(comps) == 1:
         plane = planes[comps[0][0]]
@@ -309,12 +337,16 @@ def _to_rgb(w, h, comps, planes, hmax, vmax):
     for y in range(h):
         ry, rb, rr = py[y * yv // vmax], pb[y * bv // vmax], pr[y * rv // vmax]
         for x in range(w):
-            lum = ry[x * yh // hmax]
-            cb = rb[x * bh // hmax] - 128
-            cr = rr[x * rh // hmax] - 128
-            r = lum + 1.402 * cr
-            g = lum - 0.344136 * cb - 0.714136 * cr
-            b = lum + 1.772 * cb
+            c0 = ry[x * yh // hmax]
+            c1 = rb[x * bh // hmax]
+            c2 = rr[x * rh // hmax]
+            if rgb_passthrough:  # components ARE R, G, B — no matrix
+                pixels.append((c0, c1, c2))
+                continue
+            cb, cr = c1 - 128, c2 - 128
+            r = c0 + 1.402 * cr
+            g = c0 - 0.344136 * cb - 0.714136 * cr
+            b = c0 + 1.772 * cb
             pixels.append(
                 (
                     0 if r < 0 else (255 if r > 255 else int(r + 0.5)),

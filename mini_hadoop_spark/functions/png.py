@@ -80,7 +80,16 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 
 def decode_png_rgb(payload: bytes) -> tuple[int, int, list]:
     """Decode an 8-bit non-interlaced PNG into ``(width, height,
-    pixels)`` with pixels as ``[(r, g, b), ...]`` in raster order."""
+    pixels)`` with pixels as ``[(r, g, b), ...]`` in raster order.
+    Truncated/corrupt streams always surface as ValueError (struct /
+    index errors from short chunks convert at this boundary)."""
+    try:
+        return _decode_png(payload)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated or corrupt PNG stream: {exc}") from None
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list]:
     if len(payload) < 8 or payload[:8] != _MAGIC:
         raise ValueError("not a PNG payload (missing magic)")
     pos = 8

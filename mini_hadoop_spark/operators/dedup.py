@@ -34,6 +34,7 @@ Scale posture (100 TB):
 from __future__ import annotations
 
 import os
+import threading
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -1547,26 +1548,35 @@ def connected_components(
 # session clamp and behaves exactly as before.
 _CC_EDGES_PER_PARTITION = 200_000
 
+#: serializes the conf save/set/restore below (r15 code review + DESIGN
+#: lesson 41): the target is PER-GRAPH, so it cannot be shared by a
+#: refcount the way streaming._drain_scope's constant can — two
+#: concurrent CC builds interleaving restores would leak a clamped
+#: value into the session and distort every later plan.  The lock makes
+#: any caller safe; bench additionally keeps the label builds
+#: sequential so the lock is never contended in the measured path.
+_adaptive_shuffle_lock = threading.Lock()
+
 
 def _with_adaptive_shuffle(edges: DataFrame, fn, src: str, dst: str, max_iter: int) -> DataFrame:
     """Run a CC loop with shuffle partitions sized to the edge count.
 
     The conf is session-global, so it is set only for the duration of
     the loop (every action inside — witness aggs, the eager final
-    checkpoint — plans under the scaled setting) and restored in a
-    finally.  Sequential-query sessions (the driver, bench, tests) see
-    no cross-talk; a concurrently-planning query in the same session
-    could pick up the scaled value for one plan — acceptable for a
-    correctness-neutral knob."""
+    checkpoint — plans under the scaled setting), restored in a
+    finally, and the whole scope is serialized by
+    ``_adaptive_shuffle_lock`` (see the note above) so concurrent
+    callers cannot interleave restores."""
     spark = edges.sparkSession
     n_edges = edges.count()  # pair inputs are memoized/checkpointed; cheap
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    target = max(1, min(int(prev), n_edges // _CC_EDGES_PER_PARTITION + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(target))
-    try:
-        return fn(edges, src, dst, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    with _adaptive_shuffle_lock:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        target = max(1, min(int(prev), n_edges // _CC_EDGES_PER_PARTITION + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        try:
+            return fn(edges, src, dst, max_iter)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _cc_hashmin(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:

@@ -185,19 +185,11 @@ def _real_image_features(payload: bytes, dim: int) -> list[float]:
     try:
         from PIL import Image  # noqa: PLC0415 — optional, probed per call site
     except ImportError:
-        if payload[:2] == b"BM":
-            return _luma_histogram(_decode_bmp_rgb(payload), dim)
-        if payload[:2] == b"\xff\xd8":
-            from mini_hadoop_spark.functions.jpeg import decode_baseline_jpeg
-
-            _, _, pixels = decode_baseline_jpeg(payload)
-            return _luma_histogram(pixels, dim)
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            from mini_hadoop_spark.functions.png import decode_png_rgb
-
-            _, _, pixels = decode_png_rgb(payload)
-            return _luma_histogram(pixels, dim)
-        raise
+        # one dispatch site for all stdlib formats (r15 review):
+        # stdlib_only=True makes an unrecognized format re-raise as
+        # ImportError — the sentinel this function's callers contract on
+        _, _, pixels = _decode_any_rgb(payload, stdlib_only=True)
+        return _luma_histogram(pixels, dim)
     img = Image.open(io.BytesIO(payload)).convert("RGB").resize((16, 16))
     return _luma_histogram(img.getdata(), dim)
 
@@ -484,12 +476,15 @@ def _sample_demuxed_frames(binary_df: DataFrame, demux_fn, every_n: int) -> Data
     return binary_df.select("doc_id", "payload").mapInPandas(_frames, schema=FRAMES_SCHEMA)
 
 
-def _decode_any_rgb(payload: bytes) -> tuple[int, int, list]:
+def _decode_any_rgb(payload: bytes, stdlib_only: bool = False) -> tuple[int, int, list]:
     """Dispatch one image payload to the matching stdlib decoder (BMP /
     baseline JPEG / 8-bit PNG — all always available) or PIL for other
     formats; returns (width, height, [(r, g, b), ...] raster order).
     Raises ValueError on corrupt payloads, NotImplementedError on
-    out-of-profile codecs without PIL — never a silent stub."""
+    out-of-profile codecs without PIL — never a silent stub.
+    ``stdlib_only=True`` raises ImportError for formats outside the
+    stdlib arms instead of probing PIL (the sentinel
+    ``_real_image_features``' callers map to their own loud errors)."""
     if payload[:2] == b"BM":
         px = _decode_bmp_rgb(payload)
         # _decode_bmp_rgb returns pixels only; recover dims from header
@@ -505,6 +500,8 @@ def _decode_any_rgb(payload: bytes) -> tuple[int, int, list]:
         from mini_hadoop_spark.functions.png import decode_png_rgb
 
         return decode_png_rgb(payload)
+    if stdlib_only:
+        raise ImportError("image payload is not BMP/JPEG/PNG (stdlib arms)")
     try:
         import io
 

@@ -74,21 +74,23 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_query_ids(v: DataFrame) -> DataFrame:
-    """The ANN_QUERY_BUDGET query vec_ids whose md5(vec_id) ranks lowest
-    — the absolute, deterministic, engine-portable query sample EVERY
-    ANN arm and audit shares (brute ground truth included, so recall
-    joins always align).  ``orderBy(mh, vec_id).limit(K)`` compiles to
-    TakeOrderedAndProject — per-partition top-K heaps merged on the
-    driver, NO single-task global sort even at 10^9+ ids — and selects
-    exactly the same deterministic set a rank-<=K window would, so
-    every downstream oracle hash is unchanged.  Result is always
-    exactly min(budget, n) rows: broadcast-able at any scale."""
+def ann_query_ids(v: DataFrame, budget: int | None = None) -> DataFrame:
+    """The ``budget`` (default ANN_QUERY_BUDGET) query vec_ids whose
+    md5(vec_id) ranks lowest — the absolute, deterministic,
+    engine-portable query sample EVERY ANN arm and audit shares (brute
+    ground truth included, so recall joins always align; the Matryoshka
+    audit passes its own budget — ONE picker, r15 review, so the idiom
+    cannot drift between sites).  ``orderBy(mh, vec_id).limit(K)``
+    compiles to TakeOrderedAndProject — per-partition top-K heaps
+    merged on the driver, NO single-task global sort even at 10^9+ ids
+    — and selects exactly the same deterministic set a rank-<=K window
+    would, so every downstream oracle hash is unchanged.  Result is
+    always exactly min(budget, n) rows: broadcast-able at any scale."""
     return (
         v.select("vec_id")
         .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
         .orderBy(F.col("mh"), F.col("vec_id"))
-        .limit(ANN_QUERY_BUDGET)
+        .limit(ANN_QUERY_BUDGET if budget is None else budget)
         .select("vec_id")
     )
 
@@ -1465,19 +1467,11 @@ MATRYOSHKA_QUERY_BUDGET = 32
 
 
 def _matryoshka_pick(v: DataFrame) -> DataFrame:
-    """The MATRYOSHKA_QUERY_BUDGET query vec_ids whose md5(vec_id) ranks
-    lowest — same TakeOrderedAndProject idiom as :func:`ann_query_ids`
-    (distributed per-partition top-K heaps, never a single-task global
-    rank window), same deterministic set as a rank-<=K window so the
-    oracle hash is unchanged.  Module-level so the plan-guard test can
-    pin the shape (the full query hides it behind a localCheckpoint)."""
-    return (
-        v.select("vec_id")
-        .withColumn("mh", F.md5(F.col("vec_id").cast("string")))
-        .orderBy(F.col("mh"), F.col("vec_id"))
-        .limit(MATRYOSHKA_QUERY_BUDGET)
-        .select("vec_id")
-    )
+    """The Matryoshka audit's query sample: :func:`ann_query_ids` at
+    MATRYOSHKA_QUERY_BUDGET (one shared picker — r15 review).
+    Module-level so the plan-guard test can pin the TakeOrdered shape
+    (the full query hides it behind a localCheckpoint)."""
+    return ann_query_ids(v, MATRYOSHKA_QUERY_BUDGET)
 
 
 def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -262,3 +262,60 @@ def test_real_image_features_jpeg_arm_without_pil():
     feats = decode_payload(payload, "image")
     assert len(feats) == FEATURE_DIM
     assert feats[4] == pytest.approx(1.0)
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: markers may be padded with 0xFF fill bytes — a
+    spec-legal stream with fill before DQT/SOF must still decode
+    (r15 code review)."""
+    good = _make_gray(8, 8, [16] + [1] * 63, [8])
+    padded = good.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xc0", 1
+    )
+    assert decode_baseline_jpeg(padded) == decode_baseline_jpeg(good)
+
+
+def test_truncated_segments_raise_valueerror_not_struct_error():
+    """Any truncation must surface as ValueError, never struct.error /
+    IndexError (r15 code review: the mapInPandas contract)."""
+    good = _make_gray(8, 8, [1] * 64, [0])
+    for cut in (3, 5, 21, 40, len(good) // 2):
+        with pytest.raises(ValueError):
+            decode_baseline_jpeg(good[:cut])
+    # SOI + SOF0 marker with the length bytes cut off
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"\xff\xd8\xff\xc0\x00")
+
+
+def test_adobe_rgb_passthrough_skips_ycbcr_matrix():
+    """A 3-component stream with literal 'R','G','B' component ids (the
+    Adobe-RGB shape) decodes as straight RGB — no color matrix applied
+    (r15 code review: previously silently miscolored)."""
+    q = [16] + [1] * 63
+    head = (
+        b"\xff\xd8"
+        + _dqt(0, q)
+        + _sof0(8, 8, [(0x52, 1, 1, 0), (0x47, 1, 1, 0), (0x42, 1, 1, 0)])  # R G B
+        + _dht(0, 0, DC_SYMS)
+        + _dht(1, 0, AC_SYMS)
+        + _sos([0x52, 0x47, 0x42])
+    )
+    bw = _BW()
+    for dc in (8, -8, 0):  # R=144, G=112, B=128 planes (DC-only)
+        _emit_block(bw, dc, {})
+    payload = head + bw.pad() + b"\xff\xd9"
+    w, h, px = decode_baseline_jpeg(payload)
+    assert set(px) == {(144, 112, 128)}
+
+
+def test_png_truncated_chunks_raise_valueerror():
+    from mini_hadoop_spark.functions.png import decode_png_rgb
+
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    body = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    # CRC missing entirely -> short unpack must convert to ValueError
+    with pytest.raises(ValueError):
+        decode_png_rgb(b"\x89PNG\r\n\x1a\n" + body)
