@@ -103,15 +103,20 @@ class _BitReader:
         return v
 
     def restart(self, n_seen: int) -> None:
-        """Byte-align and consume the expected RSTn marker."""
+        """Byte-align and consume the expected RSTn marker.  T.81
+        B.1.1.2 allows any number of 0xFF fill bytes before a marker
+        (ADVICE r15): skip them, then require 0xFF D0+(n%8)."""
         self._nbits = 0
+        p = self.pos
+        while p + 1 < len(self.data) and self.data[p] == 0xFF and self.data[p + 1] == 0xFF:
+            p += 1
         if (
-            self.pos + 1 >= len(self.data)
-            or self.data[self.pos] != 0xFF
-            or self.data[self.pos + 1] != 0xD0 + (n_seen % 8)
+            p + 1 >= len(self.data)
+            or self.data[p] != 0xFF
+            or self.data[p + 1] != 0xD0 + (n_seen % 8)
         ):
             raise ValueError(f"missing restart marker RST{n_seen % 8}")
-        self.pos += 2
+        self.pos = p + 2
 
 
 def _build_huff(counts: bytes, symbols: bytes) -> dict:
@@ -232,7 +237,14 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list]:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                hs, vs = hv >> 4, hv & 15
+                # T.81 B.2.2: Hi/Vi in 1..4; a corrupt all-zero factor
+                # would otherwise escape as ZeroDivisionError (ADVICE r15)
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"JPEG SOF sampling factors out of range: H={hs} V={vs}"
+                    )
+                comps.append((cid, hs, vs, tq))
             frame = (w, h, comps)
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)

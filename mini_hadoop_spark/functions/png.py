@@ -131,11 +131,21 @@ def _decode_png(payload: bytes) -> tuple[int, int, list]:
         raise ValueError("PNG with zero dimensions")
     if not idat:
         raise ValueError("PNG has no IDAT data")
+    bpp = _CHANNELS[color]
+    # Bound the inflate to the exact expected scanline bytes (ADVICE
+    # r15): an unbounded zlib.decompress lets a small decompression-bomb
+    # IDAT allocate gigabytes in an executor before the length check.
+    expected = height * (width * bpp + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
+        if len(raw) > expected or dec.unconsumed_tail:
+            raise ValueError("PNG IDAT inflates past the declared dimensions")
+        raw += dec.flush()
+        if len(raw) > expected:
+            raise ValueError("PNG IDAT inflates past the declared dimensions")
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from None
-    bpp = _CHANNELS[color]
     data = _unfilter(raw, width, height, bpp)
     pixels = []
     if color == 2:

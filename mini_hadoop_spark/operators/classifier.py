@@ -122,10 +122,11 @@ CLS_BATCHES = 16
 
 _train_memo: dict[tuple, tuple] = {}
 _doc_table_memo: dict[tuple, DataFrame] = {}
-#: serializes _doc_table's populate (ADVICE r14): the checkpoint-RDD-id
-#: attribution in _local_checkpoint_tracked diffs a GLOBAL registry, so
-#: concurrent populates (bench's iterative_models threads after a failed
-#: sequential classifier_table build) could cross-attribute ids
+#: serializes _doc_table's populate so concurrent callers share ONE
+#: build (double-checked memo).  The r14 id-attribution rationale is
+#: gone: _local_checkpoint_tracked now reads the checkpoint RDD id
+#: straight off the LogicalRDD plan (ADVICE r15), so concurrent
+#: checkpoints elsewhere can no longer be misattributed.
 _doc_table_lock = threading.Lock()
 #: checkpoint RDD ids per memo key — Dataset.unpersist() does NOT free a
 #: localCheckpoint's blocks (it only drops CacheManager entries; verified
@@ -145,11 +146,22 @@ def _persistent_rdd_ids(spark: SparkSession) -> list[int]:
 def _local_checkpoint_tracked(spark: SparkSession, df: DataFrame) -> tuple:
     """localCheckpoint(eager=True) + the ids of the checkpoint RDD(s) it
     registered, so the blocks can be freed deterministically later.
-    Id attribution diffs the persistent-RDD registry around the
-    checkpoint — callers must not checkpoint concurrently (the doc
-    table builds before bench's concurrent training group starts)."""
+
+    Attribution is EXACT (ADVICE r15): the checkpointed Dataset's
+    analyzed plan is a LogicalRDD wrapping precisely the RDD that
+    ``localCheckpoint`` persisted, so its id is read straight off the
+    plan — no registry diff, hence no misattribution window when any
+    OTHER thread checkpoints concurrently (bench's concurrent build
+    groups).  The registry-diff fallback only covers a hypothetical
+    Spark version whose checkpoint plan isn't a LogicalRDD."""
     before = set(_persistent_rdd_ids(spark))
     out = df.localCheckpoint(eager=True)
+    try:
+        ana = out._jdf.queryExecution().analyzed()
+        if ana.getClass().getSimpleName() == "LogicalRDD":
+            return out, [int(ana.rdd().id())]
+    except Exception:
+        pass
     new_ids = [i for i in _persistent_rdd_ids(spark) if i not in before]
     return out, new_ids
 
@@ -210,12 +222,12 @@ def _doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal map expression).  n rows, ≤ CLS_BUCKETS array elements.
     Memoized + checkpointed per (session, corpus): training takes ~50
     passes over it and the eval query one more — one feature build
-    serves them all.  The populate is double-checked-locked (ADVICE
-    r14): bench's iterative_models group calls this from concurrent
-    driver threads, and _local_checkpoint_tracked's persistent-RDD
-    registry diff requires that no two checkpoints run concurrently —
-    without the lock a racing thread could attribute another thread's
-    checkpoint RDD ids to the wrong memo key."""
+    serves them all.  The populate is double-checked-locked: bench's
+    iterative_models group calls this from concurrent driver threads,
+    and the lock makes them share one build instead of each running the
+    feature pipeline.  (Checkpoint-id attribution no longer needs the
+    lock — _local_checkpoint_tracked reads the id off the LogicalRDD
+    plan directly, ADVICE r15.)"""
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     if key in _doc_table_memo:
         return _doc_table_memo[key]

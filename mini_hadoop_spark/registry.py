@@ -43,24 +43,22 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r15 ROTATION (VERDICT r14 #3): the 47 slots are the ENTIRE remaining
-# r10 cohort (the mechanically stalest oracled evidence — after the r15
-# artifact no oracled query's evidence is older than r12, age 3); the
-# other 3 slots go to the 2 r15-NEW queries (snapshot_merge_incremental,
-# scd2_customer_versions — first-ever driver evidence on day one, the
-# r14 precedent) and the most structurally changed r15 rewrite
-# (events_gap_quantiles' lesson-38 prefix-sum).  The other two r15
-# picker rewrites (similarity_matryoshka_agreement,
-# orders_rfm_segmentation_approx) keep their r12/r13 evidence — the
-# TakeOrdered pick selects an IDENTICAL deterministic set (plan-guard +
-# battery + vanilla-session sim all re-verified this round), so their
-# hashes cannot have moved.  Rows-only queries stay OUT of the window
-# per the policy above (VERDICT r14 what's-wrong #2:
-# classifier_train_prod rotated back out after its r14 protocol row; its
-# hash evidence channel is the oracled classifier_train_curve twin).
-# Computed by the exact recipe in tools/rotation_report.py; rotated-out
-# queries keep running in the local oracle battery
-# (tests/test_oracle_battery.py) every round.
+# r16 ROTATION (VERDICT r15 #5): 49 slots are the ENTIRE r12 cohort —
+# the mechanically stalest oracled evidence (nothing oracled is older;
+# the r04/r05 stragglers are the rows-only xxhash64 forms +
+# agg_approx_sketches, excluded by policy) — so after the r16 artifact
+# no oracled query's driver evidence is older than r13 (age 3).  The
+# 50th slot is the r16-NEW pit_scd2_shipments (first-ever driver
+# evidence on day one, the r14/r15 precedent).  The two r16 limit-first
+# rewrites (embedding_outlier_audit, vocab_coverage_curve) keep their
+# r13 evidence under the r15 picker-rewrite precedent: the TakeOrdered
+# selection is an IDENTICAL deterministic set (battery at
+# sf0.001+sf0.01 AND the vanilla-session sim re-verified hash-equal
+# this round), so their hashes cannot have moved.  Rows-only queries
+# stay OUT of the window per the policy above.  Computed by the exact
+# recipe in tools/rotation_report.py; rotated-out queries keep running
+# in the local oracle battery (tests/test_oracle_battery.py) every
+# round.
 
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
@@ -79,58 +77,58 @@ ROTATION_WAITING: tuple[str, ...] = ()
 WINDOW_ROWS_ONLY: frozenset[str] = frozenset()
 
 DRIVER_WINDOW = [
-    # --- full remaining r10 cohort (47) ---
-    "agg_rollup",
-    "array_agg_regions",
-    "bpe_compression_curve",
-    "bpe_encode_docs",
-    "bpe_fertility_by_lang",
-    "case_when_bucketing",
-    "dedup_semantic_semdedup",
-    "doc_fingerprint",
-    "dup_span_coverage",
-    "global_topk",
-    "having_filter",
-    "ivf_recenter_apply",
-    "ivf_recenter_audit",
-    "join_anti",
-    "join_broadcast_dims",
-    "join_full_outer",
-    "join_left_null_handling",
-    "json_extract_props",
-    "lang_id_ngram",
-    "mix_temperature_weights",
-    "page_orders_offset",
-    "pipeline_clean_corpus",
-    "pivot_linestatus",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q9_profit_by_nation_year",
-    "quality_bigram_lm_score",
-    "quantile_disc_price",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_subquery_uncorrelated",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "similarity_ann_nprobe_curve",
-    "streaming_ivf_maintenance_drain",
-    "streaming_ivf_recenter_drain",
-    "subquery_in",
-    "text_lang_stats",
-    "text_quality_score",
-    "unpivot_lineitem_measures",
-    "window_lag_delta",
-    "window_ntile_quartiles",
-    "window_running_sum",
-    # --- r15-new (first-ever slots) + the structural r15 rewrite ---
-    "snapshot_merge_incremental",
-    "scd2_customer_versions",
-    "events_gap_quantiles",
+    # --- full r12 cohort (49): the entire stalest oracled evidence set ---
+    "agg_cube",
+    "agg_distinct",
+    "centroid_classify_eval",
+    "contamination_ngram",
+    "correlated_scalar_subquery",
+    "customer_segment_value",
+    "dedup_clusters",
+    "dedup_clusters_lsh_md5",
+    "dedup_containment",
+    "dedup_cross_source_matrix",
+    "dedup_embedding_cosine",
+    "dedup_exact_normalized",
+    "dedup_funnel_report",
+    "dedup_histogram",
+    "dedup_incremental",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "embedding_dim_stats",
+    "embedding_label_centroids",
+    "embedding_norm_stats",
+    "events_dau_wau",
+    "events_first_touch_attribution",
+    "events_funnel",
+    "events_hourly_window",
+    "events_session_window",
+    "events_type_transitions",
+    "events_type_value_stats",
+    "filter_project",
+    "graph_triangle_count",
+    "join_asof_next_order",
+    "join_asof_recent_order",
+    "join_inner_agg",
+    "join_range_event_followups",
+    "join_salted_skew",
+    "join_semi",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "ngram_bigram_freq",
+    "pagerank_converged",
+    "q12_shipping_delay",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "sample_stratified_per_lang",
+    "sample_weighted_mix",
+    "similarity_matryoshka_agreement",
+    "split_leakage_audit",
+    "tfidf_top_terms",
+    "window_topk_per_group",
+    "wordcount_strict",
+    # --- r16-new (first-ever slot, the r15 day-one precedent) ---
+    "pit_scd2_shipments",
 ]
 
 

@@ -140,28 +140,42 @@ STREAM_DRAIN_PARTITIONS = 4
 #: one cheap micro-batch per drain and removes the only conflicting
 #: session toggle.
 _drain_scope_lock = threading.Lock()
-_drain_scope_depth = 0
-_drain_scope_saved: str | None = None
+#: per-session refcount state keyed on the SparkSession OBJECT (ADVICE
+#: r15: module-global scalars cross-talked between two concurrent
+#: SparkSessions — an out-of-order exit left one session permanently
+#: clamped to 4 partitions and restored its saved value into the other;
+#: the object key also keeps newSession() clones — same applicationId,
+#: separate SQLConf — independent); value = [depth, saved_conf_value].
+#: Entries are removed when the last drain exits, so no session is
+#: retained beyond its active drains.
+_drain_scope_state: dict = {}
 
 
 @contextlib.contextmanager
 def _drain_scope(spark: SparkSession):
     """Scope shuffle.partitions down for a single-staged-file drain —
-    concurrency-safe via refcounting (see the note above); always
-    restored when the last concurrent drain exits."""
-    global _drain_scope_depth, _drain_scope_saved
+    concurrency-safe via PER-SESSION refcounting (see the notes above);
+    always restored when the last concurrent drain in that session
+    exits."""
+    key = spark
     with _drain_scope_lock:
-        if _drain_scope_depth == 0:
-            _drain_scope_saved = spark.conf.get("spark.sql.shuffle.partitions")
+        st = _drain_scope_state.get(key)
+        if st is None:
+            st = _drain_scope_state[key] = [
+                0,
+                spark.conf.get("spark.sql.shuffle.partitions"),
+            ]
             spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_DRAIN_PARTITIONS))
-        _drain_scope_depth += 1
+        st[0] += 1
     try:
         yield
     finally:
         with _drain_scope_lock:
-            _drain_scope_depth -= 1
-            if _drain_scope_depth == 0:
-                spark.conf.set("spark.sql.shuffle.partitions", _drain_scope_saved)
+            st = _drain_scope_state[key]
+            st[0] -= 1
+            if st[0] == 0:
+                spark.conf.set("spark.sql.shuffle.partitions", st[1])
+                del _drain_scope_state[key]
 
 
 def _link_or_copy(src: str, dst: str) -> None:

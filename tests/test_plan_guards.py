@@ -17,6 +17,9 @@ import io
 
 import pytest
 
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR
 
 # Queries that legitimately use a bounded non-equi broadcast join:
@@ -78,6 +81,10 @@ BNLJ_ALLOWED = {
     # skew_heavy_hitters: crossJoin(broadcast(<1-row table total>)) onto
     # the ≤HH_TOP heavy-hitter rows — scalar-attach again.
     "skew_heavy_hitters",
+    # vocab_coverage_curve (r16): crossJoin(broadcast(<1-row grand token
+    # total>)) onto the 1-row folded curve aggregate — scalar-attach
+    # (the limit-first rewrite moved the total out of the rank window).
+    "vocab_coverage_curve",
     # orders_rfm_segmentation: crossJoin(broadcast(<1-row corpus max
     # date>)) onto the per-customer aggregate — scalar-attach again.
     "orders_rfm_segmentation",
@@ -157,6 +164,28 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+# VERDICT r15 #2: keyed aggregates no longer count as bounding (an agg
+# grouped by a row-identity key re-emits the corpus), so windows over
+# keyed aggregates need a per-name adjudication that the grouping-key
+# DOMAIN is genuinely bounded — the honest replacement for the old
+# blanket 'Aggregate = bounded' assumption.  Every entry must name the
+# key and its bound.
+KEYED_AGG_WINDOW_ALLOWED = {
+    # len_bucket is a FIXED CASE ladder: |LEN_BUCKETS|+1 ≤ 16 rows at
+    # any corpus size; the windows rank/cumsum that fixed report.
+    "text_length_histogram",
+    # mi = year*12+month of l_shipdate: ≤ |calendar months spanned| rows
+    # (TPC-H ~84; even a century of data is 1 200) — the lag window
+    # runs over the monthly report, not lineitem.
+    "revenue_monthly_growth",
+    # the lesson-38 prefix-sum's offsets windows run over the partials
+    # aggregate keyed by bucket = floor range bucket clamped to
+    # [0, GAP_QUANTILE_BUCKETS) — ≤1024 rows by construction; shape
+    # further pinned in test_events_gap_quantiles_prefix_sum_shape.
+    "events_gap_quantiles",
+}
+
+
 def _names():
     import __spark_entry__ as entry_mod
 
@@ -167,20 +196,38 @@ def _jseq(seq):
     return [seq.apply(i) for i in range(seq.size())]
 
 
-#: node-name fragments that BOUND the rows flowing up to a window: any
-#: aggregate (output keyed, not raw corpus rows) or any limit/top-K.
-_BOUNDING = ("Aggregate", "TakeOrderedAndProject", "Limit")
+#: node-name fragments that BOUND the rows flowing up to a window
+#: unconditionally: any limit/top-K caps the row count by construction.
+_BOUNDING = ("TakeOrderedAndProject", "Limit")
 #: leaf scans that are driver-local literal data (bounded by construction)
 _BOUNDED_LEAVES = ("LocalTableScan", "EmptyRelation", "OneRowRelation")
 
 
 def _has_unbounded_path(node) -> bool:
     """True iff some root-to-leaf path below ``node`` reaches a real data
-    scan without passing through an aggregate or limit — i.e. the node
-    sees O(corpus) rows, not a bounded/keyed reduction of them."""
+    scan without passing through a limit or a SCALAR aggregate — i.e.
+    the node sees O(corpus) rows, not a bounded reduction of them.
+
+    VERDICT r15 #2: an Aggregate is bounding ONLY when its grouping-key
+    count is 0 (scalar output) or its own input is already bounded — an
+    aggregate grouped by a row-identity key (vec_id, doc_id,
+    o_orderkey, …) re-emits the corpus, which is exactly how
+    embedding_outlier_audit's corpus-sized top-20 rank slipped past the
+    old 'any Aggregate bounds' assumption.  Genuinely keyed-SMALL
+    aggregates (bounded key domains like l_returnflag or event_type)
+    are adjudicated by name in KEYED_AGG_WINDOW_ALLOWED below."""
     name = node.getClass().getSimpleName()
     if any(b in name for b in _BOUNDING):
         return False
+    if "Aggregate" in name:
+        try:
+            n_keys = node.groupingExpressions().size()
+        except Exception:
+            n_keys = None  # unknown agg node shape: stay conservative
+        if n_keys == 0:
+            return False
+        # keyed (or unknown): output size tracks input size — bounded
+        # iff the subtree below is bounded
     kids = _jseq(node.children())
     if not kids:
         return not any(b in name for b in _BOUNDED_LEAVES)
@@ -215,6 +262,8 @@ def test_no_global_window_over_unbounded_scan(spark, name):
     allowlisted above."""
     if name in GLOBAL_WINDOW_ALLOWED:
         pytest.skip("documented exact baseline with a registered scale twin")
+    if name in KEYED_AGG_WINDOW_ALLOWED:
+        pytest.skip("adjudicated: window over a bounded-key-domain aggregate")
     import __spark_entry__ as entry_mod
 
     df = entry_mod.queries()[name](spark, SF_DIR)
@@ -223,6 +272,48 @@ def test_no_global_window_over_unbounded_scan(spark, name):
         f"{name} plans an unpartitioned window over unbounded input "
         f"(all rows to ONE task at scale):\n" + "\n".join(bad)
     )
+
+
+def test_guard_flags_id_keyed_agg_window(spark):
+    """Regression pin for the VERDICT r15 guard hole: a no-partition
+    window fed by an aggregate grouped by a row-identity key (one output
+    row per input vector) must be RED-flagged.  The old ``_BOUNDING``
+    list treated any Aggregate as bounding, so this corpus-sized window
+    input passed the guard for five rounds.
+
+    (The literal pre-fix embedding_outlier_audit shape — rank window +
+    ``filter(rnk <= K)`` — happens to be rescued by Spark 4's
+    InferWindowGroupLimit rule, which plants a TakeOrderedAndProject
+    below the window; the r16 rewrite makes the limit explicit instead
+    of relying on that rule firing.  This pin therefore uses the
+    un-rescuable form: the same id-keyed window WITHOUT a rank filter.)"""
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    scored = emb.groupBy("vec_id").agg(F.count("*").alias("score"))
+    w = W.orderBy(F.desc("score"), "vec_id")
+    df = scored.withColumn("rnk", F.row_number().over(w))
+    bad = _global_window_violations(df)
+    assert bad, "id-keyed aggregate under a global window must be flagged"
+
+
+def test_guard_accepts_scalar_agg_and_limit(spark):
+    """Complement of the hole pin: a window over a LIMITed input and a
+    window whose only scan path passes a grouping-key-count-0 aggregate
+    both stay green — the two idioms the fixed queries use."""
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    top = (
+        emb.groupBy("vec_id").agg(F.count("*").alias("score"))
+        .orderBy(F.desc("score"), "vec_id").limit(20)
+    )
+    limited = top.withColumn("rnk", F.row_number().over(W.orderBy(F.desc("score"), "vec_id")))
+    assert not _global_window_violations(limited)
+    scalar = emb.agg(F.count("*").alias("n")).withColumn(
+        "tot", F.sum("n").over(W.partitionBy())
+    )
+    assert not _global_window_violations(scalar)
 
 
 def _assert_plan_clean(name, df, bnlj_ok=False):

@@ -224,3 +224,49 @@ def test_asof_tolerance_boundary_inclusive(spark):
     age = F.datediff(F.to_date("pts"), F.to_date("asof_bts"))
     kept = j.filter(age <= 10).select("pid", "asof_bid").collect()
     assert [(r.pid, r.asof_bid) for r in kept] == [(1, 70)]
+
+
+def test_pit_scd2_interval_semantics(spark):
+    """pit_scd2_shipments expresses the SCD2 interval predicate
+    (valid_from <= ts < valid_to) as a backward as-of join; pin the
+    equivalence on the cases the identity rests on: (a) a mid-chain
+    fact matches the covering version, not a future one (no feature
+    leakage); (b) same-instant versions (empty intervals) resolve to
+    the HIGHEST version of the tie group — the only one whose half-open
+    interval is non-empty; (c) a fact before the first version matches
+    nothing under how='left'."""
+    from pyspark.sql import Window as W, functions as F
+
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    orders = spark.createDataFrame(
+        [
+            (1, 100, _ts("2026-01-01 00:00:00")),
+            (2, 100, _ts("2026-01-05 00:00:00")),  # same-instant tie...
+            (3, 100, _ts("2026-01-05 00:00:00")),  # ...version 3 wins
+            (4, 100, _ts("2026-01-09 00:00:00")),
+        ],
+        "orderkey long, custkey long, odate timestamp",
+    )
+    w = W.partitionBy("custkey").orderBy("odate", "orderkey")
+    v = orders.select(
+        "custkey",
+        F.row_number().over(w).alias("version"),
+        F.col("odate").alias("valid_from"),
+        F.lead("odate").over(w).isNull().alias("is_current"),
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 100, _ts("2025-12-31 00:00:00")),  # before v1 -> none
+            (2, 100, _ts("2026-01-03 00:00:00")),  # inside [v1, v2)
+            (3, 100, _ts("2026-01-05 00:00:00")),  # tie instant -> v3
+            (4, 100, _ts("2026-01-20 00:00:00")),  # current version
+        ],
+        "fid long, custkey long, fts timestamp",
+    )
+    j = asof_join(
+        facts, v, key="custkey", probe_ts="fts", build_ts="valid_from",
+        build_payload=["version", "is_current"], tiebreak="version", how="left",
+    )
+    got = {r.fid: (r.asof_version, r.asof_is_current) for r in j.collect()}
+    assert got == {1: (None, None), 2: (1, False), 3: (3, False), 4: (4, True)}
