@@ -1736,6 +1736,93 @@ UNION ALL
 SIMILARITY_ANN_RECALL_SQL = _ann_recall_sql()
 
 
+#: RRF smoothing constant — the standard k=60 from the original
+#: Cormack/Clarke/Buettcher formulation (and Elasticsearch's default).
+RRF_K = 60
+#: fused neighbors reported per query
+RRF_TOP = 3
+
+
+def similarity_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the three ANN arms — the standard
+    ensemble a retrieval stack runs when multiple rankers (lexical +
+    vector, or several index variants) each return a candidate list:
+    score(q, d) = Σ_arms 1/(RRF_K + rank_arm(q, d)), fused list ranked
+    by that sum.  Here the arms are the LSH / IVF / IVF-PQ neighbor
+    sets over the shared md5-sampled query set — the ensemble that
+    recovers recall lost to any single index's blind spots without
+    touching the brute path.  Output: (query_id, neighbor_id,
+    fused_rank, n_arms, rrf_score), top-RRF_TOP per query.
+
+    Deterministic/exact: ranks are the arms' integer rnk columns; each
+    reciprocal contributes the FIXED-POINT integer
+    floor(1e9/(RRF_K + rnk) + 0.5), so the per-pair sum is an
+    order-independent BIGINT and the fused ordering (score9 desc,
+    neighbor_id) is total — bit-identical in DuckDB, which recomputes
+    the arms from their existing oracle chains.
+
+    Plan: the arms are the memoized materialized neighbor sets
+    (ann_results — |queries|·k rows each, corpus never rematerialized);
+    fusion is one union + one (query_id, neighbor_id) hash agg + a
+    per-query (PARTITIONED) rank window over ≤3k candidate rows per
+    query.  At 100 TB the fused set stays |queries|-bounded exactly
+    like its inputs."""
+    arms = [
+        ann_results(spark, sf_dir, m).select("query_id", "neighbor_id", "rnk")
+        for m in ("lsh", "ivf", "ivfpq")
+    ]
+    u = arms[0].unionAll(arms[1]).unionAll(arms[2])
+    contrib = F.floor(F.lit(1e9) / (F.lit(RRF_K) + F.col("rnk")) + F.lit(0.5)).cast(
+        "long"
+    )
+    scored = u.groupBy("query_id", "neighbor_id").agg(
+        F.count("*").alias("n_arms"), F.sum(contrib).alias("score9")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score9"), "neighbor_id")
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "fused_rank",
+            "n_arms",
+            round_half_up(F.col("score9").cast("double") / F.lit(1e9), 6).alias(
+                "rrf_score"
+            ),
+        )
+    )
+
+
+def _rrf_fusion_sql() -> str:
+    return f"""
+WITH lsh AS (
+  SELECT query_id, neighbor_id, rnk FROM ({SIMILARITY_ANN_LSH_SQL})
+), ivf AS (
+  SELECT query_id, neighbor_id, rnk FROM ({SIMILARITY_ANN_IVF_SQL})
+), ivfpq AS (
+  SELECT query_id, neighbor_id, rnk FROM ({SIMILARITY_ANN_IVFPQ_SQL})
+), u AS (
+  SELECT * FROM lsh UNION ALL SELECT * FROM ivf UNION ALL SELECT * FROM ivfpq
+), scored AS (
+  SELECT query_id, neighbor_id, count(*)::BIGINT AS n_arms,
+         sum(CAST(floor(1e9 / ({RRF_K} + rnk) + 0.5) AS BIGINT)) AS score9
+  FROM u GROUP BY 1, 2
+), fused AS (
+  SELECT query_id, neighbor_id, n_arms, score9,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score9 DESC, neighbor_id) AS fused_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, fused_rank, n_arms,
+       {sql_round_half_up('CAST(score9 AS DOUBLE) / 1e9', 6)} AS rrf_score
+FROM fused WHERE fused_rank <= {RRF_TOP}
+"""
+
+
+SIMILARITY_RRF_SQL = _rrf_fusion_sql()
+
+
 #: nprobe ladder for the IVF tuning curve — spans "cheapest" (1 list
 #: per query) to "most of the index" (8 of 32 lists).
 NPROBE_CURVE = (1, 2, 4, 8)
@@ -1924,6 +2011,7 @@ QUERIES = {
     "embedding_outlier_audit": embedding_outlier_audit,
     "embedding_label_centroids": embedding_label_centroids,
     "centroid_classify_eval": centroid_classify_eval,
+    "similarity_rrf_fusion": similarity_rrf_fusion,
 }
 
 ORACLES = {
@@ -1955,4 +2043,7 @@ ORACLES = {
     # counts out.
     "similarity_ann_recall": SIMILARITY_ANN_RECALL_SQL,
     "similarity_ann_nprobe_curve": SIMILARITY_ANN_NPROBE_CURVE_SQL,
+    # similarity_rrf_fusion composes the three arm oracles: integer
+    # ranks in, fixed-point reciprocal sums out — fully exact.
+    "similarity_rrf_fusion": SIMILARITY_RRF_SQL,
 }

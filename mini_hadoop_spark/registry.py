@@ -43,12 +43,14 @@ _MODULES = [
 # forms + agg_approx_sketches) sit PAST the window — driver-evidenced
 # through their bit-identical oracled md5 twins (see COVERAGE.md).
 #
-# r16 ROTATION (VERDICT r15 #5): 49 slots are the ENTIRE r12 cohort —
-# the mechanically stalest oracled evidence (nothing oracled is older;
-# the r04/r05 stragglers are the rows-only xxhash64 forms +
-# agg_approx_sketches, excluded by policy) — so after the r16 artifact
-# no oracled query's driver evidence is older than r13 (age 3).  The
-# 50th slot is the r16-NEW pit_scd2_shipments (first-ever driver
+# r16 ROTATION (VERDICT r15 #5): 48 slots are the r12 cohort — the
+# mechanically stalest oracled evidence (nothing oracled is older; the
+# r04/r05 stragglers are the rows-only xxhash64 forms +
+# agg_approx_sketches, excluded by policy) minus only wordcount_strict
+# (rationale inline below; age 4 is still inside the ≤4 gate) — so
+# after the r16 artifact the only r12-old oracled evidence is that one
+# parity-backed query.  The last 2 slots are the r16-NEW
+# pit_scd2_shipments and similarity_rrf_fusion (first-ever driver
 # evidence on day one, the r14/r15 precedent).  The two r16 limit-first
 # rewrites (embedding_outlier_audit, vocab_coverage_curve) keep their
 # r13 evidence under the r15 picker-rewrite precedent: the TakeOrdered
@@ -126,9 +128,15 @@ DRIVER_WINDOW = [
     "split_leakage_audit",
     "tfidf_top_terms",
     "window_topk_per_group",
-    "wordcount_strict",
-    # --- r16-new (first-ever slot, the r15 day-one precedent) ---
+    # wordcount_strict deliberately yields its r16 slot to the second
+    # r16-new query (similarity_rrf_fusion, below): its r12 evidence is
+    # age 4 (still inside the ≤4 gate), it carries the strongest
+    # off-window evidence in the cohort (reference-parity pytest + the
+    # oracled wordcount / mapreduce_wordcount family sharing its
+    # tokenizer), and it rotates back in r17 as the then-stalest row.
+    # --- r16-new (first-ever slots, the r14/r15 day-one precedent) ---
     "pit_scd2_shipments",
+    "similarity_rrf_fusion",
 ]
 
 

@@ -515,10 +515,25 @@ def _take_ordered_picker_plans():
 
         return _matryoshka_pick(_vectors(spark, sf_dir).select("vec_id", "e"))
 
+    def outlier_audit(spark, sf_dir):
+        from mini_hadoop_spark.operators.similarity import embedding_outlier_audit
+
+        return embedding_outlier_audit(spark, sf_dir)
+
+    def vocab_curve(spark, sf_dir):
+        from mini_hadoop_spark.operators.text_scoring import vocab_coverage_curve
+
+        return vocab_coverage_curve(spark, sf_dir)
+
     return {
         "ann_query_ids": ann_pick,
         "matryoshka_pick": matryoshka_pick,
         "rfm_approx": relational_ext.orders_rfm_segmentation_approx,
+        # r16 limit-first rewrites (VERDICT r15 #1/#3): the top-K is an
+        # explicit orderBy().limit() TakeOrdered, and the rank/cumsum
+        # windows run only over the <=K survivors
+        "embedding_outlier_audit": outlier_audit,
+        "vocab_coverage_curve": vocab_curve,
     }
 
 

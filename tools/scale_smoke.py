@@ -717,6 +717,155 @@ def _gap_appendix_lines() -> list[str]:
     ]
 
 
+def pit_family_mode(n: int) -> int:
+    """One deeper scale point for the r16 PIT-over-SCD2 read
+    (pit_scd2_shipments, VERDICT r15 missing #1): cold run at 1x vs an
+    n-x orders+lineitem corpus of ID-shifted copies — orderkeys shifted
+    together on both tables (facts still resolve their custkey inside
+    their copy) and customer spaces disjoint per copy, so every copy's
+    SCD2 version chains and shipment matches are EXACTLY the 1x ones.
+    That yields a strong asserted invariant: the report's bucket set is
+    identical to 1x with n_shipments / n_customers exactly n-fold and
+    revenue n-fold (to float round-off of the final double cast) —
+    checked, not assumed.  The structural claim being probed: the asof
+    union+merge stays one per-custkey partitioned window (per-task rows
+    bounded by per-customer history, which this construction holds
+    CONSTANT while the corpus grows n-fold) and the fact→custkey join
+    stays an orderkey equi-join — no term in the plan grows faster than
+    the data."""
+    sys.path.insert(0, _repo_root())
+    from mini_hadoop_spark.session import get_spark
+
+    spark = get_spark("scale-smoke-pit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.operators.relational_ext import pit_scd2_shipments
+    from mini_hadoop_spark.sources.catalog import load_table
+
+    out_root = f"/tmp/spark_graft_pit{n}x"
+    if not os.path.isdir(os.path.join(out_root, "lineitem.parquet")):
+        o = load_table(spark, BASE, "orders")
+        l = load_table(spark, BASE, "lineitem")
+        _assert_shiftable(o, "o_orderkey", 1_000_000_000)
+        _assert_shiftable(o, "o_custkey", 1_000_000)
+        _assert_shiftable(l, "l_orderkey", 1_000_000_000)
+        (
+            o.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("i"),
+                *[F.col(c) for c in o.columns],
+            )
+            .select(
+                (F.col("o_orderkey") + F.col("i").cast("long") * 1_000_000_000).alias("o_orderkey"),
+                (F.col("o_custkey") + F.col("i").cast("long") * 1_000_000).alias("o_custkey"),
+                *[c for c in o.columns if c not in ("o_orderkey", "o_custkey")],
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_root, "orders.parquet"))
+        )
+        (
+            l.select(
+                F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("i"),
+                *[F.col(c) for c in l.columns],
+            )
+            .select(
+                (F.col("l_orderkey") + F.col("i").cast("long") * 1_000_000_000).alias("l_orderkey"),
+                *[c for c in l.columns if c != "l_orderkey"],
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_root, "lineitem.parquet"))
+        )
+
+    def cold_run(sf_dir: str) -> dict:
+        t0 = time.perf_counter()
+        rows = {
+            (r["version_bucket"], r["is_current"]): (
+                int(r["n_shipments"]),
+                int(r["n_customers"]),
+                float(r["revenue"]),
+            )
+            for r in pit_scd2_shipments(spark, sf_dir).collect()
+        }
+        return {"t": time.perf_counter() - t0, "rows": rows}
+
+    one = cold_run(BASE)
+    big = cold_run(out_root)
+    keys_match = set(one["rows"]) == set(big["rows"])
+    counts_exact = keys_match and all(
+        big["rows"][k][0] == n * v[0] and big["rows"][k][1] == n * v[1]
+        for k, v in one["rows"].items()
+    )
+    rev_ok = keys_match and all(
+        abs(big["rows"][k][2] - n * v[2]) <= 1e-6 * max(1.0, abs(n * v[2]))
+        for k, v in one["rows"].items()
+    )
+    data = {
+        "copies": n,
+        "t1": one["t"],
+        "tn": big["t"],
+        "ratio": big["t"] / one["t"],
+        "n_buckets": len(one["rows"]),
+        "bucket_set_match_1x": keys_match,
+        "counts_exactly_n_fold": counts_exact,
+        "revenue_n_fold_within_1e6": rev_ok,
+        "rows_1x": {f"{k[0]}/{k[1]}": v for k, v in sorted(one["rows"].items(), key=str)},
+        "rows_nx": {f"{k[0]}/{k[1]}": v for k, v in sorted(big["rows"].items(), key=str)},
+    }
+    assert keys_match and counts_exact and rev_ok, data
+    with open(os.path.join(_repo_root(), "SCALE_PIT.json"), "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(
+        f"pit cold: 1x {data['t1']:.2f}s -> {n}x {data['tn']:.2f}s "
+        f"(ratio {data['ratio']:.1f}); bucket set identical, counts exactly {n}x, "
+        f"revenue {n}x within 1e-6"
+    )
+    md = os.path.join(_repo_root(), "SCALE.md")
+    js = os.path.join(_repo_root(), "SCALE.json")
+    if os.path.exists(js):
+        with open(js) as fh:
+            write_scale_md(json.load(fh), md)
+        print(f"re-rendered {md} with the {n}x PIT appendix")
+    spark.stop()
+    return 0
+
+
+def _pit_appendix_lines() -> list[str]:
+    path = os.path.join(_repo_root(), "SCALE_PIT.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        d = json.load(fh)
+    n = d["copies"]
+    return [
+        "",
+        f"## Appendix: {n}x PIT-over-SCD2 smoke",
+        "",
+        f"`python tools/scale_smoke.py --pit-family {n}` — the r16",
+        "pit_scd2_shipments point-in-time read (VERDICT r15 missing #1)",
+        f"at one deeper scale point: an {n}x orders+lineitem corpus of",
+        "ID-shifted copies with customer spaces disjoint per copy, so",
+        "every copy's SCD2 chains and shipment matches are exactly the",
+        "1x ones and the report must come back with an identical bucket",
+        f"set, counts exactly {n}-fold and revenue {n}-fold (asserted by",
+        "the harness, not eyeballed).",
+        "",
+        "| scale | cold sec | report buckets |",
+        "|---|---|---|",
+        f"| 1x | {d['t1']:.2f} | {d['n_buckets']} |",
+        f"| {n}x | {d['tn']:.2f} | {d['n_buckets']} |",
+        "",
+        f"Wall ratio {d['ratio']:.1f}x on an {n}x corpus: the asof merge's",
+        "per-task rows are bounded by per-customer history (held constant",
+        "by construction here, as a real corpus's per-customer depth is",
+        "corpus-size-independent), the fact→custkey hop is an orderkey",
+        "equi-join, and the report aggregate is map-combined — no plan",
+        "term grows faster than the data.",
+    ]
+
+
 SKEW_OUT = "/tmp/spark_graft_scale_skew"
 #: 12-token boilerplate -> 8 shared 5-grams per planted doc; planted in
 #: 1/4 of documents, so those gram keys cover 25% of the corpus
@@ -1605,6 +1754,7 @@ def write_scale_md(rows: list[dict], path: str) -> None:
     lines.extend(_grid_appendix_lines())
     lines.extend(_classifier_appendix_lines())
     lines.extend(_gap_appendix_lines())
+    lines.extend(_pit_appendix_lines())
     lines.append("")
     with open(path, "w") as fh:
         fh.write("\n".join(lines))
@@ -1646,6 +1796,10 @@ def main() -> int:
         i = args.index("--gap-family")
         n = int(args[i + 1]) if len(args) > i + 1 else 100
         return gap_family_mode(n)
+    if "--pit-family" in args:
+        i = args.index("--pit-family")
+        n = int(args[i + 1]) if len(args) > i + 1 else 100
+        return pit_family_mode(n)
     all_mode = "--all" in args
     update_mode = "--update" in args
     if "--render" in args:
