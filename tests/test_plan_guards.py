@@ -569,3 +569,29 @@ def test_sample_pickers_take_ordered(spark, name):
         f"{name} still plans an unpartitioned window without a top-K "
         "bound below it:\n" + "\n".join(bad)
     )
+
+
+#: Per-GROUP top-k queries that rank a corpus-sized input partitioned by
+#: a LOW-cardinality key (l_returnflag = 3 groups, lang = a handful):
+#: without Spark's InferWindowGroupLimit rewrite each group would be one
+#: task holding |corpus|/|groups| rows — the partitioned cousin of the
+#: global-window defect class.  The rewrite only fires while the rank
+#: filter sits adjacent to the window, so pin the plan shape: a
+#: Partial-mode WindowGroupLimit must appear below the window.
+WINDOW_GROUP_LIMIT_PINNED = (
+    "window_topk_with_ties",
+    "sample_stratified_per_lang",
+)
+
+
+@pytest.mark.parametrize("name", WINDOW_GROUP_LIMIT_PINNED)
+def test_per_group_topk_plans_window_group_limit(spark, name):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, (
+        f"{name}: per-group rank filter no longer compiles to a partial "
+        f"WindowGroupLimit — each low-cardinality group becomes one "
+        f"corpus-sized task:\n{plan[:2000]}"
+    )
