@@ -144,3 +144,34 @@ def test_train_prod_empty_train_split(spark, tmp_path):
     n_train, n_batches, stats, w, _ = classifier._train_prod(spark, d)
     assert n_train == 0 and w == {}
     assert all(s[1] == 0 and s[2] == 0 for s in stats)
+
+
+def test_checkpoint_id_attribution_exact_under_concurrency(spark):
+    """ADVICE r15: _local_checkpoint_tracked must attribute EXACTLY the
+    checkpoint RDD it created — even when another thread checkpoints
+    concurrently (bench's concurrent build groups).  Run two tracked
+    checkpoints racing each other repeatedly and assert each call
+    returns exactly one id and the ids never overlap; then unpersist by
+    id and confirm both frames' blocks are freed independently."""
+    import threading
+
+    from mini_hadoop_spark.operators.classifier import _local_checkpoint_tracked
+
+    results = {}
+
+    def work(tag, n):
+        df = spark.range(n).selectExpr("id", "id * 2 AS x")
+        results[tag] = _local_checkpoint_tracked(spark, df)
+
+    for round_no in range(3):
+        t1 = threading.Thread(target=work, args=("a", 1000 + round_no))
+        t2 = threading.Thread(target=work, args=("b", 2000 + round_no))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        (da, ids_a), (db, ids_b) = results["a"], results["b"]
+        assert len(ids_a) == 1 and len(ids_b) == 1, (ids_a, ids_b)
+        assert not set(ids_a) & set(ids_b)
+        assert da.count() == 1000 + round_no and db.count() == 2000 + round_no
+        jsc = spark.sparkContext._jsc.sc()
+        for rid in ids_a + ids_b:
+            assert jsc.getPersistentRDDs().contains(rid)
+            jsc.getPersistentRDDs().apply(rid).unpersist(False)

@@ -319,3 +319,31 @@ def test_png_truncated_chunks_raise_valueerror():
     # CRC missing entirely -> short unpack must convert to ValueError
     with pytest.raises(ValueError):
         decode_png_rgb(b"\x89PNG\r\n\x1a\n" + body)
+
+
+def test_fill_bytes_before_restart_marker_decode():
+    """T.81 B.1.1.2 again, now in the entropy stream: 0xFF fill bytes
+    immediately before an RSTn marker are spec-legal and must decode
+    identically (ADVICE r15: restart() previously required the marker
+    at the exact byte-aligned position)."""
+    q = [16] + [1] * 63
+    dcs = [8, 16, -8, 0]
+    good = _make_gray(16, 16, q, dcs, ri=1)
+    padded = good
+    for n in range(3):  # pad every RSTn in the stream
+        padded = padded.replace(bytes([0xFF, 0xD0 + n]), bytes([0xFF, 0xFF, 0xD0 + n]))
+    assert padded != good
+    assert decode_baseline_jpeg(padded) == decode_baseline_jpeg(good)
+
+
+def test_sof_zero_sampling_factor_raises_valueerror():
+    """A corrupt SOF declaring 0 sampling factors must surface as
+    ValueError, not ZeroDivisionError escaping the corrupt-stream
+    boundary (ADVICE r15)."""
+    good = _make_gray(8, 8, [16] + [1] * 63, [8])
+    sof_comp = struct.pack(">BBB", 1, 0x11, 0)  # cid=1, h=1, v=1, tq=0
+    bad_comp = struct.pack(">BBB", 1, 0x00, 0)  # h=0, v=0
+    assert good.count(sof_comp) >= 1
+    bad = good.replace(sof_comp, bad_comp, 1)
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_baseline_jpeg(bad)

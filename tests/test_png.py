@@ -196,3 +196,55 @@ def test_resize_images_arrow_seam(spark):
     assert rows[1].width == 4 and rows[1].height == 4
     assert set(_decode_bmp_rgb(bytes(rows[1].payload))) == {(128, 128, 128)}
     assert set(_decode_bmp_rgb(bytes(rows[2].payload))) == {(10, 20, 30)}
+
+
+def test_decompression_bomb_rejected_without_inflating(monkeypatch):
+    """A tiny IDAT that inflates far past the declared dimensions must
+    be rejected with ValueError BEFORE materializing the blowup
+    (ADVICE r15: the inflate is now bounded to height*(stride+1)+1
+    bytes).  50 MB of zeros compresses to ~50 KB; the 2x2 declaration
+    expects 14 bytes — the guard must fire on the cap, which we prove
+    by forbidding large bytes objects via a decompress spy."""
+    # declared 2x2 gray, bomb IDAT payload 50 MB of zeros
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(
+        b"IDAT", zlib.compress(b"\x00" * 50_000_000)
+    ) + _chunk(b"IEND", b"")
+    orig = zlib.decompressobj
+
+    seen = {}
+
+    class SpyObj:
+        def __init__(self):
+            self._d = orig()
+
+        def decompress(self, data, max_length=0):
+            seen["max_length"] = max_length
+            out = self._d.decompress(data, max_length)
+            seen["out_len"] = len(out)
+            return out
+
+        def flush(self):
+            out = self._d.flush()
+            seen["flush_len"] = len(out)
+            return out
+
+        @property
+        def unconsumed_tail(self):
+            return self._d.unconsumed_tail
+
+    monkeypatch.setattr(zlib, "decompressobj", SpyObj)
+    with pytest.raises(ValueError, match="inflates past|pixel data"):
+        decode_png_rgb(bomb)
+    # the inflate was capped at the declared size + 1, never the 50 MB
+    assert seen["max_length"] == 2 * (2 * 1 + 1) + 1
+    assert seen["out_len"] <= seen["max_length"]
+
+
+def test_undersized_idat_still_valueerror():
+    """An IDAT that inflates SHORT of the declared dimensions keeps the
+    pre-existing loud ValueError (the bounded inflate must not change
+    the short-stream behavior)."""
+    short = _png(4, 4, 0, b"\x00" + b"\x11" * 4)  # one scanline of four
+    with pytest.raises(ValueError):
+        decode_png_rgb(short)

@@ -912,3 +912,53 @@ def test_streaming_classifier_scores_match_batch_across_shards(spark, tmp_path):
         spark, str(landing), w, report, ckpt, max_files_per_trigger=1
     )
     assert score_rows() == {**rows, 5: (1, True)}
+
+
+def test_drain_scope_is_per_session(spark):
+    """ADVICE r15: two concurrent sessions draining must not cross-talk —
+    the refcount state is keyed on the SparkSession object, so an
+    out-of-order exit restores each session's OWN saved value and never
+    leaves the other clamped to STREAM_DRAIN_PARTITIONS."""
+    from mini_hadoop_spark.streaming.windowed import (
+        STREAM_DRAIN_PARTITIONS,
+        _drain_scope,
+    )
+
+    other = spark.newSession()
+    key = "spark.sql.shuffle.partitions"
+    saved_a, saved_b = spark.conf.get(key), other.conf.get(key)
+    other.conf.set(key, "17")  # distinct per-session values
+    try:
+        a = _drain_scope(spark)
+        b = _drain_scope(other)
+        a.__enter__()
+        b.__enter__()
+        assert spark.conf.get(key) == str(STREAM_DRAIN_PARTITIONS)
+        assert other.conf.get(key) == str(STREAM_DRAIN_PARTITIONS)
+        # out-of-order exit: A leaves first; B must stay clamped and
+        # then restore ITS OWN 17, not A's value
+        a.__exit__(None, None, None)
+        assert spark.conf.get(key) == saved_a
+        assert other.conf.get(key) == str(STREAM_DRAIN_PARTITIONS)
+        b.__exit__(None, None, None)
+        assert other.conf.get(key) == "17"
+        assert spark.conf.get(key) == saved_a
+    finally:
+        spark.conf.set(key, saved_a)
+        other.conf.set(key, saved_b)
+
+
+def test_drain_scope_nested_same_session_refcounts(spark):
+    """Nested scopes in ONE session: only the last exit restores."""
+    from mini_hadoop_spark.streaming.windowed import (
+        STREAM_DRAIN_PARTITIONS,
+        _drain_scope,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    with _drain_scope(spark):
+        with _drain_scope(spark):
+            assert spark.conf.get(key) == str(STREAM_DRAIN_PARTITIONS)
+        assert spark.conf.get(key) == str(STREAM_DRAIN_PARTITIONS)
+    assert spark.conf.get(key) == saved
