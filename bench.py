@@ -224,7 +224,7 @@ def main() -> int:
     # serves both registered join drains; its real cost is itemized here
     from mini_hadoop_spark.streaming import windowed as _sw
 
-    # r15: the ten end-to-end drains are mutually independent real
+    # r15/r16: the eleven end-to-end drains are mutually independent real
     # streaming runs (unique per-run scratch dirs + memory-sink table
     # names, distinct memo keys; their shared offline deps — the IVF
     # index, the trained classifier — are memoized by the groups above),
@@ -244,6 +244,8 @@ def main() -> int:
             "enrich": lambda: _sw.streaming_enrich_drain(spark, sf_dir),
             "contam": lambda: _sw.streaming_contamination_drain(spark, sf_dir),
             "classify": lambda: _sw.streaming_classifier_drain(spark, sf_dir),
+            # r16: PIT enrichment at ingest (frozen SCD2 dim, fact-local)
+            "pit": lambda: _sw.streaming_pit_enrich_drain(spark, sf_dir),
         },
     )
 

@@ -65,8 +65,13 @@ _MODULES = [
 # Never-driver-seen queries allowed to sit OUT of DRIVER_WINDOW for one
 # round, each with a written rationale (tests/test_rotation_report.py
 # enforces exact membership here — raw source mentions no longer count).
-# r14: empty — every never-driver-seen query is in the window.
-ROTATION_WAITING: tuple[str, ...] = ()
+# r16: streaming_pit_enrich_drain (the 3rd r16-new query) waits one
+# round: the 50 slots are committed to the r12-cohort clearing plus the
+# two r16-new batch queries, its oracle is the same interval-join chain
+# the windowed pit_scd2_shipments exercises (shared CTE shape), and its
+# end-to-end drain is battery- and vanilla-sim-verified this round; it
+# takes a first-ever slot in r17.
+ROTATION_WAITING: tuple[str, ...] = ("streaming_pit_enrich_drain",)
 
 # Window entries deliberately WITHOUT a DuckDB oracle: the driver
 # records a rows-only ledger row (err: no_oracle, spark_rows) — the

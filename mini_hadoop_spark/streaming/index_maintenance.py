@@ -164,19 +164,22 @@ def _run_streaming_doc_report(
     report_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> None:
-    """Shared drain body for doc-local per-shard report pipelines
-    (contamination, classifier scoring — ADVICE-r12-pattern: one body
-    instead of verbatim copies to keep in sync), parameterized by the
-    per-batch transform: file-source stream over the landing dir →
-    ``transform(batch)`` → parquet-append to the report (availableNow
-    trigger; the checkpoint remembers which shards are done).
+    """Shared drain body for ROW-LOCAL per-shard report pipelines
+    (contamination, classifier scoring, PIT enrichment — ADVICE-r12
+    pattern: one body instead of verbatim copies to keep in sync),
+    parameterized by the per-batch transform and the source schema
+    (default: the documents landing schema): file-source stream over
+    the landing dir → ``transform(batch)`` → parquet-append to the
+    report (availableNow trigger; the checkpoint remembers which
+    shards are done).
 
     Replay safety is shared too: a replayed batch would APPEND
     duplicate report rows, so exactly-once leans on the checkpoint
     commit; production would write a transactional table keyed on the
     report's natural key."""
-    reader = spark.readStream.schema(DOCS_STREAM_SCHEMA)
+    reader = spark.readStream.schema(schema if schema is not None else DOCS_STREAM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
@@ -215,6 +218,97 @@ def run_streaming_classifier_scores(
     _run_streaming_doc_report(
         spark, docs_dir, lambda batch: score_docs(batch, w),
         report_dir, checkpoint_dir, max_files_per_trigger,
+    )
+
+
+#: landing schema for shipment-fact shards (the PIT enrichment drain's
+#: file source) — the subset of lineitem the enrichment needs
+FACTS_STREAM_SCHEMA = None  # built lazily to keep pyspark type imports local
+
+
+def _facts_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    global FACTS_STREAM_SCHEMA
+    if FACTS_STREAM_SCHEMA is None:
+        FACTS_STREAM_SCHEMA = StructType(
+            [
+                StructField("l_orderkey", LongType()),
+                StructField("l_linenumber", IntegerType()),
+                StructField("l_shipdate", TimestampType()),
+                StructField("l_extendedprice", DoubleType()),
+                StructField("l_discount", DoubleType()),
+            ]
+        )
+    return FACTS_STREAM_SCHEMA
+
+
+def run_streaming_pit_enrich(
+    spark: SparkSession,
+    facts_dir: str,
+    order_keys: DataFrame,
+    versions: DataFrame,
+    report_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain every unprocessed shipment-fact shard through the
+    POINT-IN-TIME enrichment (operators/relational_ext.py::
+    pit_scd2_shipments' per-fact core): each landed batch resolves its
+    custkey via the static ``order_keys`` side, as-of joins the frozen
+    SCD2 ``versions`` intervals (valid_from <= ship ts < valid_to,
+    never a future version), and appends the enriched fact rows — the
+    feature-store serve loop where facts are PIT-stamped at ingest
+    with the dimension shipped as a constant.  Enrichment is
+    FACT-LOCAL (each row's match depends only on itself and the static
+    dims), so the per-shard union equals batch enrichment under any
+    sharding.  Drain mechanics + replay semantics:
+    :func:`_run_streaming_doc_report`."""
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    def transform(batch: DataFrame) -> DataFrame:
+        rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+            F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+        )
+        facts = batch.join(
+            order_keys, batch["l_orderkey"] == order_keys["o_orderkey"]
+        ).select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_shipdate").alias("ship_ts"),
+            rev.cast("double").alias("rev"),
+        )
+        j = asof_join(
+            facts,
+            versions,
+            key="custkey",
+            probe_ts="ship_ts",
+            build_ts="valid_from",
+            build_payload=["version", "is_current"],
+            tiebreak="version",
+            how="left",
+        )
+        return j.select(
+            "orderkey",
+            "linenumber",
+            "custkey",
+            F.date_format("ship_ts", "yyyy-MM-dd").alias("ship_date"),
+            F.col("asof_version").alias("version"),
+            F.col("asof_is_current").alias("is_current"),
+            "rev",
+        )
+
+    _run_streaming_doc_report(
+        spark, facts_dir, transform, report_dir, checkpoint_dir,
+        max_files_per_trigger, schema=_facts_schema(),
     )
 
 

@@ -446,6 +446,87 @@ def streaming_classifier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_drain(spark, sf_dir, "classifier_scores", build)
 
 
+def streaming_pit_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED streaming query #11: POINT-IN-TIME enrichment at
+    ingest, end-to-end — the streaming consumer of the r16 PIT family
+    (operators/relational_ext.py::pit_scd2_shipments is the batch
+    report over the same intervals).  The SCD2 dimension and the
+    orderkey→custkey map are built OFFLINE and frozen; every landed
+    shipment-fact shard is as-of stamped with the customer version
+    valid at its ship date (``valid_from <= ts < valid_to`` — never a
+    future version, the feature-store no-leakage contract) and
+    parquet-appended.  Enrichment is FACT-LOCAL, so the per-shard
+    union equals batch enrichment under any sharding and the drained
+    table hash-matches the per-fact interval-join oracle
+    (STREAMING_PIT_SQL); multi-shard equality is pinned by
+    tests/test_streaming.py.  Memoized per (session, corpus)."""
+
+    def build() -> DataFrame:
+        import uuid
+
+        from mini_hadoop_spark.operators.relational_ext import _scd2_intervals
+        from mini_hadoop_spark.sources.catalog import load_table, table_path
+        from mini_hadoop_spark.streaming.index_maintenance import (
+            run_streaming_pit_enrich,
+        )
+
+        order_keys = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey")
+            .localCheckpoint(eager=True)
+        )
+        versions = (
+            _scd2_intervals(spark, sf_dir)
+            .select("custkey", "valid_from", "version", "is_current")
+            .localCheckpoint(eager=True)
+        )
+        src = table_path(sf_dir, "lineitem")
+        root = tempfile.mkdtemp(prefix="stream_pit_")
+        try:
+            facts_dir = os.path.join(root, "facts")
+            os.makedirs(facts_dir)
+            _stage_parquet(src, facts_dir)
+            report_dir = os.path.join(root, "report")
+            ckpt_dir = os.path.join(root, f"ckpt_{uuid.uuid4().hex[:8]}")
+            with _drain_scope(spark):
+                run_streaming_pit_enrich(
+                    spark, facts_dir, order_keys, versions, report_dir, ckpt_dir
+                )
+            return spark.read.parquet(report_dir).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    return _memo_drain(spark, sf_dir, "pit_enrich", build)
+
+
+STREAMING_PIT_SQL = """
+WITH v AS (
+  SELECT o_custkey AS custkey,
+         row_number() OVER w AS version,
+         o_orderdate AS valid_from,
+         lead(o_orderdate) OVER w AS valid_to
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), f AS (
+  SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+         o.o_custkey AS custkey, l.l_shipdate AS ship_ts,
+         CAST(l.l_extendedprice::DECIMAL(18,6)
+              * (1::DECIMAL(18,6) - l.l_discount::DECIMAL(18,6)) AS DOUBLE) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT f.orderkey, f.linenumber, f.custkey,
+       strftime(f.ship_ts, '%Y-%m-%d') AS ship_date,
+       v.version,
+       CASE WHEN v.version IS NULL THEN NULL
+            ELSE v.valid_to IS NULL END AS is_current,
+       f.rev
+FROM f LEFT JOIN v
+  ON f.custkey = v.custkey
+ AND v.valid_from <= f.ship_ts
+ AND (f.ship_ts < v.valid_to OR v.valid_to IS NULL)
+"""
+
+
 # (application, sf_dir) -> the drained LEFT OUTER interval-join result,
 # materialized once per session.  The outer drain's matched-pair rows
 # ARE the inner join result (a left-outer interval join emits matched
@@ -679,6 +760,7 @@ QUERIES = {
     "streaming_outer_join_drain": streaming_outer_join_drain,
     "streaming_ivf_maintenance_drain": streaming_ivf_maintenance_drain,
     "streaming_ivf_recenter_drain": streaming_ivf_recenter_drain,
+    "streaming_pit_enrich_drain": streaming_pit_enrich_drain,
 }
 
 
@@ -834,4 +916,5 @@ ORACLES = {
     "streaming_outer_join_drain": _outer_join_oracle(),
     "streaming_ivf_maintenance_drain": _ivf_maint_oracle(),
     "streaming_ivf_recenter_drain": _ivf_recenter_drain_oracle(),
+    "streaming_pit_enrich_drain": STREAMING_PIT_SQL,
 }

@@ -962,3 +962,86 @@ def test_drain_scope_nested_same_session_refcounts(spark):
             assert spark.conf.get(key) == str(STREAM_DRAIN_PARTITIONS)
         assert spark.conf.get(key) == str(STREAM_DRAIN_PARTITIONS)
     assert spark.conf.get(key) == saved
+
+
+def test_streaming_pit_enrich_matches_batch_across_shards(spark, tmp_path):
+    """Streaming PIT enrichment (r16): shipment facts landing in
+    SEPARATE shards (maxFilesPerTrigger=1 → one micro-batch each) yield
+    an enriched table whose union equals one-shot enrichment against
+    the same frozen SCD2 dim — the fact-local property the drain leans
+    on — and the PIT stamp never sees a future version (a fact between
+    two versions gets the earlier; a fact before the first gets
+    none)."""
+    import datetime as dt
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from mini_hadoop_spark.streaming.index_maintenance import (
+        run_streaming_pit_enrich,
+    )
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    order_keys = spark.createDataFrame(
+        [(10, 100), (11, 100), (12, 200)], "o_orderkey long, o_custkey long"
+    ).localCheckpoint(eager=True)
+    versions = spark.createDataFrame(
+        [
+            (100, ts("2026-01-01"), 1, False),
+            (100, ts("2026-01-10"), 2, True),
+            (200, ts("2026-02-01"), 1, True),
+        ],
+        "custkey long, valid_from timestamp, version int, is_current boolean",
+    ).localCheckpoint(eager=True)
+
+    facts_schema = (
+        "l_orderkey long, l_linenumber int, l_shipdate timestamp, "
+        "l_extendedprice double, l_discount double"
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    report = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        df = spark.createDataFrame(rows, facts_schema)
+        staged = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(staged))
+        part = next(p for p in staged.iterdir() if p.name.endswith(".parquet"))
+        _sh.copy(part, landing / f"{name}.parquet")
+
+    def rows():
+        return {
+            (r.orderkey, r.linenumber): (r.custkey, r.ship_date, r.version, r.is_current, r.rev)
+            for r in spark.read.parquet(report).collect()
+        }
+
+    land("s0", [
+        (10, 1, ts("2026-01-05"), 100.0, 0.0),   # inside [v1, v2) -> v1
+        (10, 2, ts("2026-01-10"), 100.0, 0.5),   # at v2 start -> v2
+    ])
+    land("s1", [
+        (11, 1, ts("2025-12-25"), 10.0, 0.0),    # before v1 -> none
+        (12, 1, ts("2026-03-01"), 20.0, 0.0),    # current version of cust 200
+    ])
+    run_streaming_pit_enrich(
+        spark, str(landing), order_keys, versions, report, ckpt,
+        max_files_per_trigger=1,
+    )
+    got = rows()
+    assert got == {
+        (10, 1): (100, "2026-01-05", 1, False, 100.0),
+        (10, 2): (100, "2026-01-10", 2, True, 50.0),
+        (11, 1): (100, "2025-12-25", None, None, 10.0),
+        (12, 1): (200, "2026-03-01", 1, True, 20.0),
+    }
+
+    # a later shard extends the table without rewriting earlier rows
+    land("s2", [(11, 2, ts("2026-01-20"), 40.0, 0.25)])
+    run_streaming_pit_enrich(
+        spark, str(landing), order_keys, versions, report, ckpt,
+        max_files_per_trigger=1,
+    )
+    assert rows() == {**got, (11, 2): (100, "2026-01-20", 2, True, 30.0)}
