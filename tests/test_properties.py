@@ -446,3 +446,65 @@ def test_grid_estimate_identity_random_vectors(spark, vecs):
     joined = _grid_candidate_join(df, COSINE_DUP_THRESHOLD, 2).count()
     assert n == len(vecs)
     assert est == joined, (est, joined)
+
+
+@given(
+    orders=st.lists(
+        st.tuples(st.integers(0, 99), st.integers(1, 3), st.integers(0, 30)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda o: o[0],
+    ),
+    facts=st.lists(
+        st.tuples(st.integers(0, 999), st.integers(1, 3), st.integers(-5, 40)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda f: f[0],
+    ),
+)
+@settings(max_examples=12, deadline=None)
+def test_pit_asof_matches_interval_cover(spark, orders, facts):
+    """The identity pit_scd2_shipments and its oracle equivalence rest
+    on: for a lead()-built SCD2 chain (half-open, non-overlapping
+    per-key intervals; same-instant versions leave empty intervals for
+    all but the last of the tie group), a backward as-of join with a
+    max-version tiebreak selects EXACTLY the interval covering each
+    fact (valid_from <= ts < valid_to), and facts before the first
+    version match nothing — on arbitrary chains including ties."""
+    from pyspark.sql import Window as W, functions as F
+
+    from mini_hadoop_spark.operators.temporal import asof_join
+
+    # python reference: build the chain, then interval-cover per fact
+    chains: dict[int, list] = {}
+    for okey, ck, od in sorted(orders, key=lambda o: (o[1], o[2], o[0])):
+        chains.setdefault(ck, []).append((od, okey))
+    covers = {}
+    for fid, ck, ts in facts:
+        got = None
+        chain = chains.get(ck, [])
+        for i, (od, okey) in enumerate(chain):
+            valid_to = chain[i + 1][0] if i + 1 < len(chain) else None
+            if od <= ts and (valid_to is None or ts < valid_to):
+                assert got is None, "intervals must not overlap"
+                got = (i + 1, valid_to is None)  # (version, is_current)
+        covers[fid] = got
+
+    odf = spark.createDataFrame(orders, "orderkey long, custkey long, odate long")
+    w = W.partitionBy("custkey").orderBy("odate", "orderkey")
+    v = odf.select(
+        "custkey",
+        F.row_number().over(w).alias("version"),
+        F.col("odate").alias("valid_from"),
+        F.lead("odate").over(w).isNull().alias("is_current"),
+    )
+    fdf = spark.createDataFrame(facts, "fid long, custkey long, fts long")
+    j = asof_join(
+        fdf, v, key="custkey", probe_ts="fts", build_ts="valid_from",
+        build_payload=["version", "is_current"], tiebreak="version", how="left",
+    )
+    got = {
+        r.fid: (None if r.asof_version is None else (r.asof_version, r.asof_is_current))
+        for r in j.collect()
+    }
+    assert got == covers
