@@ -1753,8 +1753,11 @@ def pit_scd2_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIT_SCD2_SQL = f"""
-WITH v AS (
+#: shared interval CTEs — the SCD2 chain (v) + custkey-resolved
+#: shipment facts (f); composed by BOTH the batch report oracle below
+#: and the streaming drain oracle (streaming/windowed.py::
+#: STREAMING_PIT_SQL) so the two stay bit-in-sync by construction.
+PIT_INTERVAL_CTES = """v AS (
   SELECT o_custkey AS custkey,
          row_number() OVER w AS version,
          o_orderdate AS valid_from,
@@ -1762,11 +1765,16 @@ WITH v AS (
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 ), f AS (
-  SELECT o.o_custkey AS custkey, l.l_shipdate AS ship_ts,
+  SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
+         o.o_custkey AS custkey, l.l_shipdate AS ship_ts,
          l.l_extendedprice::DECIMAL(18,6)
            * (1::DECIMAL(18,6) - l.l_discount::DECIMAL(18,6)) AS rev
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-), m AS (
+)"""
+
+
+PIT_SCD2_SQL = f"""
+WITH {PIT_INTERVAL_CTES}, m AS (
   SELECT f.custkey, f.rev, v.version,
          CASE WHEN v.version IS NULL THEN NULL
               ELSE v.valid_to IS NULL END AS is_current

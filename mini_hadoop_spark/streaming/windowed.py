@@ -499,32 +499,30 @@ def streaming_pit_enrich_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo_drain(spark, sf_dir, "pit_enrich", build)
 
 
-STREAMING_PIT_SQL = """
-WITH v AS (
-  SELECT o_custkey AS custkey,
-         row_number() OVER w AS version,
-         o_orderdate AS valid_from,
-         lead(o_orderdate) OVER w AS valid_to
-  FROM orders
-  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-), f AS (
-  SELECT l.l_orderkey AS orderkey, l.l_linenumber AS linenumber,
-         o.o_custkey AS custkey, l.l_shipdate AS ship_ts,
-         CAST(l.l_extendedprice::DECIMAL(18,6)
-              * (1::DECIMAL(18,6) - l.l_discount::DECIMAL(18,6)) AS DOUBLE) AS rev
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-)
+def _streaming_pit_sql() -> str:
+    """Per-fact interval-join oracle — composes the SAME v/f CTEs as
+    the batch report oracle (operators/relational_ext.py::
+    PIT_INTERVAL_CTES), so the drain and the batch query stay
+    bit-in-sync by construction; the drain casts the exact DECIMAL
+    revenue to double PER FACT (the batch aggregate casts the sum)."""
+    from mini_hadoop_spark.operators.relational_ext import PIT_INTERVAL_CTES
+
+    return f"""
+WITH {PIT_INTERVAL_CTES}
 SELECT f.orderkey, f.linenumber, f.custkey,
        strftime(f.ship_ts, '%Y-%m-%d') AS ship_date,
        v.version,
        CASE WHEN v.version IS NULL THEN NULL
             ELSE v.valid_to IS NULL END AS is_current,
-       f.rev
+       CAST(f.rev AS DOUBLE) AS rev
 FROM f LEFT JOIN v
   ON f.custkey = v.custkey
  AND v.valid_from <= f.ship_ts
  AND (f.ship_ts < v.valid_to OR v.valid_to IS NULL)
 """
+
+
+STREAMING_PIT_SQL = _streaming_pit_sql()
 
 
 # (application, sf_dir) -> the drained LEFT OUTER interval-join result,
