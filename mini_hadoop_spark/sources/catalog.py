@@ -169,11 +169,19 @@ def _first_parquet_file(path: str) -> str:
     return path
 
 
+def ts_encoding(spark: SparkSession, path: str, col: str = "ts") -> str:
+    """Classify how ``path`` stores the timestamp column ``col`` (see
+    ``_probe_encodings``).  Used by the streaming sources, which must
+    commit to a fixed read schema up front and so probe the footer
+    first — the generator has shipped INT64 TIMESTAMP(NANOS), NTZ and
+    plain timestamp encodings in different rounds, and any consumer
+    hard-coding one of them breaks on the next rotation."""
+    return _probe_encodings(spark, path).get(col, "ts")
+
+
 def events_ts_encoding(spark: SparkSession, path: str) -> str:
-    """Classify how ``path`` stores ``ts`` (see ``_probe_encodings``).
-    Used by the streaming source, which must commit to a fixed read
-    schema up front and so probes the footer first."""
-    return _probe_encodings(spark, path).get("ts", "ts")
+    """Back-compat alias: the events ``ts`` column's encoding."""
+    return ts_encoding(spark, path, "ts")
 
 
 def normalize_ts_column(col: str, encoding: str):

@@ -35,6 +35,15 @@ by digest prefix so the anti-join prunes, and compact it periodically
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from mini_hadoop_spark.streaming.documents import DOCS_STREAM_SCHEMA
 
@@ -222,32 +231,26 @@ def run_streaming_classifier_scores(
 
 
 #: landing schema for shipment-fact shards (the PIT enrichment drain's
-#: file source) — the subset of lineitem the enrichment needs
-FACTS_STREAM_SCHEMA = None  # built lazily to keep pyspark type imports local
+#: file source) — the subset of lineitem the enrichment needs.  The
+#: l_shipdate field is the DEFAULT (plain timestamp) encoding; the
+#: runner swaps in the probed on-disk raw type per directory (the same
+#: footer-probe-then-normalize contract as read_events_stream — the
+#: generator's timestamp encoding has already changed between rounds).
+FACTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType()),
+        StructField("l_linenumber", IntegerType()),
+        StructField("l_shipdate", TimestampType()),
+        StructField("l_extendedprice", DoubleType()),
+        StructField("l_discount", DoubleType()),
+    ]
+)
 
-
-def _facts_schema():
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
-    global FACTS_STREAM_SCHEMA
-    if FACTS_STREAM_SCHEMA is None:
-        FACTS_STREAM_SCHEMA = StructType(
-            [
-                StructField("l_orderkey", LongType()),
-                StructField("l_linenumber", IntegerType()),
-                StructField("l_shipdate", TimestampType()),
-                StructField("l_extendedprice", DoubleType()),
-                StructField("l_discount", DoubleType()),
-            ]
-        )
-    return FACTS_STREAM_SCHEMA
+_RAW_TS_TYPES = {
+    "nanos": LongType(),
+    "ntz": TimestampNTZType(),
+    "ts": TimestampType(),
+}
 
 
 def run_streaming_pit_enrich(
@@ -269,11 +272,28 @@ def run_streaming_pit_enrich(
     with the dimension shipped as a constant.  Enrichment is
     FACT-LOCAL (each row's match depends only on itself and the static
     dims), so the per-shard union equals batch enrichment under any
-    sharding.  Drain mechanics + replay semantics:
-    :func:`_run_streaming_doc_report`."""
+    sharding.  The l_shipdate on-disk encoding is footer-probed and
+    normalized per batch (the read_events_stream contract — a stream
+    must commit to a fixed raw schema up front, and the generator's
+    timestamp encoding has changed between rounds).  Drain mechanics +
+    replay semantics: :func:`_run_streaming_doc_report`."""
     from mini_hadoop_spark.operators.temporal import asof_join
+    from mini_hadoop_spark.sources.catalog import normalize_ts_column, ts_encoding
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    enc = ts_encoding(spark, facts_dir, "l_shipdate")
+    schema = StructType(
+        [
+            f if f.name != "l_shipdate"
+            else StructField("l_shipdate", _RAW_TS_TYPES[enc])
+            for f in FACTS_STREAM_SCHEMA
+        ]
+    )
 
     def transform(batch: DataFrame) -> DataFrame:
+        batch = batch.withColumn(
+            "l_shipdate", normalize_ts_column("l_shipdate", enc)
+        )
         rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
             F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
         )
@@ -308,7 +328,7 @@ def run_streaming_pit_enrich(
 
     _run_streaming_doc_report(
         spark, facts_dir, transform, report_dir, checkpoint_dir,
-        max_files_per_trigger, schema=_facts_schema(),
+        max_files_per_trigger, schema=schema,
     )
 
 

@@ -227,7 +227,20 @@ _drain_memo: dict[tuple, DataFrame] = {}
 def _memo_drain(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir), name)
     if key not in _drain_memo:
-        _drain_memo[key] = build().localCheckpoint(eager=True)
+        df = build()
+        # builds that must materialize BEFORE their scratch dir is
+        # removed return an already-checkpointed frame (LogicalRDD);
+        # re-checkpointing would pin a second full copy of the result
+        # for the session lifetime (r16 code review: the PIT drain's
+        # report is per-fact, the largest drain output in the suite)
+        try:
+            already = (
+                df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+                == "LogicalRDD"
+            )
+        except Exception:
+            already = False
+        _drain_memo[key] = df if already else df.localCheckpoint(eager=True)
     return _drain_memo[key]
 
 

@@ -1045,3 +1045,57 @@ def test_streaming_pit_enrich_matches_batch_across_shards(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert rows() == {**got, (11, 2): (100, "2026-01-20", 2, True, 30.0)}
+
+
+@pytest.mark.parametrize("encoding", ["nanos_int64", "micros_ntz", "micros_utc"])
+def test_pit_enrich_stream_adapts_shipdate_encoding(spark, tmp_path, encoding):
+    """r16 code review: the facts stream must not hard-code one
+    l_shipdate parquet encoding — the generator has shipped
+    INT64 TIMESTAMP(NANOS), NTZ and UTC micros in different rounds.
+    Pin all three through the real drain runner: same fact, same PIT
+    stamp, regardless of on-disk encoding."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mini_hadoop_spark.streaming.index_maintenance import (
+        run_streaming_pit_enrich,
+    )
+
+    ship = dt.datetime(2026, 1, 5)
+    us = int(ship.timestamp() * 1_000_000)
+    if encoding == "nanos_int64":
+        arr = pa.array([us * 1000], pa.timestamp("ns"))
+    elif encoding == "micros_ntz":
+        arr = pa.array([ship], pa.timestamp("us"))
+    else:
+        arr = pa.array([ship], pa.timestamp("us", tz="UTC"))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10], pa.int64()),
+                "l_linenumber": pa.array([1], pa.int32()),
+                "l_shipdate": arr,
+                "l_extendedprice": pa.array([100.0], pa.float64()),
+                "l_discount": pa.array([0.0], pa.float64()),
+            }
+        ),
+        str(landing / "s0.parquet"),
+    )
+    order_keys = spark.createDataFrame(
+        [(10, 100)], "o_orderkey long, o_custkey long"
+    ).localCheckpoint(eager=True)
+    versions = spark.createDataFrame(
+        [(100, dt.datetime(2026, 1, 1), 1, True)],
+        "custkey long, valid_from timestamp, version int, is_current boolean",
+    ).localCheckpoint(eager=True)
+    report = str(tmp_path / "report")
+    run_streaming_pit_enrich(
+        spark, str(landing), order_keys, versions, report, str(tmp_path / "ckpt")
+    )
+    rows = spark.read.parquet(report).collect()
+    assert [(r.orderkey, r.linenumber, r.ship_date, r.version, r.is_current, r.rev)
+            for r in rows] == [(10, 1, "2026-01-05", 1, True, 100.0)]
