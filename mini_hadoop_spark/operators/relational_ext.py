@@ -997,7 +997,17 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; top-k is a TakeOrdered.  Lift doubles come from exact
     BIGINT products divided in the same order on both engines."""
     l = _t(spark, sf_dir, "lineitem")
-    items = l.select("l_orderkey", "l_partkey").distinct()
+    # Explicit not-null filter BEFORE the distinct: the self-join infers
+    # IsNotNull on its own side only, which used to make the three
+    # consumers' distinct subtrees non-identical — the plan scanned
+    # lineitem 3x and ran the (orderkey, partkey) distinct twice.  With
+    # the filter stated once here, every consumer shares ONE scan + ONE
+    # distinct exchange via ReuseExchange (OPTIMIZATION_r17).
+    items = (
+        l.select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .distinct()
+    )
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
     pairs = (
@@ -1008,8 +1018,15 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
     )
     part_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    # distinct-orderkey count as an aggregate-over-aggregate on the SAME
+    # items frame (not a fresh scan), so it too rides the shared exchange
+    # count-per-orderkey then count-rows ≡ count(DISTINCT l_orderkey),
+    # phrased so the inner aggregate is NOT collapsible into a fresh
+    # distinct-over-scan — it keeps riding the shared items exchange
     totals = F.broadcast(
-        items.select("l_orderkey").distinct().agg(F.count("*").alias("n_orders"))
+        items.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n_items"))
+        .agg(F.count("*").alias("n_orders"))
     )
     scored = (
         pairs.join(part_cnt.select(F.col("l_partkey").alias("p1"), F.col("n_p").alias("n_a")), "p1")

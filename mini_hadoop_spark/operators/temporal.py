@@ -108,8 +108,19 @@ def asof_join(
         merged.withColumn("_m", F.last("_bp", ignorenulls=True).over(w))
         .filter(F.col("_tag") == 1)
     )
+    # Surface the key column from the window's own partition key ``_k``
+    # rather than the probe-side copy ``_p_<key>`` (identical values for
+    # every surviving row — probe rows carry their key in both).  The
+    # alias keeps the window's hash(_k) output partitioning alive through
+    # this projection (alias-aware partitioning propagation), so a
+    # downstream aggregate/join whose keys include the asof key skips its
+    # re-exchange instead of reshuffling the full probe table
+    # (OPTIMIZATION_r17: pit_scd2_shipments' distinct-agg exchange).
     out = matched.select(
-        *[F.col(f"_p_{c}").alias(c) for c in probe.columns],
+        *[
+            F.col("_k").alias(c) if c == key else F.col(f"_p_{c}").alias(c)
+            for c in probe.columns
+        ],
         F.col("_m._bts").alias(f"asof_{build_ts}"),
         *[F.col(f"_m.{c}").alias(f"asof_{c}") for c in build_payload],
     )
