@@ -63,6 +63,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from mini_hadoop_spark.functions.text import round_half_up, sql_round_half_up
+from mini_hadoop_spark.functions.partitioning import spread_small_scan
 from mini_hadoop_spark.sources.catalog import load_table
 
 
@@ -1257,7 +1258,9 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (nation, supplier) revenue aggregate (map-side combined)
     + a |nations|-row second-level aggregate; the supplier→nation
     attach is a broadcast dim join."""
-    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    l = spread_small_scan(
+        _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")
@@ -1388,9 +1391,11 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     and asserted by tests/test_oracle_battery.py::
     test_corpus_fk_integrity; on a corpus with orphaned lineitems,
     split the supplier side back into its own aggregate."""
-    l = _t(spark, sf_dir, "lineitem").select(
+    # heavy decimal math + 5 broadcast probes all run in the scan stage:
+    # spread a single-file scan across cores (no-op at scale)
+    l = spread_small_scan(_t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
+    ))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -1474,9 +1479,9 @@ def part_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row float division), with one final double division in
     identical cross-engine op order.  Plan: lineitem ⋈ broadcast(part)
     + one |types|-row aggregate."""
-    l = _t(spark, sf_dir, "lineitem").select(
+    l = spread_small_scan(_t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
-    )
+    ))
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_retailprice")
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")
            * (F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")))
