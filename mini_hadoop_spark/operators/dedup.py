@@ -586,9 +586,15 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    # OPTIMIZATION_r17: hash-partition the gram stream by gkey ONCE —
+    # the dup aggregate (grouping key gkey) and the grams⋈dup probe both
+    # require exactly this clustering, so the two consumers share a
+    # single ReusedExchange instead of each re-running the md5 gram
+    # derivation and shuffling separately.
     grams = (
         d.select("doc_id", F.explode(gram_structs).alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey"))
+        .repartition("gkey")
     )
     dup = (
         grams.groupBy("gkey")

@@ -422,18 +422,33 @@ def ngram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank window runs over ≤``PMI_TOP`` rows post-limit."""
     d = _docs(spark, sf_dir)
     toks = d.select(tokens("text").alias("t"))
-    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("cnt_w"))
-    bg = (
-        toks.select(
-            F.explode(
-                F.when(
-                    F.size("t") >= 2,
-                    F.expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i + 1]))"),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("bigram")
-        )
-        .groupBy("bigram")
-        .agg(F.count("*").alias("cnt_ab"))
+    # OPTIMIZATION_r17: ONE tokenize pass emits unigrams and bigrams
+    # together (tagged), ONE vocabulary-bounded aggregate counts both,
+    # and the materialized count table feeds uni, bg and the totals —
+    # the old plan re-ran tokenize+explode four times (uni, bg, and
+    # once more each inside the totals' scalar aggregates).
+    both = F.concat(
+        F.transform(F.col("t"), lambda w: F.struct(F.lit("u").alias("kind"), w.alias("gram"))),
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct('b' as kind, concat_ws(' ', t[i], t[i + 1]) as gram))"
+            ),
+        ).otherwise(F.array().cast("array<struct<kind:string,gram:string>>")),
+    )
+    counts = (
+        toks.select(F.explode(both).alias("g"))
+        .select("g.kind", "g.gram")
+        .groupBy("kind", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    uni = counts.filter(F.col("kind") == "u").select(
+        F.col("gram").alias("w"), F.col("cnt").alias("cnt_w")
+    )
+    bg = counts.filter(F.col("kind") == "b").select(
+        F.col("gram").alias("bigram"), F.col("cnt").alias("cnt_ab")
     )
     totals = F.broadcast(
         uni.agg(F.sum("cnt_w").alias("n_tok")).crossJoin(bg.agg(F.sum("cnt_ab").alias("n_bg")))
@@ -700,17 +715,20 @@ def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r7 single-task global ntile sort is gone and no unpartitioned
     window remains anywhere in the plan; bin assignment is a per-row
     fold over 9 broadcast cuts; the report is ≤10 rows."""
-    from mini_hadoop_spark.operators.text_analysis import text_quality_score
+    from mini_hadoop_spark.operators.text_analysis import _quality_parts
 
-    q = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    # OPTIMIZATION_r17: the dup flag (a content-hash window) and the
+    # quality score (a pure per-row projection, the SAME expression
+    # text_quality_score registers) are computed on ONE stream — the old
+    # shape ran them as two full document scans re-associated by a
+    # doc_id equi-join (doc_id is the corpus primary key, so the fused
+    # row set is identical).
     docs = _docs(spark, sf_dir)
-    dup = docs.select(
-        "doc_id",
-        (
-            F.count("*").over(W.partitionBy(F.sha2(F.col("text"), 256))) > 1
-        ).alias("is_dup"),
-    )
-    j = q.join(dup, "doc_id")
+    *_, _score = _quality_parts()
+    j = docs.withColumn(
+        "is_dup", F.count("*").over(W.partitionBy(F.sha2(F.col("text"), 256))) > 1
+    ).select("doc_id", round_half_up(_score, 6).alias("quality_score"), "is_dup")
+    q = j.select("doc_id", "quality_score")
     samp = (
         q.select(
             "quality_score", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("mh")
