@@ -56,7 +56,12 @@ def main() -> int:
 
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         try:
-            load_table(spark, sf_dir, t).count()
+            # a noop write, not count(): parquet count() is answered from
+            # row-group metadata alone, so it never touched a data page
+            # and the first real consumer still paid the cold-disk read
+            # (measurement-bug fix, r17 — the warmup now does what this
+            # comment always claimed it did)
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — warmup is best-effort
             print(f"bench: warmup {t} failed: {exc}", file=sys.stderr)
     # exercise whole-stage codegen + a shuffle once: a parquet count is

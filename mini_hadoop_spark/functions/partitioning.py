@@ -23,13 +23,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: id(input df) → (input df, spread df).  The probe below costs ~30 ms of
+#: physical planning per call; table frames are themselves memoized per
+#: session (sources/catalog._df_memo), so repeated queries pass the SAME
+#: object and hit this cache.  The strong reference to the input keeps
+#: its id() from being reused by a successor object.
+_spread_memo: dict[int, tuple[DataFrame, DataFrame]] = {}
+
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition ``df`` up to default parallelism iff its current plan
     yields fewer partitions — a no-op (no added shuffle) on any input
     that already has enough splits."""
+    hit = _spread_memo.get(id(df))
+    if hit is not None and hit[0] is df:
+        return hit[1]
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    _spread_memo[id(df)] = (df, out)
+    return out

@@ -1258,9 +1258,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one (nation, supplier) revenue aggregate (map-side combined)
     + a |nations|-row second-level aggregate; the supplier→nation
     attach is a broadcast dim join."""
-    l = spread_small_scan(
-        _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
-    )
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rev = (F.col("l_extendedprice").cast("decimal(18,6)")

@@ -323,13 +323,19 @@ def text_char_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     first NOVELTY_PREFIX_CHARS chars — scoring cost is O(docs), not
     O(corpus text)."""
     d = _docs(spark, sf_dir)
-    s = F.substring(F.lower(F.col("text")), 1, NOVELTY_PREFIX_CHARS)
+    # OPTIMIZATION_r17: project the lowercased prefix into a COLUMN
+    # first — the old inline form re-evaluated
+    # substring(lower(text), 1, N) inside the transform lambda for EVERY
+    # character position (subexpression elimination does not hoist into
+    # lambda bodies), making the pair derivation O(prefix²) per doc;
+    # against a materialized column each element is one O(2) substring,
+    # exactly the oracle's CTE shape.
+    prefixed = d.select(
+        "doc_id", F.substring(F.lower(F.col("text")), 1, NOVELTY_PREFIX_CHARS).alias("s")
+    )
     pairs = F.when(
-        F.length(s) >= 2,
-        F.expr(
-            f"transform(sequence(1, length(substring(lower(text), 1, {NOVELTY_PREFIX_CHARS})) - 1),"
-            f" i -> substring(substring(lower(text), 1, {NOVELTY_PREFIX_CHARS}), i, 2))"
-        ),
+        F.length("s") >= 2,
+        F.expr("transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))"),
     ).otherwise(F.array().cast("array<string>"))
     # the explode is deliberately recomputed on both branches: each
     # branch immediately partial-aggregates map-side (pair: ≤|charset|²
@@ -338,7 +344,7 @@ def text_char_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SLOWER at sf0.1 (2.4s vs 1.6s min-of-3): it shuffles |docs|×|doc
     # charset²| rows where the recompute shuffles almost nothing —
     # recompute-then-combine beats materialize-then-share here.
-    doc_pairs = d.select("doc_id", F.explode(pairs).alias("pair"))
+    doc_pairs = prefixed.select("doc_id", F.explode(pairs).alias("pair"))
     pair_counts = doc_pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
     total = pair_counts.agg(F.sum("cnt").alias("total"))
     flagged = pair_counts.crossJoin(F.broadcast(total)).select(

@@ -52,7 +52,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # away from the DuckDB oracle, which treats the naive timestamps
     # as-is.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return _load_adaptive(spark, table_path(sf_dir, name))
+    # Memoize the UNEXECUTED DataFrame per (application, path): building
+    # it costs ~80 ms (Spark re-lists the path and re-reads the parquet
+    # footer on every spark.read.parquet), which a 200-query benchmark
+    # pass pays hundreds of times for identical plans.  This caches only
+    # the immutable plan object — no rows, no persisted result; every
+    # action against it still computes from the parquet input.  Keyed by
+    # applicationId so a fresh session (the driver's vanilla one, a new
+    # pytest session) never sees another session's frame.  The nanos
+    # conf side effect (set inside _load_adaptive when a nanos column is
+    # present) is session-global, so a memo hit preserves it too.
+    key = (spark.sparkContext.applicationId, table_path(sf_dir, name))
+    if key not in _df_memo:
+        _df_memo[key] = _load_adaptive(spark, table_path(sf_dir, name))
+    return _df_memo[key]
+
+
+#: (applicationId, path) → unexecuted DataFrame plan (see load_table)
+_df_memo: dict[tuple[str, str], DataFrame] = {}
+
+
+def clear_df_memo() -> None:
+    """Drop memoized table frames (tests that rewrite a path in place)."""
+    _df_memo.clear()
 
 
 def _load_adaptive(spark: SparkSession, path: str) -> DataFrame:
