@@ -1506,17 +1506,43 @@ def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     — TakeOrderedAndProject (distributed per-partition heaps), never a
     single-task global-rank window — and the selected set is identical
     to a rank-<=K window, so the oracle hash is unchanged."""
-    v = _vectors(spark, sf_dir).select("vec_id", "e")
-    queries = v.join(F.broadcast(_matryoshka_pick(v)), "vec_id").select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    v0 = _vectors(spark, sf_dir).select("vec_id", "e")
+    # OPTIMIZATION_r17 (guide §2.3 spirit: do per-row work per ROW, not
+    # per pair): the self-norms are hoisted OUT of the per-pair cosine.
+    # cos_at() used to evaluate sqrt(dot(qe,qe)) and sqrt(dot(e,e))
+    # inside the scored projection — per PAIR, for the full dim and all
+    # three prefixes: 12 array folds per scored row where 4 suffice.
+    # Each norm is a pure function of one row's vector, so computing it
+    # once on the scan/query side and dividing by the carried column
+    # replays the exact same IEEE op sequence (dot → sqrt → the two
+    # divisions in unchanged order): every cosine is bit-identical,
+    # rankings and the oracle hash unchanged.
+    v = v0.select(
+        "vec_id",
+        "e",
+        F.sqrt(dot(F.col("e"), F.col("e"))).alias("n_full"),
+        *[
+            F.sqrt(dot(F.slice(F.col("e"), 1, k), F.slice(F.col("e"), 1, k))).alias(
+                f"n_{k}"
+            )
+            for k in MATRYOSHKA_DIMS
+        ],
+    )
+    queries = v.join(F.broadcast(_matryoshka_pick(v0)), "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("n_full").alias("qn_full"),
+        *[F.col(f"n_{k}").alias(f"qn_{k}") for k in MATRYOSHKA_DIMS],
     )
 
     def cos_at(dim: int | None) -> Column:
         if dim is None:
-            qe, e = F.col("qe"), F.col("e")
-        else:
-            qe, e = F.slice(F.col("qe"), 1, dim), F.slice(F.col("e"), 1, dim)
-        return dot(qe, e) / F.sqrt(dot(qe, qe)) / F.sqrt(dot(e, e))
+            return dot(F.col("qe"), F.col("e")) / F.col("qn_full") / F.col("n_full")
+        return (
+            dot(F.slice(F.col("qe"), 1, dim), F.slice(F.col("e"), 1, dim))
+            / F.col(f"qn_{dim}")
+            / F.col(f"n_{dim}")
+        )
 
     # ONE broadcast join scoring full + every prefix in the same
     # projection (the join is the expensive part — |corpus| x |queries|
