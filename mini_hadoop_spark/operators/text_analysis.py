@@ -786,7 +786,18 @@ def pipeline_pretrain_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         sh.filter(~is_eval).join(F.broadcast(eval_sh), "shingle").select("doc_id").distinct()
     )
-    kept = clean.filter(~is_eval).join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # OPTIMIZATION_r17 (guide §2.4): materialize the surviving manifest
+    # rows ONCE.  `kept` is referenced three times downstream (the output
+    # side, the per-source aggregate, and the corpus total inside it) and
+    # the three subtrees are not exchange-reuse-identical, so the whole
+    # quality-scoring scan + survivor window + anti-join ran 3x.  The
+    # checkpointed frame is compact (6 narrow columns, no text) and lazy,
+    # so the bench still times its materialization.
+    kept = (
+        clean.filter(~is_eval)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
 
     per = kept.groupBy("source").agg(F.sum("n_tokens").alias("_src_tokens"))
     tot = per.agg(F.sum("_src_tokens").alias("_tot"), F.count("*").alias("_ns"))
