@@ -81,18 +81,25 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (term, rnk, doc_id, score) — rnk is 1-based, ties on the
     ROUNDED score break by doc_id so ranking is engine-stable."""
+    # OPTIMIZATION_r17 (guide §2.4): ONE tokenize pass.  The corpus
+    # stats (N, Σdl) and the tf stream both needed the tokenized text,
+    # and as separate subtrees they tokenized the corpus twice.  One
+    # projection now emits (dl, query-term-filtered tokens) — the
+    # filtered array is equivalent to explode-then-IN, and the frame is
+    # compact (a long + a near-always-empty array, no text) — and a lazy
+    # localCheckpoint shares it between both consumers.
     base = _docs(spark, sf_dir).select(
-        "doc_id", F.size(tokens("text")).alias("dl"), tokens("text").alias("toks")
-    )
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        F.filter(tokens("text"), lambda t: t.isin(*BM25_QUERY_TERMS)).alias("qtoks"),
+    ).localCheckpoint(eager=False)
     # 1-row corpus stats (N, sum of doc lengths) — scalar broadcast attach.
     stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    # Filter the exploded token stream to the query terms BEFORE the
-    # shuffle: tf is |terms| x |docs containing term| rows.
+    # tf is |terms| x |docs containing term| rows.
     tf = (
-        base.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+        base.select("doc_id", "dl", F.explode("qtoks").alias("term"))
         .groupBy("term", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
     )
