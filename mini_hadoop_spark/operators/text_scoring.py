@@ -541,17 +541,33 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id shuffle with map-side combine.  Empty docs come back via a
     final doc_id left join instead of an outer explode."""
     d = _docs(spark, sf_dir)
-    toks_tbl = d.select("doc_id", F.explode(tokens("text")).alias("w"))
-    cnts = toks_tbl.groupBy("w").agg(F.count("*").alias("cnt"))
+    # OPTIMIZATION_r17 (guide §2.3/§2.4): ONE tokenize pass.  The vocab
+    # counts and the per-doc scoring each exploded the corpus token
+    # stream (2 regexp passes).  Both are exact-integer functions of the
+    # per-doc word histogram (doc_id, w, cnt) — corpus counts are
+    # Σ-over-docs of cnt, per-doc totals are Σ cnt / Σ cnt·[oov] — so
+    # the histogram (far smaller than the token stream: one row per
+    # DISTINCT word per doc) is computed once, checkpointed lazily, and
+    # shared.  The membership probe now touches |doc-word pairs| rows
+    # instead of |tokens|.
+    tok_doc = (
+        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("dcnt"))
+        .localCheckpoint(eager=False)
+    )
+    cnts = tok_doc.groupBy("w").agg(F.sum("dcnt").alias("cnt"))
     vocab = (
         cnts.orderBy(F.desc("cnt"), "w").limit(VOCAB_K).select("w", F.lit(1).alias("iv"))
     )
     per = (
-        toks_tbl.join(F.broadcast(vocab), "w", "left")
+        tok_doc.join(F.broadcast(vocab), "w", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum("dcnt").alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), F.col("dcnt")).otherwise(F.lit(0))).alias(
+                "n_oov"
+            ),
         )
     )
     return d.select("doc_id").join(per, "doc_id", "left").select(
@@ -931,17 +947,31 @@ def quality_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    m12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    # OPTIMIZATION_r17 (guide §2.3/§2.4): ONE tokenize+explode pass.
+    # The model counts and the scoring join both consumed `big`, so the
+    # corpus was tokenized and bigram-exploded twice.  Both are exact-
+    # integer functions of the per-doc bigram histogram
+    # (doc_id, w1, w2, dc): model counts are Σ-over-docs of dc, and the
+    # per-doc score Σ fp over bigram INSTANCES equals Σ dc·fp over
+    # distinct-per-doc bigrams.  The histogram is computed once,
+    # checkpointed lazily, and shared; the model join now probes
+    # |distinct bigrams per doc| rows instead of |bigram instances|.
+    hist = (
+        big.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("dc"))
+        .localCheckpoint(eager=False)
+    )
+    m12 = hist.groupBy("w1", "w2").agg(F.sum("dc").alias("c12"))
     m1 = m12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = m12.join(m1, "w1")
     fp = F.floor(
         F.col("c12").cast("double") / F.col("c1").cast("double") * F.lit(1e9) + F.lit(0.5)
     ).cast("long")
     per_doc = (
-        big.join(model, ["w1", "w2"])
-        .select("doc_id", fp.alias("fp"))
+        hist.join(model, ["w1", "w2"])
+        .select("doc_id", "dc", (F.col("dc") * fp).alias("sfp"))
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("fp").alias("s"))
+        .agg(F.sum("dc").alias("n_bigrams"), F.sum("sfp").alias("s"))
     )
     avg = round_half_up(
         F.col("s").cast("double") / (F.col("n_bigrams").cast("double") * F.lit(1e9)), 6
