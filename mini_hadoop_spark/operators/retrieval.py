@@ -168,9 +168,18 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Docs with zero shingles (< 3 tokens) report 0 coverage."""
     d = _docs(spark, sf_dir)
-    sh = d.select("doc_id", tokens("text").alias("t")).select(
-        "doc_id", F.explode(shingles("t")).alias("shingle")
-    )
+    # OPTIMIZATION_r17 (guide §2.4): consume the session's memoized
+    # shingle index instead of re-deriving the identical stream.  The
+    # (doc_id, distinct 3-gram shingle) stream here was byte-for-byte
+    # the same derivation as dedup._doc_shingles (same tokens(), same
+    # shingles() k=3, same explode), which four dedup pipelines already
+    # share — re-deriving it tokenized the corpus twice more in this
+    # query (counts branch + scoring branch).  Same policy as
+    # dedup_containment: the index build cost is itemized by bench.py's
+    # index_build, the query times the counts + coverage computation.
+    from mini_hadoop_spark.operators.dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir)
     counts = sh.groupBy("shingle").agg(F.count("*").alias("n_docs_with"))
     per_doc = (
         sh.join(counts, "shingle")
