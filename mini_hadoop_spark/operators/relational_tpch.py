@@ -845,11 +845,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: for finalized ('F') multi-supplier orders where
     exactly ONE supplier shipped last, count such orders per supplier
     (numwait).  EXISTS (another supplier on the order) and NOT EXISTS
-    (another supplier also at the max ship date) fold into one per-order
-    aggregate: n_suppliers > 1 AND n at max = 1 — one orderkey-keyed
-    aggregate + one join back on (orderkey, max date), no correlated
-    per-row probes.  Restricted to EUROPE suppliers (broadcast dim
-    chain)."""
+    (another supplier also at the max ship date) fold into window
+    aggregates over ONE hash(l_orderkey) clustering (r17; previously an
+    orderkey agg + a two-key (orderkey, max date) join-back that
+    re-shuffled the full lines stream twice more): max_ship, the
+    distinct-supplier count, and the distinct-suppliers-at-max count are
+    all whole-partition window values, the survivors collapse to one row
+    per order with a partitioning-preserving dropDuplicates(orderkey)
+    (within a surviving order every at-max row carries the SAME
+    supplier — n_at_max == 1 — so the pick is deterministic), and no
+    correlated per-row probes remain.  Restricted to EUROPE suppliers
+    (broadcast dim chain)."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
@@ -860,29 +866,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = l.join(f_orders, l.l_orderkey == F.col("o_orderkey")).select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("max_ship"),
-        F.countDistinct("l_suppkey").alias("n_sup"),
+    w_ok = W.partitionBy("l_orderkey")
+    lines2 = lines.withColumn("max_ship", F.max("l_shipdate").over(w_ok)).withColumn(
+        "n_sup", F.size(F.collect_set("l_suppkey").over(w_ok))
     )
-    # suppliers at the max ship date, per order (explicit aliases: both
-    # sides derive from the same `lines` frame — a self-join by lineage)
-    at_max = (
-        lines.alias("ln")
-        .join(
-            per_order.alias("po"),
-            (F.col("ln.l_orderkey") == F.col("po.l_orderkey"))
-            & (F.col("ln.l_shipdate") == F.col("po.max_ship")),
-        )
-        .select(
-            F.col("ln.l_orderkey").alias("ok"),
-            F.col("ln.l_suppkey").alias("l_suppkey"),
-            F.col("po.n_sup").alias("n_sup"),
-        )
-        .distinct()
+    lines3 = lines2.withColumn(
+        "n_at_max",
+        F.size(
+            F.collect_set(
+                F.when(F.col("l_shipdate") == F.col("max_ship"), F.col("l_suppkey"))
+            ).over(w_ok)
+        ),
     )
     waiting = (
-        at_max.withColumn("n_at_max", F.count("*").over(W.partitionBy("ok")))
-        .filter((F.col("n_sup") > 1) & (F.col("n_at_max") == 1))
+        lines3.filter(
+            (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_sup") > 1)
+            & (F.col("n_at_max") == 1)
+        )
+        .dropDuplicates(["l_orderkey"])
+        .select("l_orderkey", "l_suppkey")
     )
     eu_sup = (
         s.join(

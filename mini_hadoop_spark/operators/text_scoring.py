@@ -232,14 +232,22 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken by the single most frequent bigram, and the fraction of
     duplicated (non-empty) lines.
 
-    Plan: line stats are a pure projection; bigram stats are one
-    explode + (doc_id, bigram) count + doc_id re-agg, joined back on
-    doc_id so token-poor docs still appear (zeros).  All shuffles are
-    doc_id-keyed — partitions bounded by document length, never by
-    corpus size."""
+    Plan (r17): everything is a pure per-document projection — zero
+    shuffles, one scan.  The per-doc bigram stats are functions of the
+    doc's own token array: n_bigrams = |bigram array| and top_cnt = the
+    longest equal-run in the SORTED bigram array (exact integer
+    arithmetic, identical to the old explode → (doc_id, bigram) count →
+    doc_id re-agg → join-back pipeline, which shuffled the corpus-sized
+    bigram stream twice and re-joined it on doc_id).  Per-row cost is
+    O(L log L) in the doc's own length — the same per-doc bound the old
+    shuffle path had, without moving the bigrams off the scan tasks."""
     d = _docs(spark, sf_dir)
     toks = tokens("text")
     lines = F.filter(F.split(F.col("text"), "\n"), lambda x: F.length(F.trim(x)) > 0)
+    # project toks into a COLUMN first: lambda bodies are not hoisted by
+    # subexpression elimination (the text_char_bigram_novelty lesson), so
+    # the bigram transform must index a materialized array, not re-derive
+    # the tokenize per element
     base = d.select(
         "doc_id",
         toks.alias("toks"),
@@ -250,31 +258,47 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") >= 2,
         F.expr("transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"),
     ).otherwise(F.array().cast("array<string>"))
-    per_bigram = (
-        base.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("cnt"))
+    # longest equal-run in the sorted array == max per-doc bigram count;
+    # "" can never equal a real bigram (tokens are non-empty), so it is a
+    # safe initial `prev`
+    sorted_bg = F.array_sort(bigrams)
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+        F.lit(1).cast("long")
     )
-    per_doc = per_bigram.groupBy("doc_id").agg(
-        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_bigrams")
+    top_cnt = F.aggregate(
+        sorted_bg,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(run(acc, x), acc["best"]).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    stats = base.select(
+        "doc_id",
+        "n_lines",
+        "n_distinct_lines",
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        top_cnt.alias("top_cnt"),
     )
     dup_frac = F.when(
         F.col("n_lines") > 0,
         (F.col("n_lines") - F.col("n_distinct_lines")).cast("double") / F.col("n_lines"),
     ).otherwise(F.lit(0.0))
     top_frac = F.when(
-        F.col("n_bigrams").isNotNull() & (F.col("n_bigrams") > 0),
+        F.col("n_bigrams") > 0,
         F.col("top_cnt").cast("double") / F.col("n_bigrams"),
     ).otherwise(F.lit(0.0))
-    return (
-        base.drop("toks")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            round_half_up(top_frac, 6).alias("top_bigram_frac"),
-            round_half_up(dup_frac, 6).alias("dup_line_frac"),
-        )
+    return stats.select(
+        "doc_id",
+        "n_bigrams",
+        round_half_up(top_frac, 6).alias("top_bigram_frac"),
+        round_half_up(dup_frac, 6).alias("dup_line_frac"),
     )
 
 
