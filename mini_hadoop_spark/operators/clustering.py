@@ -34,7 +34,19 @@ from mini_hadoop_spark.sources.catalog import load_table
 
 def cluster_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster corpus report: size, majority label + purity,
-    cohesion (mean cosine of members to their centroid)."""
+    cohesion (mean cosine of members to their centroid).
+
+    Plan (r17): the member stream is aggregated ONCE to (cid, label)
+    partials carrying both count and the exact decimal cosine sum;
+    majority, size and cohesion all derive from that tiny table
+    (cohesion = Σ_label scos / Σ_label n — decimal addition associates,
+    so the two-level sum is bit-identical to the r16 direct per-cid
+    aggregate, which made a SECOND full pass over the member stream).
+    The partials are lazily localCheckpoint-ed: column pruning gives the
+    two consumers non-identical aggregate subtrees (majority never reads
+    scos), so ReuseExchange cannot merge them — the checkpoint pins the
+    K×|labels|-row table and guarantees the member stream is scored
+    once."""
     lists = ivf_lists(spark, sf_dir)  # (vec_id, e, nv, cid) — memoized
     cent = ivf_quantizer(spark, sf_dir).withColumn("nce", norm(F.col("ce")))
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
@@ -52,16 +64,18 @@ def cluster_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(labels, "vec_id")
     )
-    per_label = member_cos.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    per_label = member_cos.groupBy("cid", "label").agg(
+        F.count("*").alias("n"), F.sum("cos").alias("scos")
+    ).localCheckpoint(eager=False)
     w = W.partitionBy("cid").orderBy(F.col("n").desc(), F.col("label"))
     majority = (
         per_label.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
     )
-    stats = member_cos.groupBy("cid").agg(
-        F.count("*").alias("n_vecs"),
-        (F.sum("cos").cast("double") / F.count("*")).alias("_cohesion"),
+    stats = per_label.groupBy("cid").agg(
+        F.sum("n").alias("n_vecs"),
+        (F.sum("scos").cast("double") / F.sum("n")).alias("_cohesion"),
     )
     return (
         stats.join(majority, "cid")

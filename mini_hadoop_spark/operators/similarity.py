@@ -258,12 +258,18 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: identical brute shape to ``similarity_topk_brute`` — the
     bounded eval set broadcasts over one corpus scan (work = budget x
     corpus, linear at 100x), eval rows leave the train side via a
-    broadcast anti join, and the per-eval aggregate + nearest pick run
-    as window functions over ONE eval_id shuffle.  At 100 TB the
-    candidate pass swaps to the shared LSH/IVF index family, same as
-    the other brute baselines.  Threshold compares raw doubles — both
-    engines compute bit-identical cosines (the topk_brute determinism
-    contract), so the flag set matches exactly."""
+    broadcast anti join, and the per-eval report is ONE map-side-
+    combined hash aggregate: count, thresholded sum, and the nearest
+    pick as max(struct(cos, -train_id)) — lexicographic struct max ==
+    (cos desc, train_id asc) rank-1, the same total order the r16
+    window used, so the picked row is identical (r17; previously three
+    window functions shuffled the full budget×corpus scored stream on
+    eval_id — the aggregate shuffles |eval| partials per task instead).
+    At 100 TB the candidate pass swaps to the shared LSH/IVF index
+    family, same as the other brute baselines.  Threshold compares raw
+    doubles — both engines compute bit-identical cosines (the
+    topk_brute determinism contract), so the flag set matches
+    exactly."""
     v = _vectors(spark, sf_dir)
     qids = ann_query_ids(v)
     evalq = v.join(F.broadcast(qids), "vec_id").select(
@@ -275,25 +281,21 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("train_id"),
         (dot(F.col("qe"), F.col("e")) / F.col("nq") / F.col("nv")).alias("cos"),
     )
-    w = W.partitionBy("eval_id")
-    wo = w.orderBy(F.col("cos").desc(), "train_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(wo))
-        .withColumn("n_train", F.count("*").over(w))
-        .withColumn(
-            "n_contaminated",
-            F.sum(
-                F.when(F.col("cos") >= SEMANTIC_CONTAM_THRESHOLD, 1).otherwise(0)
-            ).over(w),
-        )
-        .filter(F.col("rn") == 1)
-        .select(
-            "eval_id",
-            "n_train",
-            "n_contaminated",
-            round_half_up(F.col("cos"), 6).alias("max_cos"),
-            F.col("train_id").alias("nearest_train_id"),
-        )
+    agg = scored.groupBy("eval_id").agg(
+        F.count("*").alias("n_train"),
+        F.sum(
+            F.when(F.col("cos") >= SEMANTIC_CONTAM_THRESHOLD, 1).otherwise(0)
+        ).alias("n_contaminated"),
+        F.max(F.struct(F.col("cos"), (-F.col("train_id")).alias("neg_id"))).alias(
+            "best"
+        ),
+    )
+    return agg.select(
+        "eval_id",
+        "n_train",
+        "n_contaminated",
+        round_half_up(F.col("best.cos"), 6).alias("max_cos"),
+        (-F.col("best.neg_id")).alias("nearest_train_id"),
     )
 
 
@@ -583,7 +585,13 @@ FROM ranked WHERE rnk <= 3
 SIMILARITY_ANN_IVF_SQL = _ann_ivf_sql()
 
 
-def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) -> DataFrame:
+def _assign(
+    v: DataFrame,
+    centroids: DataFrame,
+    n_nearest: int,
+    out_col: str,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Assign each vector its ``n_nearest`` centroids by cosine —
     ZERO-SHUFFLE: the K centroids collapse into one broadcast row
     carrying a cid-sorted array of (cid, ce, nce) structs, each vector
@@ -598,7 +606,10 @@ def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) ->
     so the DuckDB oracles reproduce either plan.
 
     ``v`` carries its hoisted ``nv`` norm; centroid norms are computed
-    once per centroid inside the 1-row aggregate."""
+    once per centroid inside the 1-row aggregate.  ``passthrough``
+    columns of ``v`` ride along unchanged (r17: lets a caller keep e.g.
+    its previous assignment without an id-keyed re-join afterwards)."""
+    keep = ["vec_id", "e", "nv", *passthrough]
     c_arr = F.broadcast(
         centroids.agg(
             F.array_sort(
@@ -609,7 +620,7 @@ def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) ->
         )
     )
     scored = v.crossJoin(c_arr).select(
-        "vec_id", "e", "nv",
+        *keep,
         F.transform(
             F.col("cents"),
             lambda s: F.struct(
@@ -652,9 +663,9 @@ def _assign(v: DataFrame, centroids: DataFrame, n_nearest: int, out_col: str) ->
         picked = F.slice(F.array_sort("scores", by_cos_desc_then_cid), 1, n_nearest)
 
     return scored.select(
-        "vec_id", "e", "nv",
+        *keep,
         F.explode(picked).alias("_pick"),
-    ).select("vec_id", "e", "nv", F.col("_pick.cid").alias(out_col))
+    ).select(*keep, F.col("_pick.cid").alias(out_col))
 
 
 def ivf_index(v: DataFrame, k: int, refine: bool = True) -> DataFrame:
@@ -1089,27 +1100,28 @@ def ivf_recenter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: memoized lists → K·dims-row mean aggregate (corpus-
     independent after the scan) → one broadcast-quantizer zero-shuffle
-    reassignment (`_assign`) → an id-keyed self-join attaching the old
-    cid.  The streaming twin (`streaming/ivf_maintenance.py::
-    recenter_ivf_index`) runs this same recompute+swap against the
-    on-disk index; a pytest pins that its post-recenter index equals
-    this batch apply exactly.
+    reassignment (`_assign`), with the OLD cid riding through as an
+    `_assign` passthrough column (r17; previously an id-keyed self-join
+    re-shuffled the full corpus on vec_id just to re-attach a value
+    every row already carried).  The streaming twin
+    (`streaming/ivf_maintenance.py::recenter_ivf_index`) runs this same
+    recompute+swap against the on-disk index; a pytest pins that its
+    post-recenter index equals this batch apply exactly.
 
     Cites reference surface: none (extension operator — SURVEY §2.3)."""
     lists = ivf_lists(spark, sf_dir)
     cent_new = fixed_point_means(lists)
-    re = _assign(lists.select("vec_id", "e", "nv"), cent_new, 1, "cid_after").select(
-        "vec_id", "cid_after"
-    )
-    return (
-        lists.select("vec_id", F.col("cid").alias("cid_before"))
-        .join(re, "vec_id")
-        .select(
-            "vec_id",
-            "cid_before",
-            "cid_after",
-            (F.col("cid_before") != F.col("cid_after")).cast("long").alias("moved"),
-        )
+    return _assign(
+        lists.select("vec_id", "e", "nv", F.col("cid").alias("cid_before")),
+        cent_new,
+        1,
+        "cid_after",
+        passthrough=("cid_before",),
+    ).select(
+        "vec_id",
+        "cid_before",
+        "cid_after",
+        (F.col("cid_before") != F.col("cid_after")).cast("long").alias("moved"),
     )
 
 
@@ -1224,9 +1236,16 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie ambiguity.
 
     Scale: the moment table is |labels| x |dims| rows (map-combined
-    partial sums; broadcast back), the score is one per-vector
-    aggregate.  The per-vector score table is corpus-sized, so the
-    top-N is selected by ``orderBy().limit(OUTLIER_TOP)`` — per-
+    partial sums; broadcast back — r17: collapsed to ONE pos-sorted
+    struct array per label, so the score is a pure per-row zip_with
+    fold over the vector against its label's broadcast stats.  The
+    previous form re-exploded the corpus to |corpus|·dims rows, probed
+    the broadcast per COMPONENT and hash-aggregated the whole exploded
+    stream back to per-vector scores; the fold does the identical
+    integer sum in document order — exact long arithmetic is
+    order-independent — with no explode, no join and no aggregate on
+    the scoring side).  The per-vector score table is corpus-sized, so
+    the top-N is selected by ``orderBy().limit(OUTLIER_TOP)`` — per-
     partition heaps folding to a TakeOrderedAndProject, never a global
     sort — and the rank window runs over only the ≤OUTLIER_TOP
     survivors (the ``skew_heavy_hitters`` idiom, VERDICT r15 #1).
@@ -1248,13 +1267,24 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = stats.select(
         "label", "pos", mean.alias("mu"), (ex2 - mean * mean).alias("var")
     )
-    term = (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) / (
-        F.col("var") + F.lit(OUTLIER_EPS)
+    # every vector of a label carries all dims positions, so the sorted
+    # stats array lines up index-for-index with the embedding array
+    sa = stats.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mu", "var"))).alias("sa")
     )
-    scored = (
-        ex.join(F.broadcast(stats), ["label", "pos"])
-        .groupBy("vec_id", "label")
-        .agg(F.sum(r9(term)).alias("score9"))
+    score9 = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("sa"),
+            lambda x, s: r9(
+                (x - s["mu"]) * (x - s["mu"]) / (s["var"] + F.lit(OUTLIER_EPS))
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = v.join(F.broadcast(sa), "label").select(
+        "vec_id", "label", score9.alias("score9")
     )
     top = scored.orderBy(F.col("score9").desc(), F.col("vec_id")).limit(OUTLIER_TOP)
     w = W.orderBy(F.col("score9").desc(), F.col("vec_id"))
