@@ -870,13 +870,20 @@ def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFram
     # TakeOrderedAndProject sample pick (distributed per-partition
     # heaps) — identical deterministic set to the old rank-<=K window,
     # minus its single-task no-partition WindowExec funnel.
+    # r17: the sample is consumed FOUR times (count + three quartile
+    # rankings) and each consumer re-derived the TakeOrdered over the
+    # full per-customer aggregate (plan showed 7 orders scans, partially
+    # rescued by ReuseExchange).  Lazily checkpointing the ≤budget-row
+    # sample pins ONE derivation; checkpointing `per` as well was
+    # measured SLOWER (materializing |customers| rows costs more than
+    # the reuse saves).
     samp = (
         per.select("o_custkey", "r_days", "f_orders", "m_dbl")
         .withColumn("mh", F.md5(F.col("o_custkey").cast("string")))
         .orderBy("mh", "o_custkey")
         .limit(RFM_SAMPLE_BUDGET)
         .drop("mh")
-    )
+    ).localCheckpoint(eager=False)
     ns = samp.agg(F.count("*").alias("n_s"))
 
     def qcuts(colname: str, prefix: str) -> DataFrame:
@@ -1140,8 +1147,14 @@ def corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles in identical op order — sqrt is IEEE
     correctly-rounded, so the result is bit-exact cross-engine.
 
-    Plan: one map-side-combined hash aggregate; |groups| output rows."""
-    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    Plan: one map-side-combined hash aggregate; |groups| output rows.
+    The scan is spread (r17): all five decimal moment products run
+    inside the scan stage, and the sf parquet input is one row group —
+    without the spread the whole pipeline ran on one core (the
+    part_price_realization lesson; structural no-op at scale)."""
+    l = spread_small_scan(
+        _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_extendedprice")
+    )
     xd = (F.floor(F.col("l_quantity") * 100 + F.lit(0.5)) / 100).cast("decimal(18,6)")
     yd = (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) / 100).cast("decimal(18,6)")
     agg = l.groupBy("l_returnflag").agg(

@@ -371,27 +371,33 @@ def text_char_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_pairs = prefixed.select("doc_id", F.explode(pairs).alias("pair"))
     pair_counts = doc_pairs.groupBy("pair").agg(F.count("*").alias("cnt"))
     total = pair_counts.agg(F.sum("cnt").alias("total"))
-    flagged = pair_counts.crossJoin(F.broadcast(total)).select(
-        "pair", (F.col("cnt") * NOVELTY_RARE_SCALE < F.col("total")).alias("is_rare")
+    # r17: score only the RARE instances.  n_pairs per doc is length(s)-1
+    # by construction (every position yields a pair and `flagged` held
+    # every corpus pair, so the old inner join kept every instance — the
+    # per-instance count was a projection in disguise).  The broadcast
+    # shrinks to the rare subset and the per-doc aggregate touches only
+    # rare hits instead of every bigram instance in the corpus.
+    rare = (
+        pair_counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * NOVELTY_RARE_SCALE < F.col("total"))
+        .select("pair")
     )
-    per_doc = (
-        doc_pairs.join(F.broadcast(flagged), "pair")
+    rare_hits = (
+        doc_pairs.join(F.broadcast(rare), "pair")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(F.when(F.col("is_rare"), 1).otherwise(0)).alias("n_rare"),
-        )
+        .agg(F.count("*").alias("n_rare"))
     )
+    n_pairs = F.when(F.length("s") >= 2, F.length("s") - 1).otherwise(F.lit(0))
+    base = prefixed.select("doc_id", n_pairs.cast("long").alias("n_pairs"))
     rare_frac = F.when(
-        F.col("n_pairs").isNotNull() & (F.col("n_pairs") > 0),
-        F.col("n_rare").cast("double") / F.col("n_pairs"),
+        F.col("n_pairs") > 0,
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("double") / F.col("n_pairs"),
     ).otherwise(F.lit(0.0))
     return (
-        d.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        base.join(rare_hits, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            "n_pairs",
             F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
             round_half_up(rare_frac, 6).alias("rare_frac"),
         )
