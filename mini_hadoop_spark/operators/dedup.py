@@ -1884,26 +1884,57 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of train shingles; the only shuffle is the per-pair count
     aggregation over matched rows.  (With a huge eval set, drop the
     broadcast hint and Catalyst falls back to a sort-merge join on the
-    shingle key — same semantics.)"""
+    shingle key — same semantics.)
+
+    ``n_train_shingles`` is ``size(shingles(t))`` carried through the
+    explode — ``shingles`` is ``array_distinct`` per doc, so the array
+    size IS the distinct-5-gram count the old corpus-wide
+    count-per-doc aggregate computed, and any doc surviving the hits
+    join has >= 1 shingle, so the old inner join back to ``sizes``
+    dropped nothing this projection keeps.  That kills one full
+    tokenize+shingle pass over the train corpus, its doc_id-keyed
+    shuffle, and the join."""
     docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", tokens("text").alias("t")).select(
-        "doc_id", F.explode(shingles("t", CONTAM_K)).alias("shingle")
+    base = docs.select("doc_id", tokens("text").alias("t")).select(
+        "doc_id", shingles("t", CONTAM_K).alias("sharr")
     )
     is_eval = F.col("doc_id") % CONTAM_EVAL_MODULUS == 0
-    train = sh.filter(~is_eval)
-    eval_sh = sh.filter(is_eval).select(
-        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    # The generator child is a non-Attribute expression ON PURPOSE:
+    # InferFiltersFromGenerate only infers (size > 0, isnotnull)
+    # pre-filters for bare Attribute children, and that inferred filter
+    # gets expression-substituted through the projections down to the
+    # raw scan, re-running the tokenize ~12x per row (measured 0.98 s
+    # -> 25 s at sf0.1 with explode(sharr)).  The struct explode also
+    # carries the per-doc count at O(1) per element (sharr is a row
+    # field here, so size() is an array-length lookup, not a recompute).
+    train = (
+        base.filter(~is_eval)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sharr, x -> struct(x AS shingle, size(sharr) AS n_train_shingles))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.shingle", "s.n_train_shingles")
     )
-    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_train_shingles"))
-    hits = (
-        train.join(F.broadcast(eval_sh), "shingle")
-        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    eval_sh = (
+        docs.filter(is_eval)
+        .select("doc_id", tokens("text").alias("t"))
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.explode(shingles("t", CONTAM_K)).alias("shingle"),
+        )
     )
     return (
-        hits.join(
-            sizes.select(F.col("doc_id").alias("train_doc_id"), "n_train_shingles"),
-            "train_doc_id",
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(F.col("doc_id").alias("train_doc_id"), "eval_doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            # constant within each (train, eval) group: every exploded row
+            # of one train doc carries the same array size
+            F.max("n_train_shingles").alias("n_train_shingles"),
         )
         .select(
             "train_doc_id",

@@ -829,6 +829,39 @@ FROM scored
 RFM_SAMPLE_BUDGET = 2048
 
 
+def _rfm_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (recency, frequency, monetary) metrics — the frame
+    both the sample pick and the final labeling projection consume."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("f_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m_total"),
+    )
+    maxd = F.broadcast(o.agg(F.max("o_orderdate").alias("corpus_max")))
+    return (
+        per.crossJoin(maxd)
+        .withColumn("r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_order")))
+        .withColumn("m_dbl", F.col("m_total").cast("double"))
+    )
+
+
+def _rfm_sample_pick(per: DataFrame) -> DataFrame:
+    """The deterministic md5-ranked RFM_SAMPLE_BUDGET sample, PRE
+    checkpoint: a TakeOrderedAndProject pick (distributed per-partition
+    heaps) — identical deterministic set to the old rank-<=K window,
+    minus its single-task no-partition WindowExec funnel.  Module-level
+    so the plan-guard pin can see the shape the full query hides behind
+    its localCheckpoint (the matryoshka-pick precedent)."""
+    return (
+        per.select("o_custkey", "r_days", "f_orders", "m_dbl")
+        .withColumn("mh", F.md5(F.col("o_custkey").cast("string")))
+        .orderBy("mh", "o_custkey")
+        .limit(RFM_SAMPLE_BUDGET)
+        .drop("mh")
+    )
+
+
 def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-safe twin of :func:`orders_rfm_segmentation` — the 100 TB
     form the exact query's docstring promises.
@@ -855,35 +888,16 @@ def orders_rfm_segmentation_approx(spark: SparkSession, sf_dir: str) -> DataFram
     tests/test_oracle_battery.py).  Ties are NOT split across buckets
     (ntile splits ties by the custkey tiebreak to force equal bucket
     sizes), same as before."""
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
-    per = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("f_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("m_total"),
-    )
-    maxd = F.broadcast(o.agg(F.max("o_orderdate").alias("corpus_max")))
-    per = (
-        per.crossJoin(maxd)
-        .withColumn("r_days", F.datediff(F.to_date("corpus_max"), F.to_date("last_order")))
-        .withColumn("m_dbl", F.col("m_total").cast("double"))
-    )
-    # TakeOrderedAndProject sample pick (distributed per-partition
-    # heaps) — identical deterministic set to the old rank-<=K window,
-    # minus its single-task no-partition WindowExec funnel.
+    per = _rfm_per_customer(spark, sf_dir)
     # r17: the sample is consumed FOUR times (count + three quartile
     # rankings) and each consumer re-derived the TakeOrdered over the
     # full per-customer aggregate (plan showed 7 orders scans, partially
     # rescued by ReuseExchange).  Lazily checkpointing the ≤budget-row
     # sample pins ONE derivation; checkpointing `per` as well was
     # measured SLOWER (materializing |customers| rows costs more than
-    # the reuse saves).
-    samp = (
-        per.select("o_custkey", "r_days", "f_orders", "m_dbl")
-        .withColumn("mh", F.md5(F.col("o_custkey").cast("string")))
-        .orderBy("mh", "o_custkey")
-        .limit(RFM_SAMPLE_BUDGET)
-        .drop("mh")
-    ).localCheckpoint(eager=False)
+    # the reuse saves).  The TakeOrdered pick shape is pinned on the
+    # pre-checkpoint builder (test_plan_guards: rfm_approx).
+    samp = _rfm_sample_pick(per).localCheckpoint(eager=False)
     ns = samp.agg(F.count("*").alias("n_s"))
 
     def qcuts(colname: str, prefix: str) -> DataFrame:

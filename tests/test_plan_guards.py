@@ -170,6 +170,19 @@ GLOBAL_WINDOW_ALLOWED = {
 # DOMAIN is genuinely bounded — the honest replacement for the old
 # blanket 'Aggregate = bounded' assumption.  Every entry must name the
 # key and its bound.
+# Windows whose input is the localCheckpoint of an orderBy().limit(K)
+# sample: the bound is real (enforced below the checkpoint) but invisible
+# to the plan walker, which sees only the LogicalRDD leaf.  Every entry
+# must (a) name the budget constant and (b) have the pre-checkpoint pick
+# shape pinned by test_sample_pickers_take_ordered.
+CHECKPOINT_BOUNDED_WINDOW_ALLOWED = {
+    # qcuts row_number windows run over the checkpointed md5 sample —
+    # ≤ RFM_SAMPLE_BUDGET (2048) rows by the limit in _rfm_sample_pick,
+    # pinned as TakeOrderedAndProject by the rfm_approx picker test.
+    "orders_rfm_segmentation_approx",
+}
+
+
 KEYED_AGG_WINDOW_ALLOWED = {
     # len_bucket is a FIXED CASE ladder: |LEN_BUCKETS|+1 ≤ 16 rows at
     # any corpus size; the windows rank/cumsum that fixed report.
@@ -264,6 +277,11 @@ def test_no_global_window_over_unbounded_scan(spark, name):
         pytest.skip("documented exact baseline with a registered scale twin")
     if name in KEYED_AGG_WINDOW_ALLOWED:
         pytest.skip("adjudicated: window over a bounded-key-domain aggregate")
+    if name in CHECKPOINT_BOUNDED_WINDOW_ALLOWED:
+        pytest.skip(
+            "adjudicated: window over a checkpointed orderBy().limit(K) "
+            "sample; pick shape pinned by test_sample_pickers_take_ordered"
+        )
     import __spark_entry__ as entry_mod
 
     df = entry_mod.queries()[name](spark, SF_DIR)
@@ -525,10 +543,18 @@ def _take_ordered_picker_plans():
 
         return vocab_coverage_curve(spark, sf_dir)
 
+    def rfm_pick(spark, sf_dir):
+        # the full query hides the pick behind a localCheckpoint (r17
+        # sample-reuse optimization), so pin the pre-checkpoint builder
+        # directly — same pattern as matryoshka_pick
+        return relational_ext._rfm_sample_pick(
+            relational_ext._rfm_per_customer(spark, sf_dir)
+        )
+
     return {
         "ann_query_ids": ann_pick,
         "matryoshka_pick": matryoshka_pick,
-        "rfm_approx": relational_ext.orders_rfm_segmentation_approx,
+        "rfm_approx": rfm_pick,
         # r16 limit-first rewrites (VERDICT r15 #1/#3): the top-K is an
         # explicit orderBy().limit() TakeOrdered, and the rank/cumsum
         # windows run only over the <=K survivors
