@@ -683,16 +683,22 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in the date, so ``min(month_index)`` IS the first order's
     month — one groupBy finds each customer's cohort without a sort.
 
-    Plan: one hash agg on custkey (map-side combined) + one custkey
-    equi-join back to orders (co-partitioned after AQE) + a tiny final
-    agg (|months|² rows).  At 100 TB the join is the standard
-    fact⋈derived-dimension shuffle; nothing collects."""
+    Plan (r17): ONE custkey hash agg collects each customer's distinct
+    month SET (bounded by the calendar span, ≤~84 entries) alongside its
+    min — the cohort and every (cohort, offset) contribution are then a
+    pure projection + explode of that per-customer row, so the old
+    join-back of the full orders stream (a second scan + second custkey
+    shuffle) and the count_distinct expand are gone: each customer
+    contributes each offset exactly once by set construction, so a
+    map-combined count(*) IS the old count_distinct(custkey).  Shuffles:
+    the custkey agg + a |months|²-key final agg."""
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mi"),
     )
-    first = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
-    joined = o.join(first, "o_custkey")
+    per = o.groupBy("o_custkey").agg(
+        F.min("mi").alias("cohort_mi"), F.collect_set("mi").alias("months")
+    )
     cohort_month = F.date_format(
         F.make_date(
             F.expr("cohort_mi DIV 12"), F.col("cohort_mi") % 12 + 1, F.lit(1)
@@ -700,8 +706,9 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "yyyy-MM",
     )
     return (
-        joined.groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("month_offset"))
-        .agg(F.count_distinct("o_custkey").alias("n_customers"))
+        per.select("cohort_mi", F.explode("months").alias("mi"))
+        .groupBy("cohort_mi", (F.col("mi") - F.col("cohort_mi")).alias("month_offset"))
+        .agg(F.count("*").alias("n_customers"))
         .select(
             cohort_month.alias("cohort_month"),
             "month_offset",
