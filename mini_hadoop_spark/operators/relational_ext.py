@@ -309,13 +309,25 @@ def quantile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number formulation is unchanged.  The quantile is the first
     value whose cumulative count reaches ceil(p*n)."""
     l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    counts = l.groupBy("l_returnflag", "l_extendedprice").agg(F.count("*").alias("cnt"))
-    rng = counts.agg(
+    # exact global min/max straight off the raw scan (map-side partial
+    # min/max, 1-row result) — order-independent, so the derived bucket
+    # assignment is engine-stable exactly as before, and the (flag,
+    # value) count table no longer has to exist before the range does
+    rng = l.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(QUANTILE_BUCKETS))
-    bucketed = (
-        counts.crossJoin(F.broadcast(rng))
+    # ONE corpus shuffle for the whole pipeline (r17): bucket the RAW
+    # rows, repartition by (flag, bucket), and let every downstream step
+    # ride that clustering — the (flag, value, bucket) count aggregate
+    # (hash on a key SUBSET satisfies its required distribution), the
+    # per-(flag, bucket) partial counts, and the in-bucket cumulative
+    # window (sort only, no exchange).  Before, the distinct-value
+    # aggregate shuffled the corpus on (flag, value) and the window then
+    # re-shuffled the distinct stream on (flag, bucket) — two
+    # corpus-sized exchanges for the same exact arithmetic.
+    bucketed_raw = (
+        l.crossJoin(F.broadcast(rng))
         .withColumn(
             "bucket",
             F.least(
@@ -327,6 +339,10 @@ def quantile_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .drop("lo", "hi")
+        .repartition("l_returnflag", "bucket")
+    )
+    bucketed = bucketed_raw.groupBy("l_returnflag", "l_extendedprice", "bucket").agg(
+        F.count("*").alias("cnt")
     )
     partials = bucketed.groupBy("l_returnflag", "bucket").agg(
         F.sum("cnt").alias("part_cnt")
@@ -1031,10 +1047,19 @@ def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumers' distinct subtrees non-identical — the plan scanned
     # lineitem 3x and ran the (orderkey, partkey) distinct twice.  With
     # the filter stated once here, every consumer shares ONE scan + ONE
-    # distinct exchange via ReuseExchange (OPTIMIZATION_r17).
+    # exchange via ReuseExchange (OPTIMIZATION_r17).
+    #
+    # That one exchange is an EXPLICIT repartition on l_orderkey alone:
+    # hash(orderkey) clusters a SUBSET of the distinct's grouping keys,
+    # so the (orderkey, partkey) distinct satisfies its required
+    # distribution with NO further exchange — and the basket self-join
+    # (keyed ok) plus the n_orders aggregate (keyed ok) ride the same
+    # partitioning too.  Before, the distinct shuffled on the pair key
+    # and the join had to re-exchange both sides by ok on top of it.
     items = (
         l.select("l_orderkey", "l_partkey")
         .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .repartition("l_orderkey")
         .distinct()
     )
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
