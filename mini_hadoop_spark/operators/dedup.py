@@ -78,13 +78,40 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scan is spread across cores first: a small-SF single-file scan
     would otherwise tokenize on one core (see functions/partitioning.py
-    — no-op at scale)."""
+    — no-op at scale).
+
+    r17: the index rows additionally carry ``n_sh`` — the document's
+    DISTINCT-shingle count, i.e. ``size(sharr)`` carried through the
+    explode via the struct-transform idiom (a bare-Attribute generator
+    child would let InferFiltersFromGenerate push the whole
+    tokenize+shingle expression into a scan filter — the
+    contamination_ngram 25x trap) — and the checkpoint is hash-
+    partitioned on ``shingle``.  LogicalRDD preserves that partitioning,
+    so the inverted-index self-joins (Jaccard pairs, containment) and
+    the df-count aggregates (dup_span_coverage) ride the stored
+    clustering with NO exchange, and consumers that need per-doc sizes
+    read the carried column instead of re-aggregating + joining the
+    corpus-sized stream.  The one-time repartition cost lands in the
+    itemized index build, like the materialization itself."""
     key = _memo_key(spark, sf_dir, "shingles", "")
     if key not in _memo:
         docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
         _memo[key] = (
             docs.select("doc_id", tokens("text").alias("t"))
-            .select("doc_id", F.explode(shingles("t")).alias("shingle"))
+            .select("doc_id", shingles("t").alias("sharr"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        "sharr",
+                        lambda x: F.struct(
+                            x.alias("shingle"), F.size("sharr").alias("n_sh")
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .select("doc_id", F.col("g.shingle").alias("shingle"), F.col("g.n_sh").alias("n_sh"))
+            .repartition("shingle")
             .localCheckpoint(eager=True)
         )
     return _memo[key]
@@ -348,25 +375,26 @@ def _near_jaccard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     back in; jaccard = shared / (|S_a| + |S_b| - shared) is integer
     arithmetic + one double division — bit-identical across engines.
 
-    The shingle index is referenced three times (both self-join sides +
-    the sizes agg); localCheckpoint materializes it once instead of
-    re-running tokenize+explode per reference."""
+    The shingle index is materialized once (memo) and pre-partitioned
+    on shingle, so the self-join adds no exchange; per-doc sizes ride
+    the index's carried ``n_sh`` column through the pair aggregate as
+    ``max()`` (constant within each (doc_a, doc_b) group), replacing
+    the old sizes aggregate + two join-backs of the corpus stream."""
     sh = _doc_shingles(spark, sf_dir)  # memoized, already materialized
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.max(F.col("a.n_sh")).alias("na"),
+            F.max(F.col("b.n_sh")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        shared.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_half_up(jac, 6).alias("jaccard"))
     )
 
@@ -442,32 +470,46 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  Scale: identical posture to the Jaccard pass (candidate
     count bounded by Σ df(shingle)²; swap in the MinHash index when hot
     shingles explode it) — containment is a POST-join scoring change,
-    not a new join."""
+    not a new join.
+
+    r17: per-doc sizes ride the index's carried ``n_sh`` column through
+    the pair aggregate as ``max()`` (constant within each pair group) —
+    the sizes aggregate and its two join-backs are gone, and the
+    pre-partitioned index makes the self-join exchange-free.  The two
+    direction rows come from ONE explode over the joined pair set: the
+    old fwd/rev union duplicated the whole join+aggregate subtree
+    because the two branches planned with different join orientations,
+    defeating ReuseExchange."""
     sh = _doc_shingles(spark, sf_dir)  # memoized, already materialized
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
-    shared = (
+    both = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("shared"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.max(F.col("a.n_sh")).alias("na"),
+            F.max(F.col("b.n_sh")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    both = shared.join(sa, "doc_a").join(sb, "doc_b")
-    fwd = both.select(
-        F.col("doc_a").alias("doc_inner"),
-        F.col("doc_b").alias("doc_outer"),
-        (F.col("shared") / F.col("na")).alias("c"),
-    )
-    rev = both.select(
-        F.col("doc_b").alias("doc_inner"),
-        F.col("doc_a").alias("doc_outer"),
-        (F.col("shared") / F.col("nb")).alias("c"),
-    )
+    directed = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_inner"),
+                    F.col("doc_b").alias("doc_outer"),
+                    (F.col("shared") / F.col("na")).alias("c"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_inner"),
+                    F.col("doc_a").alias("doc_outer"),
+                    (F.col("shared") / F.col("nb")).alias("c"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
     return (
-        fwd.unionByName(rev)
-        .filter(F.col("c") >= CONTAINMENT_THRESHOLD)
+        directed.filter(F.col("c") >= CONTAINMENT_THRESHOLD)
         .select("doc_inner", "doc_outer", round_half_up(F.col("c"), 6).alias("containment"))
     )
 
@@ -596,12 +638,20 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gkey").alias("gkey"))
         .repartition("gkey")
     )
+    # "appears in >= 2 distinct docs" as min(doc) != max(doc) — the same
+    # predicate without countDistinct's per-(gkey, doc) dedup phase: one
+    # map-side-combinable min/max aggregate riding the gkey clustering
     dup = (
         grams.groupBy("gkey")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .filter(F.col("d_lo") != F.col("d_hi"))
         .select("gkey")
     )
+    # ONE doc_id clustering for the whole tail (r17): the covered-
+    # position distinct (doc_id, cpos), the gaps-and-islands windows and
+    # both per-doc aggregates all accept hash(doc_id) — before, the
+    # distinct shuffled on (doc_id, cpos) and the window re-shuffled its
+    # output on doc_id.
     cov = (
         grams.join(dup, "gkey")
         .select(
@@ -610,6 +660,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
             ).alias("cpos"),
         )
+        .repartition("doc_id")
         .distinct()
     )
     from pyspark.sql import Window as W
