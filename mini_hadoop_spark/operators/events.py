@@ -459,6 +459,15 @@ def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
     w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
+    # r17: the lag window's output collapses to ONE long column — pin it
+    # with a LAZY localCheckpoint so the min/max range probe and the
+    # bucketed pipeline both read the materialized gaps instead of each
+    # re-running the per-user sort+lag.  Then ONE explicit bucket
+    # repartition serves the rest: the (gap_us, bucket) count aggregate
+    # (hash on a key subset satisfies its distribution), the per-bucket
+    # partials and the in-bucket cumulative window all ride it — before,
+    # the counts aggregate shuffled the gap stream on gap_us and the
+    # window re-shuffled the distinct stream on bucket.
     gaps = (
         e.select(
             "user_id",
@@ -466,12 +475,13 @@ def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (us - F.lag(us).over(w_lag)).alias("gap_us"),
         )
         .filter(F.col("gap_us").isNotNull())
+        .select("gap_us")
+        .localCheckpoint(eager=False)
     )
-    counts = gaps.groupBy("gap_us").agg(F.count("*").alias("cnt"))
-    rng = counts.agg(F.min("gap_us").alias("lo"), F.max("gap_us").alias("hi"))
+    rng = gaps.agg(F.min("gap_us").alias("lo"), F.max("gap_us").alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(float(GAP_QUANTILE_BUCKETS))
     bucketed = (
-        counts.crossJoin(F.broadcast(rng))
+        gaps.crossJoin(F.broadcast(rng))
         .withColumn(
             "bucket",
             F.least(
@@ -482,6 +492,9 @@ def events_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .drop("lo", "hi")
+        .repartition("bucket")
+        .groupBy("gap_us", "bucket")
+        .agg(F.count("*").alias("cnt"))
     )
     partials = bucketed.groupBy("bucket").agg(F.sum("cnt").alias("part_cnt"))
     w_b = W.orderBy("bucket")

@@ -777,9 +777,17 @@ def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row set is identical).
     docs = _docs(spark, sf_dir)
     *_, _score = _quality_parts()
+    # r17: LAZY localCheckpoint of the fused (doc_id, score, is_dup)
+    # frame — compact, no text.  The sample pick and the decile scoring
+    # both consume it; without the pin the regex-heavy quality score and
+    # the document scan ran TWICE (the sample subtree pruned the window
+    # but re-ran the whole scoring projection).  Lazy, so the bench
+    # still times the materialization inside the query.
     j = docs.withColumn(
         "is_dup", F.count("*").over(W.partitionBy(F.sha2(F.col("text"), 256))) > 1
-    ).select("doc_id", round_half_up(_score, 6).alias("quality_score"), "is_dup")
+    ).select(
+        "doc_id", round_half_up(_score, 6).alias("quality_score"), "is_dup"
+    ).localCheckpoint(eager=False)
     q = j.select("doc_id", "quality_score")
     samp = (
         q.select(
