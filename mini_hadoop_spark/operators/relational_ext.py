@@ -1761,6 +1761,53 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 PIT_VERSION_CAP = 4
 
 
+def _pit_version_merge(facts: DataFrame, orders: DataFrame) -> DataFrame:
+    """The r17 counting formulation of the PIT match: union fact probes
+    with raw order (build) rows, ONE per-custkey window pass in the
+    asof sort order ((ts, tag, orderkey): builds before probes at equal
+    ts, same-instant builds in version order so the last/highest wins).
+    ``_ver`` = running build count = the version number of the latest
+    version with valid_from <= ship_ts (0 = no prior version);
+    ``_vmax`` = the customer's total version count, so
+    ``_ver == _vmax`` ⟺ the matched version has no successor ⟺ its
+    valid_to IS NULL ⟺ is_current.  Equivalence to the explicit SCD2
+    interval join is pinned by tests/test_temporal.py::
+    test_pit_counting_merge_matches_interval_join.
+
+    ``facts``: (custkey, ship_ts, rev);  ``orders``: (o_orderkey,
+    o_custkey, o_orderdate).  Returns probe rows with _ver/_vmax."""
+    rev_t = facts.schema["rev"].dataType
+    b = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.col("o_orderkey").alias("_tb"),
+        F.lit(None).cast(rev_t).alias("rev"),
+    )
+    p = facts.select(
+        "custkey",
+        F.col("ship_ts").alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_tb"),
+        "rev",
+    )
+    w_run = (
+        W.partitionBy("custkey")
+        .orderBy(F.col("_t").asc(), F.col("_tag").asc(), F.col("_tb").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("custkey").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    is_build = F.when(F.col("_tag") == 0, 1).otherwise(0)
+    return (
+        b.unionByName(p)
+        .withColumn("_ver", F.sum(is_build).over(w_run))
+        .withColumn("_vmax", F.sum(is_build).over(w_all))
+        .filter(F.col("_tag") == 1)
+    )
+
+
 def pit_scd2_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (PIT) read over the SCD2 dimension (r16, VERDICT
     r15 Missing #1) — the feature-store consumer query: each shipment
@@ -1781,48 +1828,47 @@ def pit_scd2_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: facts get their custkey via ONE orderkey-co-partitioned
     equi-join (lineitem ⋈ orders — both corpus-sized, never broadcast),
-    then the PIT match is asof_join's single per-custkey window merge —
-    one shuffle on the key, no range/cartesian join, per-task rows
-    bounded by per-customer history (skew = heaviest customer, same
-    bound as the SCD2 build itself).  The report aggregate is
-    map-combined onto ≤(CAP+2)×2 rows.  Exact: counts are integers,
-    revenue is an exact DECIMAL sum cast once to double."""
-    from mini_hadoop_spark.operators.temporal import asof_join
-
+    then the PIT match is a single per-custkey window merge — one
+    shuffle on the key, no range/cartesian join, per-task rows bounded
+    by per-customer history (skew = heaviest customer, same bound as
+    the SCD2 build itself).  r17: the SCD2 VERSIONING is folded INTO
+    the merge window — the matched version number is the RUNNING COUNT
+    of build (order) rows in exactly the sort asof_join used
+    ((ts, tag, orderkey): builds before probes at equal ts, same-
+    instant builds in version order, last-wins = the count), and
+    is_current ⟺ matched version == the customer's TOTAL build count
+    (valid_to IS NULL only on the last version).  That removes the
+    separate _scd2_intervals window shuffle of orders AND the struct
+    running-last payload; values are identical by construction (the
+    planted pytest pins this equivalence against the interval join).
+    The report aggregate is map-combined onto ≤(CAP+2)×2 rows and its
+    distinct-custkey expand rides the merge window's hash(custkey)
+    partitioning.  Exact: counts are integers, revenue is an exact
+    DECIMAL sum cast once to double."""
     l = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
         F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
     )
-    facts = l.join(o, l.l_orderkey == o.o_orderkey).select(
+    facts = l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey).select(
         F.col("o_custkey").alias("custkey"),
         F.col("l_shipdate").alias("ship_ts"),
         rev.alias("rev"),
     )
-    v = _scd2_intervals(spark, sf_dir).select(
-        "custkey", "valid_from", "version", "is_current"
-    )
-    j = asof_join(
-        facts,
-        v,
-        key="custkey",
-        probe_ts="ship_ts",
-        build_ts="valid_from",
-        build_payload=["version", "is_current"],
-        tiebreak="version",
-        how="left",
-    )
+    merged = _pit_version_merge(facts, o)
+    version = F.when(F.col("_ver") >= 1, F.col("_ver"))
+    is_current = F.when(F.col("_ver") >= 1, F.col("_ver") == F.col("_vmax"))
     bucket = (
-        F.when(F.col("asof_version").isNull(), F.lit("none"))
-        .when(F.col("asof_version") > PIT_VERSION_CAP, F.lit(f"{PIT_VERSION_CAP + 1}+"))
-        .otherwise(F.col("asof_version").cast("string"))
+        F.when(version.isNull(), F.lit("none"))
+        .when(version > PIT_VERSION_CAP, F.lit(f"{PIT_VERSION_CAP + 1}+"))
+        .otherwise(version.cast("string"))
     )
     return (
-        j.groupBy(
+        merged.groupBy(
             bucket.alias("version_bucket"),
-            F.col("asof_is_current").alias("is_current"),
+            is_current.alias("is_current"),
         )
         .agg(
             F.count("*").alias("n_shipments"),

@@ -270,3 +270,67 @@ def test_pit_scd2_interval_semantics(spark):
     )
     got = {r.fid: (r.asof_version, r.asof_is_current) for r in j.collect()}
     assert got == {1: (None, None), 2: (1, False), 3: (3, False), 4: (4, True)}
+
+
+def test_pit_counting_merge_matches_interval_join(spark):
+    """r17: pit_scd2_shipments folds the SCD2 versioning INTO the merge
+    window — version = running build count in the asof sort, is_current
+    = version == per-customer total.  Pin the counting formulation
+    against the EXPLICIT interval join on the same planted edge cases
+    (pre-first-version fact, mid-chain fact, same-instant version tie,
+    current-version fact) plus a second customer with one version."""
+    from pyspark.sql import Window as W, functions as F
+
+    from mini_hadoop_spark.operators.relational_ext import _pit_version_merge
+
+    orders = spark.createDataFrame(
+        [
+            (1, 100, _ts("2026-01-01 00:00:00")),
+            (2, 100, _ts("2026-01-05 00:00:00")),  # same-instant tie...
+            (3, 100, _ts("2026-01-05 00:00:00")),  # ...version 3 wins
+            (4, 100, _ts("2026-01-09 00:00:00")),
+            (5, 200, _ts("2026-02-01 00:00:00")),  # single-version cust
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, _ts("2025-12-31 00:00:00"), 1.0),  # before v1 -> none
+            (100, _ts("2026-01-03 00:00:00"), 2.0),  # inside [v1, v2)
+            (100, _ts("2026-01-05 00:00:00"), 3.0),  # tie instant -> v3
+            (100, _ts("2026-01-20 00:00:00"), 4.0),  # current version
+            (200, _ts("2026-03-01 00:00:00"), 5.0),  # current (v1 of 1)
+        ],
+        "custkey long, ship_ts timestamp, rev double",
+    )
+    m = _pit_version_merge(facts, orders)
+    got = {
+        r.rev: (r._ver, r._vmax)
+        for r in m.select("rev", "_ver", "_vmax").collect()
+    }
+    assert got == {1.0: (0, 4), 2.0: (1, 4), 3.0: (3, 4), 4.0: (4, 4), 5.0: (1, 1)}
+
+    # cross-check against the explicit half-open interval join
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).alias("version"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    ij = facts.join(
+        v,
+        (facts.custkey == v.custkey)
+        & (v.valid_from <= facts.ship_ts)
+        & ((facts.ship_ts < v.valid_to) | v.valid_to.isNull()),
+        "left",
+    ).select(facts.custkey, "ship_ts", "rev", "version", v.valid_to)
+    ref = {
+        r.rev: (r.version if r.version is not None else 0)
+        for r in ij.collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == ref
+    # is_current (valid_to IS NULL) == (_ver == _vmax) wherever matched
+    ref_cur = {r.rev: r.valid_to is None for r in ij.collect() if r.version is not None}
+    got_cur = {k: v[0] == v[1] for k, v in got.items() if v[0] >= 1}
+    assert got_cur == ref_cur
