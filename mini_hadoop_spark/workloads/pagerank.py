@@ -87,9 +87,14 @@ def pagerank(
         # Python-side (1-d)/total_pages performed, so ranks are
         # bit-identical.  The identical 1-row broadcast exchange is
         # reused across iterations (ReusedExchange).
+        # distinct(src ∪ dst) ≡ distinct(dst ∪ distinct-src), and the
+        # distinct src set IS out_deg's key set — so the src side feeds
+        # the page-count distinct pre-aggregated (|sources| rows instead
+        # of |edges|) and rides out_deg's exchange via ReuseExchange
+        # (r17; the dst side still contributes its raw |edges| rows).
         npages = (
-            edges.select(F.col("src").alias("page"))
-            .union(edges.select(F.col("dst").alias("page")))
+            edges.select(F.col("dst").alias("page"))
+            .union(out_deg.select(F.col("src").alias("page")))
             .distinct()
             .agg(F.count("*").alias("_npages"))
         )
