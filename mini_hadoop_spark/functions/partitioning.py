@@ -21,7 +21,7 @@ so the operator states the need explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 #: id(input df) → (input df, spread df).  The probe below costs ~30 ms of
 #: physical planning per call; table frames are themselves memoized per
@@ -34,12 +34,30 @@ _spread_memo: dict[int, tuple[DataFrame, DataFrame]] = {}
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition ``df`` up to default parallelism iff its current plan
     yields fewer partitions — a no-op (no added shuffle) on any input
-    that already has enough splits."""
+    that already has enough splits.
+
+    r17: the spread hashes a DETERMINISTIC per-row key
+    (``xxhash64(*columns)``) instead of round-robin.  A keyless
+    ``repartition(n)`` first pays a LOCAL SORT of its input
+    (``spark.sql.execution.sortBeforeRepartition``, needed so retried
+    tasks reproduce the same row→partition map) — on the single-task
+    scans this helper exists for, that sort runs single-threaded before
+    any parallelism materializes.  A content-derived hash key needs no
+    sort (the assignment is already deterministic under retry, the
+    guide-§2.5 recommendation) and spreads just as evenly (xxhash64 is
+    full-entropy; only bit-identical rows co-locate).  Every consumer
+    is order-independent by the oracle discipline (integer/decimal
+    sums, per-row projections), so results are unchanged — re-verified
+    against the oracles after the switch."""
     hit = _spread_memo.get(id(df))
     if hit is not None and hit[0] is df:
         return hit[1]
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if df.rdd.getNumPartitions() < target:
+        key = F.xxhash64(*[F.col(c) for c in df.columns])
+        out = df.repartition(target, key)
+    else:
+        out = df
     _spread_memo[id(df)] = (df, out)
     return out

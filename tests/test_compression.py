@@ -80,11 +80,21 @@ def test_quantize_plan_is_shuffle_free(spark):
     with contextlib.redirect_stdout(buf):
         quantize_embeddings_int8(spark, c.SF_DIR).explain("formatted")
     plan = buf.getvalue()
-    # the only allowed Exchange is spread_small_scan's round-robin fan-out
-    # (a small-input artifact): no hash/range shuffle anywhere — the
-    # quantization itself is a pure projection
-    assert "hashpartitioning" not in plan.lower()
-    assert "rangepartitioning" not in plan.lower()
+    # the only allowed Exchange is spread_small_scan's explicit fan-out
+    # (a small-input artifact; r17 made it a deterministic-hash-key
+    # repartition, tagged REPARTITION_BY_NUM, instead of round-robin):
+    # no KEYED shuffle that the engine itself required anywhere — the
+    # quantization is a pure projection, so every remaining exchange
+    # must be the stated explicit repartition
+    import re
+
+    engine_exchanges = [
+        ln
+        for ln in plan.lower().splitlines()
+        if ("hashpartitioning" in ln or "rangepartitioning" in ln)
+        and "repartition_by_num" not in ln
+    ]
+    assert not engine_exchanges, engine_exchanges
 
 
 def _ref_bpe_train(texts, rounds):
