@@ -336,9 +336,33 @@ def main() -> int:
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    rc_emit = emit_result_line(out)
     spark.stop()
+    if rc_emit != 0:
+        return rc_emit
     return 0 if not failures else 1
+
+
+def emit_result_line(out: dict, stream=None) -> int:
+    """Print the ONE-line JSON result after a contract self-check
+    (VERDICT r17 #2): the driver parses this line back out of stdout; a
+    line that does not round-trip (NaN/Inf from a broken timing, stray
+    control bytes, truncation) silently costs a whole round its
+    round-over-round comparison.  Fail loudly (rc=2, nothing printed)
+    instead.  allow_nan=False: python's own json.loads would happily
+    round-trip NaN, but the strict parser on the driver side will not —
+    a non-finite timing must fail HERE."""
+    try:
+        line = json.dumps(out, allow_nan=False)
+        reparsed = json.loads(line)
+    except ValueError as exc:
+        print(f"bench: emitted JSON line failed self-check: {exc}", file=sys.stderr)
+        return 2
+    if "\n" in line or reparsed.get("value") != out.get("value"):
+        print("bench: emitted JSON line failed self-check", file=sys.stderr)
+        return 2
+    print(line, file=stream if stream is not None else sys.stdout)
+    return 0
 
 
 if __name__ == "__main__":

@@ -30,6 +30,28 @@ from pyspark.sql import DataFrame, functions as F
 #: its id() from being reused by a successor object.
 _spread_memo: dict[int, tuple[DataFrame, DataFrame]] = {}
 
+#: memo cap (VERDICT r17 #5): the memo holds UNEXECUTED plans keyed by
+#: object identity, so its natural size is the distinct table frames a
+#: session touches (dozens).  The cap only matters for a pathological
+#: caller constructing unbounded fresh frames; clearing wholesale is
+#: fine — a miss just re-probes (~30 ms).
+_SPREAD_MEMO_CAP = 256
+
+
+def _hashable_type(dt) -> bool:
+    """True when ``xxhash64`` accepts a column of this type.  MapType is
+    unhashable (no canonical entry order) anywhere in the type tree —
+    Spark's HashExpression rejects it at analysis time."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
 
 def spread_small_scan(df: DataFrame) -> DataFrame:
     """Repartition ``df`` up to default parallelism iff its current plan
@@ -55,9 +77,24 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        key = F.xxhash64(*[F.col(c) for c in df.columns])
-        out = df.repartition(target, key)
+        # hash only columns xxhash64 accepts (VERDICT r17 #5: MapType
+        # anywhere in the type tree is unhashable).  NOTE: the key is
+        # row CONTENT, so callers must include at least one
+        # high-cardinality column — bit-identical rows co-locate, and a
+        # low-cardinality projection would collapse back to few
+        # partitions (ADVICE r17).  Every current call site passes a
+        # unique-id or full-fact projection.
+        cols = [F.col(f.name) for f in df.schema.fields if _hashable_type(f.dataType)]
+        if cols:
+            out = df.repartition(target, F.xxhash64(*cols))
+        else:
+            # no hashable column at all: fall back to round-robin (pays
+            # the single-threaded sortBeforeRepartition, but only on a
+            # scan this small — correctness over speed in the edge case)
+            out = df.repartition(target)
     else:
         out = df
+    if len(_spread_memo) >= _SPREAD_MEMO_CAP:
+        _spread_memo.clear()
     _spread_memo[id(df)] = (df, out)
     return out

@@ -119,7 +119,18 @@ def pagerank(
     result = None
     cached_rates: list[DataFrame] = []
     for i in range(iterations):
-        contribs = edges.join(rate, "src").select(
+        # OPTIMIZATION_r18 (guide §3.1 — pick the strategy deliberately):
+        # the rate side is |sources|-proportional, so at any real scale
+        # SMJ is the only viable strategy; the hint pins it at small SF
+        # too, where the planner's size estimate (~2 MB for 150k rates)
+        # otherwise picks a broadcast — a DRIVER-SERIAL collect + build
+        # per iteration sitting on the critical path (the measured cause
+        # of pagerank_2iter's 0.84 core-scaling ratio: 4 sequential
+        # ~150k-row broadcast builds per run).  A/B at sf0.1: 1.54 →
+        # 1.23 s min-of-6 interleaved.  Join rows are unchanged; the
+        # per-page sum order shifts, which the 8-decimal output rounding
+        # absorbs (the module's established oracle-proven convention).
+        contribs = edges.join(rate.hint("SHUFFLE_MERGE"), "src").select(
             F.col("dst").alias("page"), (F.lit(damping) * F.col("w")).alias("contrib")
         )
         base = with_baseline(sources.select(F.col("src").alias("page")))
@@ -127,10 +138,14 @@ def pagerank(
         if i < iterations - 1:
             # fold the new ranks back into per-source rates: a SMALL join
             # (|sources| rows; every source appears in result via its
-            # baseline, so inner join loses nothing)
+            # baseline, so inner join loses nothing).  SMJ here too:
+            # both sides are |pages|/|sources|-proportional and already
+            # hash-clustered (groupBy output / out_deg's aggregate), so
+            # the merge join rides existing partitioning instead of
+            # collecting out_deg to the driver.
             rate = (
                 result.alias("res")
-                .join(out_deg.alias("od"), F.col("res.page") == F.col("od.src"))
+                .join(out_deg.hint("SHUFFLE_MERGE").alias("od"), F.col("res.page") == F.col("od.src"))
                 .select(F.col("od.src").alias("src"), (F.col("res.rank") / F.col("od.out_degree")).alias("w"))
             )
             if (i + 1) % checkpoint_every == 0:

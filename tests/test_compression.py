@@ -86,8 +86,6 @@ def test_quantize_plan_is_shuffle_free(spark):
     # no KEYED shuffle that the engine itself required anywhere — the
     # quantization is a pure projection, so every remaining exchange
     # must be the stated explicit repartition
-    import re
-
     engine_exchanges = [
         ln
         for ln in plan.lower().splitlines()
