@@ -1502,11 +1502,22 @@ MATRYOSHKA_QUERY_BUDGET = 32
 
 
 def _matryoshka_pick(v: DataFrame) -> DataFrame:
-    """The Matryoshka audit's query sample: :func:`ann_query_ids` at
-    MATRYOSHKA_QUERY_BUDGET (one shared picker — r15 review).
-    Module-level so the plan-guard test can pin the TakeOrdered shape
-    (the full query hides it behind a localCheckpoint)."""
-    return ann_query_ids(v, MATRYOSHKA_QUERY_BUDGET)
+    """The Matryoshka audit's query sample — the same deterministic
+    ``orderBy(md5(vec_id), vec_id).limit(K)`` TakeOrderedAndProject
+    idiom as :func:`ann_query_ids` (see its docstring for why this is
+    the engine-portable pick), selecting the IDENTICAL vec_id set, but
+    carrying the vector payload ``e`` through the top-K heap so the
+    driver-side collect is ONE job (r18: the old id-only pick needed a
+    join back onto the corpus to attach e — a second pass + shuffle
+    just to fetch 32 vectors).  Module-level so the plan-guard test can
+    pin the TakeOrdered shape (the full query hides it behind a driver
+    collect)."""
+    return (
+        v.withColumn("mh", F.md5(F.col("vec_id").cast("string")))
+        .orderBy(F.col("mh"), F.col("vec_id"))
+        .limit(MATRYOSHKA_QUERY_BUDGET)
+        .select("vec_id", "e")
+    )
 
 
 def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,89 +1548,202 @@ def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFra
     single-task global-rank window — and the selected set is identical
     to a rank-<=K window, so the oracle hash is unchanged."""
     v0 = _vectors(spark, sf_dir).select("vec_id", "e")
-    # OPTIMIZATION_r17 (guide §2.3 spirit: do per-row work per ROW, not
-    # per pair): the self-norms are hoisted OUT of the per-pair cosine.
-    # cos_at() used to evaluate sqrt(dot(qe,qe)) and sqrt(dot(e,e))
-    # inside the scored projection — per PAIR, for the full dim and all
-    # three prefixes: 12 array folds per scored row where 4 suffice.
-    # Each norm is a pure function of one row's vector, so computing it
-    # once on the scan/query side and dividing by the carried column
-    # replays the exact same IEEE op sequence (dot → sqrt → the two
-    # divisions in unchanged order): every cosine is bit-identical,
-    # rankings and the oracle hash unchanged.
-    v = v0.select(
-        "vec_id",
-        "e",
-        F.sqrt(dot(F.col("e"), F.col("e"))).alias("n_full"),
-        *[
-            F.sqrt(dot(F.slice(F.col("e"), 1, k), F.slice(F.col("e"), 1, k))).alias(
-                f"n_{k}"
+    # OPTIMIZATION_r18 (guide §4.2 — hand whole batches to vectorized
+    # native code): the |budget|x|corpus| brute scoring used to run as a
+    # broadcast non-equi join whose projection evaluated 4 Catalyst
+    # higher-order-function folds per scored PAIR — HOF lambdas are
+    # interpreted per element, the dominant cost of this query (r17
+    # already hoisted the norms; the remaining per-pair folds were the
+    # floor for a pure-Catalyst plan).  The scoring is now ONE
+    # mapInArrow kernel over the corpus scan: the bounded query sample
+    # (≤ MATRYOSHKA_QUERY_BUDGET rows — the same _matryoshka_pick set)
+    # is collected to the driver and shipped in the task closure, and
+    # each Arrow batch scores against all queries with NumPy loops that
+    # replay the EXACT IEEE op sequence of the Catalyst fold:
+    #   * dot/norm folds run sequentially over the DIMENSION index
+    #     (acc += e_i*q_i — one rounded multiply then one rounded add
+    #     per step, vectorized ACROSS rows, never across dims), and a
+    #     k-prefix fold's value IS the full fold's accumulator snapshot
+    #     at step k, so one pass yields full + all three prefixes;
+    #   * np.sqrt and np division are correctly-rounded IEEE doubles,
+    #     identical to the JVM's, applied in the same dot → /qn → /n
+    #     order.
+    # Every cosine is therefore bit-identical to the r17 plan (oracle
+    # re-verified at sf0.01 + sf0.1); plan: BroadcastNestedLoopJoin +
+    # per-pair folds → one MapInArrow node over the spread corpus scan.
+    # At 100 TB the kernel keeps the right shape: linear in corpus,
+    # the bounded query set rides the closure (§4.5 — setup once per
+    # task, Arrow batches amortized), and only (vec_id, e) crosses the
+    # Python boundary.
+    pick_rows = _matryoshka_pick(v0).collect()
+    q_ids = [int(r["vec_id"]) for r in pick_rows]
+    q_vecs = [list(r["e"]) for r in pick_rows]
+    dims = tuple(MATRYOSHKA_DIMS)
+    top_k = TOP_K
+
+    def _score_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        if not q_ids:
+            return
+        Q = np.asarray(q_vecs, dtype=np.float64)  # (m, d)
+        m, d = Q.shape
+        snap_at = set(dims) | {d}
+        # Catalyst's slice(e, 1, k) CLAMPS to the array length, so a
+        # k-prefix of a shorter-than-k vector is the whole vector: a
+        # snapshot at min(k, d) reproduces that exactly
+        snap_pts = {min(k, d) for k in snap_at}
+
+        def at(snaps, k):
+            return snaps[min(k, d)]
+
+        # query-side norms: the same sequential fold + sqrt as norm()
+        qacc = np.zeros(m)
+        qn = {}
+        for i in range(d):
+            qacc += Q[:, i] * Q[:, i]
+            if i + 1 in snap_pts:
+                qn[i + 1] = np.sqrt(qacc)
+        qid_arr = np.asarray(q_ids, dtype=np.int64)
+        names = ["trunc", "query_id", "neighbor_id", "cos"]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(batch.schema.get_field_index("vec_id")).to_numpy(
+                zero_copy_only=False
             )
-            for k in MATRYOSHKA_DIMS
-        ],
-    )
-    queries = v.join(F.broadcast(_matryoshka_pick(v0)), "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("n_full").alias("qn_full"),
-        *[F.col(f"n_{k}").alias(f"qn_{k}") for k in MATRYOSHKA_DIMS],
-    )
+            E = (
+                batch.column(batch.schema.get_field_index("e"))
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, d)
+            )
+            nacc = np.zeros(n)
+            dacc = np.zeros((n, m))
+            nsq = {}
+            nn = {}
+            dd = {}
+            for i in range(d):
+                nacc += E[:, i] * E[:, i]
+                dacc += E[:, i : i + 1] * Q[:, i][None, :]
+                if i + 1 in snap_pts:
+                    nsq[i + 1] = nacc.copy()
+                    nn[i + 1] = np.sqrt(nacc)
+                    dd[i + 1] = dacc.copy()
+            out_t, out_q, out_n, out_c = [], [], [], []
+            for k in sorted(snap_at):
+                # one rounded /qn then one rounded /n — the Catalyst
+                # projection's exact division order
+                cos_k = (at(dd, k) / at(qn, k)[None, :]) / at(nn, k)[:, None]
+                for j in range(m):
+                    mask = ids != qid_arr[j]
+                    nb = ids[mask]
+                    cj = cos_k[mask, j]
+                    # per-batch top-K candidates under the GLOBAL
+                    # ranking order (cos DESC, neighbor_id ASC; NaN
+                    # ranks LARGEST, Spark's descending-sort rule) —
+                    # the union of per-batch top-Ks is a superset of
+                    # the global top-K, so the downstream window
+                    # selects exactly the rows the old full-set window
+                    # did, while only K rows per (batch, trunc, query)
+                    # ever leave the kernel (§2.3: shuffle decisions,
+                    # not the scored corpus)
+                    if len(cj) > top_k:
+                        key = np.where(np.isnan(cj), -np.inf, -cj)
+                        sel = np.lexsort((nb, key))[:top_k]
+                        nb, cj = nb[sel], cj[sel]
+                    out_t.append(np.full(len(nb), k, dtype=np.int32))
+                    out_q.append(np.full(len(nb), qid_arr[j], dtype=np.int64))
+                    out_n.append(nb)
+                    out_c.append(cj)
+            # per-batch ENERGY partials as negative-trunc marker rows
+            # (§2.3 — one corpus pass): nacc's snapshot at k IS
+            # dot(e[:k], e[:k]), so the old separate energy aggregate's
+            # per-row fixed-point share floor((dk/dfull)*1e9 + 0.5)
+            # falls out here for free — op-for-op the Catalyst r9
+            # expression ((dk / dfull) * 1e9) + 0.5 then floor.  Each
+            # partial sum is an exact integer ≤ |batch| x 1e9 « 2^53,
+            # so carrying it in the double `cos` column is lossless;
+            # nansum mirrors Spark's sum-skips-NULL on a zero-norm row
+            # (floor(NaN) casts to NULL in the Catalyst form).
+            # neighbor_id carries the batch row count for n_vec.
+            for k in dims:
+                r9 = np.floor(at(nsq, k) / at(nsq, d) * 1e9 + 0.5)
+                out_t.append(np.full(1, -k, dtype=np.int32))
+                out_q.append(np.full(1, -1, dtype=np.int64))
+                out_n.append(np.full(1, n, dtype=np.int64))
+                out_c.append(np.asarray([np.nansum(r9)]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_t)),
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_n)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names,
+            )
 
-    def cos_at(dim: int | None) -> Column:
-        if dim is None:
-            return dot(F.col("qe"), F.col("e")) / F.col("qn_full") / F.col("n_full")
-        return (
-            dot(F.slice(F.col("qe"), 1, dim), F.slice(F.col("e"), 1, dim))
-            / F.col(f"qn_{dim}")
-            / F.col(f"n_{dim}")
-        )
-
-    # ONE broadcast join scoring full + every prefix in the same
-    # projection (the join is the expensive part — |corpus| x |queries|
-    # rows), then one rank window per ranking over the shared frame.
-    # The frame is REPARTITIONED BY query_id before the checkpoint: all
-    # four ranking windows require exactly that distribution, so they
-    # each run as a local sort over the materialized blocks instead of
-    # re-shuffling the scored rows four times (DESIGN lesson 6 —
-    # pre-partition the shared invariant on its consumer key).
-    scored = (
-        v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cos_at(None).alias("cos_full"),
-            *[cos_at(k).alias(f"cos_{k}") for k in MATRYOSHKA_DIMS],
+    # Candidate set: |partitions| x |rankings| x |queries| x K rows —
+    # corpus-INDEPENDENT per partition.  One repartition by query_id
+    # (a subset of every window's (trunc, query_id) key, so the hash
+    # clustering satisfies all of them) + lazy checkpoint; the four
+    # old per-ranking windows collapse into ONE window over this
+    # bounded frame.
+    cands = (
+        v0.mapInArrow(
+            _score_batches, "trunc int, query_id long, neighbor_id long, cos double"
         )
         .repartition("query_id")
         .localCheckpoint(eager=False)
     )
+    w = W.partitionBy("trunc", "query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    ranked = (
+        cands.filter(F.col("trunc") > 0)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("trunc", "query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    full_dim = len(q_vecs[0]) if q_vecs else 0
 
-    def topk(col: str) -> DataFrame:
-        w = W.partitionBy("query_id").orderBy(F.col(col).desc(), F.col("neighbor_id"))
-        return (
-            scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= TOP_K)
-            .select("query_id", "neighbor_id")
-        )
+    def topk(k: int) -> DataFrame:
+        return ranked.filter(F.col("trunc") == k).select("query_id", "neighbor_id")
 
-    full = topk("cos_full").localCheckpoint(eager=False)
+    full = topk(full_dim)
     nq = full.agg(F.countDistinct("query_id").alias("n_queries"))
 
-    def r9(k: int) -> Column:
-        sl = F.slice(F.col("e"), 1, k)
-        return F.floor(
-            dot(sl, sl) / dot(F.col("e"), F.col("e")) * F.lit(1e9) + F.lit(0.5)
-        ).cast("long")
-
-    # all prefix energies in one zero-shuffle aggregate over the scan
-    en = v.agg(
-        F.count("*").alias("n_vec"),
-        *[F.sum(r9(k)).alias(f"s9_{k}") for k in MATRYOSHKA_DIMS],
+    # prefix energies reassembled from the kernel's per-batch partials
+    # (exact-integer doubles; the sum of sums regroups an integer
+    # addition, so the total is bit-identical to the old one-pass
+    # corpus aggregate).  n_vec rides any single marker family — each
+    # batch emits its row count once per prefix.
+    mk = cands.filter(F.col("trunc") < 0)
+    en = mk.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("trunc") == -int(MATRYOSHKA_DIMS[0]), F.col("neighbor_id"))
+            ),
+            F.lit(0),
+        ).alias("n_vec"),
+        *[
+            # cast each exact-integer partial to LONG before the sum:
+            # the per-batch partial is ≤ |batch| x 1e9 « 2^53 (exact in
+            # a double), but the corpus TOTAL would stop being exact
+            # past ~9e6 vectors if summed as doubles — the long sum is
+            # exact at any corpus size, like the old one-pass aggregate
+            F.sum(F.when(F.col("trunc") == -int(k), F.col("cos")).cast("long"))
+            .alias(f"s9_{k}")
+            for k in MATRYOSHKA_DIMS
+        ],
     )
 
     rows = []
     for k in MATRYOSHKA_DIMS:
-        ov = full.join(topk(f"cos_{k}"), ["query_id", "neighbor_id"]).agg(
+        ov = full.join(topk(k), ["query_id", "neighbor_id"]).agg(
             F.count("*").alias("n_overlap")
         )
         rows.append(
