@@ -639,13 +639,22 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("gkey")
     )
     # "appears in >= 2 distinct docs" as min(doc) != max(doc) — the same
-    # predicate without countDistinct's per-(gkey, doc) dedup phase: one
-    # map-side-combinable min/max aggregate riding the gkey clustering
-    dup = (
-        grams.groupBy("gkey")
-        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+    # predicate without countDistinct's per-(gkey, doc) dedup phase.
+    # OPTIMIZATION_r18 (guide §2.4): the flag is attached as a pair of
+    # min/max WINDOW functions over the gkey clustering instead of a
+    # separate aggregate joined back onto the gram stream — the old
+    # shape sorted grams AND the dup key set for an SMJ re-association;
+    # the window computes the same per-group extremes in the one sorted
+    # pass the exchange already feeds.  Same qualifying rows (the
+    # predicate is identical), integer output unchanged; 1.59 → 1.13 s
+    # min-of-6 interleaved at sf0.1.
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy("gkey")
+    hit = (
+        grams.withColumn("d_lo", F.min("doc_id").over(wg))
+        .withColumn("d_hi", F.max("doc_id").over(wg))
         .filter(F.col("d_lo") != F.col("d_hi"))
-        .select("gkey")
     )
     # ONE doc_id clustering for the whole tail (r17): the covered-
     # position distinct (doc_id, cpos), the gaps-and-islands windows and
@@ -653,8 +662,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct shuffled on (doc_id, cpos) and the window re-shuffled its
     # output on doc_id.
     cov = (
-        grams.join(dup, "gkey")
-        .select(
+        hit.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
@@ -663,7 +671,6 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("doc_id")
         .distinct()
     )
-    from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("cpos")
     spans = cov.withColumn(
