@@ -77,8 +77,15 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_wl = round_half_up(
         F.when(F.size(toks) > 0, tok_len_sum.cast("double") / F.size(toks)).otherwise(F.lit(0.0)), 6
     )
-    n_hash = F.length(F.regexp_replace(F.col("text"), r"[^#]", ""))
-    n_ellipsis = (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))) / 3
+    # OPTIMIZATION_r18: regex-free equivalents (see text_analysis.
+    # _quality_parts — two DIFFERENT regex patterns in one projection
+    # thrash the compiled-pattern cache slot and recompile per row).
+    # '#' count is an exact char-set count (translate removes exactly
+    # the '#'s); the "..." count uses the literal string replace, which
+    # consumes non-overlapping occurrences left-to-right exactly like
+    # the regex did.  Both integers verified identical corpus-wide.
+    n_hash = F.length("text") - F.length(F.translate(F.col("text"), "#", ""))
+    n_ellipsis = (F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))) / 3
     symbol_ratio = round_half_up(
         F.when(n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words).otherwise(F.lit(0.0)), 6
     )
