@@ -263,7 +263,19 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     CJK codepoints short-circuit to 'zh'; otherwise the language whose
     marker set matches the most tokens wins, ties broken in fixed order
     en > de > es > fr; all-zero scores -> 'und'."""
-    d = _docs(spark, sf_dir)
+    # OPTIMIZATION_r18 (the _quality_parts pattern-cache finding): the
+    # CJK regex and the tokenizer regex are DIFFERENT patterns; in one
+    # projection they alternate per row and thrash the compiled-pattern
+    # cache slot.  zh_chars is computed on the SCAN side of the spread
+    # exchange (one pattern per pipeline stage — alternation happens
+    # once per task, not once per row) and carried as one extra int
+    # column; the marker scoring downstream keeps the tokenizer as its
+    # only pattern.  Same expression, same integers, rows unchanged.
+    raw = load_table(spark, sf_dir, "documents")
+    zh_pre = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", ""))
+    d = spread_small_scan(
+        raw.select("doc_id", "lang", "text", zh_pre.alias("_zh_chars"))
+    )
     toks = tokens("text")
 
     def _marker_score(markers: tuple[str, ...]):
@@ -272,7 +284,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.size(F.filter(toks, lambda x: x.isin(*markers)))
 
     scores = {lang: _marker_score(markers) for lang, markers in LANG_MARKERS.items()}
-    zh_chars = F.length(F.regexp_replace(F.col("text"), r"[^一-鿿]", ""))
+    zh_chars = F.col("_zh_chars")
     en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
     pred = (
         F.when(zh_chars > 0, "zh")
