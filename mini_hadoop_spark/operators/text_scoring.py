@@ -790,11 +790,23 @@ def quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the document scan ran TWICE (the sample subtree pruned the window
     # but re-ran the whole scoring projection).  Lazy, so the bench
     # still times the materialization inside the query.
-    j = docs.withColumn(
-        "is_dup", F.count("*").over(W.partitionBy(F.sha2(F.col("text"), 256))) > 1
-    ).select(
-        "doc_id", round_half_up(_score, 6).alias("quality_score"), "is_dup"
-    ).localCheckpoint(eager=False)
+    # OPTIMIZATION_r18 (guide §2.3 — project before the exchange): the
+    # score used to be computed ABOVE the content-hash window, so the
+    # full `text` column had to travel through the window's exchange
+    # just to feed the post-window projection (Catalyst has no rule
+    # pushing a Project below a Window).  Scoring and hashing in ONE
+    # pre-window projection shuffles (doc_id, h, score) — ~80 bytes —
+    # instead of the document text, and runs the regex-heavy score on
+    # the spread scan side.  Same h ⇒ same groups ⇒ same is_dup;
+    # values bit-identical (oracle re-verified both SFs).
+    pre = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("_h"),
+        round_half_up(_score, 6).alias("quality_score"),
+    )
+    j = pre.withColumn(
+        "is_dup", F.count("*").over(W.partitionBy("_h")) > 1
+    ).select("doc_id", "quality_score", "is_dup").localCheckpoint(eager=False)
     q = j.select("doc_id", "quality_score")
     samp = (
         q.select(
